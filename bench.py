@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count() action (full plan execution, no
+driver-side materialization of results). A warmup query first absorbs
+JVM/codegen startup so per-query numbers measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dmds_spark.queries import all_queries
+    from dmds_spark.session import get_spark
+
+    spark = get_spark(app_name="dmds_spark_bench")
+
+    qs = all_queries()
+
+    # headline set: one per operator family, the shapes that dominate
+    # at scale (scan-agg, multi-join, window, dedup, similarity)
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_revenue",
+        "agg_rollup",
+        "window_row_number",
+        "topk_per_group",
+        "dmds_select_plus",
+        "dedup_exact_keep_first",
+        "text_token_stats",
+        "similarity_cosine_topk",
+        "window_tumbling_1h",
+        "sessionize_10m",
+    ]
+    headline = [h for h in headline if h in qs]
+
+    # warmup (not measured): JVM + codegen + parquet footer caches
+    qs["q6_forecast_revenue"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,40 @@
+"""Error taxonomy mirroring the reference's ``Error`` enum
+(reference: src/lib.rs:120-146).
+
+``ValueMoved`` (src/lib.rs:129-134) has no analogue here: Spark executes
+over immutable snapshots, so a reader can never observe a half-moved
+record. Documented divergence (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+
+class DmdsError(Exception):
+    """Base class for engine errors (reference: src/lib.rs:120)."""
+
+
+class ValueNotFoundError(DmdsError):
+    """Requested id does not exist (reference: src/lib.rs:126-128)."""
+
+
+class ValueOutOfRangeError(DmdsError):
+    """A dimension value falls outside the world's declared range
+    (reference: src/lib.rs:136-142)."""
+
+    def __init__(self, dim: int, value: int, lo: int, hi: int):
+        self.dim = dim
+        self.value = value
+        self.lo = lo
+        self.hi = hi
+        super().__init__(
+            f"value {value} of dim {dim} out of range [{lo}, {hi}]"
+        )
+
+
+class ValueMovedError(DmdsError):
+    """Kept for API parity; never raised (snapshot isolation makes the
+    reference's moved-tombstone race unobservable — src/lib.rs:129-134)."""
+
+
+class WorldSpecError(DmdsError):
+    """Invalid world geometry, e.g. range length not divisible by
+    items-per-chunk (reference panics at src/range.rs:24-30)."""

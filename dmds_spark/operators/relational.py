@@ -1,0 +1,116 @@
+"""Relational analytics surface (SURVEY.md §2b).
+
+Thin, composable builders over the DataFrame API — everything here is
+built-in Catalyst-optimized Spark (joins pick broadcast/sort-merge via
+AQE; filters and projections push into the parquet scan). Each public
+function returns a DataFrame; column aliases are chosen to match the
+DuckDB oracle SQL in __spark_entry__.py exactly (the driver hash-compares
+values by sorted column name).
+
+Scale notes (100 TB):
+- dimension tables (region/nation/supplier/part at TPC-H ratios) stay
+  broadcast-able; fact-fact joins (lineitem⋈orders) shuffle on the join
+  key — AQE handles skew splitting.
+- aggregations are partial (map-side combine) automatically via
+  hash-aggregate; no collect()s anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic top-k per group: window row_number over a total
+    order (callers must pass a tie-breaking key)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key,
+    right_lo,
+    right_hi,
+    how: str = "inner",
+) -> DataFrame:
+    """Non-equi (theta) range join: left.key BETWEEN right.lo AND right.hi.
+
+    At scale a raw theta join is a broadcast-nested-loop; when the right
+    side is small (band tables, bucket maps) Spark broadcasts it — which
+    is the right plan. For fact-fact range joins prefer bucketize_join.
+    """
+    cond = (left_key >= right_lo) & (left_key <= right_hi)
+    return left.join(right, cond, how)
+
+
+def bucketized_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Scale path for range joins: explode the right intervals into the
+    fixed-width buckets they overlap, equi-join on bucket, re-filter the
+    exact predicate. Turns O(n*m) nested-loop into a hash join.
+    """
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor(F.col(right_hi) / bucket_width),
+            )
+        ),
+    )
+    l = left.withColumn("__bucket", F.floor(F.col(left_val) / bucket_width))
+    out = l.join(r, "__bucket").filter(
+        (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
+    )
+    return out.drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join (latest right row with right.on <= left.on, per `by`
+    key) expressed with built-in ops: union tagged events, window
+    last_value over time, keep left rows.
+
+    Avoids the naive theta-join + groupBy-max double shuffle: one union,
+    one window over (by, on) — a single sort-based shuffle, scalable.
+    """
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.withColumn("__side", F.lit(0))
+    all_cols = set(lt.columns) | set(rt.columns)
+    for c in all_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    u = lt.select(sorted(all_cols)).unionByName(rt.select(sorted(all_cols)))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for v in right_value_cols:
+        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,241 @@
+"""LLM-data-pipeline operators (north star, SURVEY.md §2b last row):
+deduplication, similarity search, text analysis over the `documents`
+and `embeddings` tables.
+
+Every hash used here is md5 — available and bit-identical in both Spark
+and DuckDB — so even MinHash/LSH pipelines are oracle-checkable: the
+"random" hash family h_i(x) = md5(i || x) is deterministic and engine-
+independent. At 100 TB these operators are shuffle-bound on the
+(band-hash -> bucket) exchange; the bucket join is an equi-join that
+AQE handles, and signatures are fixed-width so skew is bounded by
+bucket collision rates, not data skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting + char stats — the unit everything in
+    a data pipeline is billed in. Pure built-ins, no UDF."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("bigint").alias("n_nonspace"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           CAST(ROUND(CAST(LENGTH(string_split(text, ' ')) AS DECIMAL(18,9))
+                 / GREATEST(LENGTH(text), 1), 4) AS DOUBLE) AS tokens_per_char,
+           (LENGTH(text) >= 100 AND LENGTH(text) <= 20000) AS len_ok,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality heuristics: token density, length gate, letter frequency
+    — the building blocks of C4/Gopher-style quality filters."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split("text", " ")).cast("decimal(18,9)")
+    n_char = F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(n_tok / n_char, 4).cast("double").alias("tokens_per_char"),
+        ((F.length("text") >= 100) & (F.length("text") <= 20000)).alias("len_ok"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "e", "")))
+        .cast("bigint")
+        .alias("n_e"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT md5(LOWER(TRIM(text))) AS fp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY md5(LOWER(TRIM(text)))
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text; groups = exact-dup
+    clusters. At scale this is a single hash-shuffle on a 32-char key."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup stats via content hash. The keep-first variant is
+    dedup_exact_keep_first."""
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text"))))
+        .cast("bigint")
+        .alias("n_dupes"),
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Exact dedup keeping the lowest doc_id per content hash — one
+    hash-shuffle; at 100 TB the md5 key bounds shuffle width."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DECIMAL(18,9)), 4) AS DOUBLE) AS sim
+    FROM embeddings e, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+
+    JVM-side only: F.aggregate/zip_with over array<float> — no Python
+    UDF in the hot path. This is the exact baseline; the LSH-bucketed
+    variant (similarity_ann_lsh in operators/similarity.py) is the
+    scale path. Ordering is by exact double cosine (bit-identical both
+    engines: float inputs promoted to double, same multiply-add order),
+    rounded only for display.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    sim = dot(F.col("embedding"), F.col("qv")) / (
+        norm(F.col("embedding")) * norm(F.col("qv"))
+    )
+    return (
+        joined.withColumn("sim_exact", sim)
+        .orderBy(F.col("sim_exact").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round(F.col("sim_exact").cast("decimal(18,9)"), 4).cast("double").alias("sim"),
+        )
+    )
+
+
+@register(
+    "similarity_pairs_threshold",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                                        AND a.label = b.label
+    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.20
+    """,
+)
+def similarity_pairs_threshold(spark, sf_dir):
+    """All same-label pairs above a cosine threshold — the verify stage
+    of an ANN pipeline. Blocking on label bounds the pair explosion
+    (at 100 TB: block on LSH bucket instead, same shape)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("la") == F.col("lb")))
+    sim = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return j.filter(sim > 0.20).select("id_a", "id_b")
