@@ -1,0 +1,497 @@
+"""``World`` — the engine's counterpart of the reference's
+``World<T, DIMS, Io>`` (reference: src/world.rs:251-267), re-expressed
+as a chunk-partitioned Parquet table plus a pending-writes buffer.
+
+Mapping (SURVEY.md §1.5):
+
+- the chunk grid (reference: src/range.rs, src/world.rs:198-250) becomes
+  Hive-style partition columns ``c0=…/c1=…`` computed as
+  ``floor((dim_i - start_i) / spacing_i)``, so Catalyst partition pruning
+  plays the role of the reference's Shape-driven chunk enumeration;
+- the in-memory dirty buffer pool (``chunks_buf``, src/world.rs:254) is
+  a driver-tracked op log of upsert/delete batches, merged into every
+  read (the reference's iterator likewise merges buffered chunks with
+  on-disk chunks, src/world/iter.rs:726-750);
+- ``insert``/``try_insert``/``remove`` (src/world.rs:553-584,77-87) are
+  batch operations keyed on dim 0;
+- relocation (``Lazy::close``, src/world/iter.rs:193-211) is automatic:
+  partition columns are recomputed from the new dim values at flush;
+- flush (``Chunk::write_buf`` + ``FsHandle::write_chunk``,
+  src/world.rs:96-122, tokio-fs/src/lib.rs:85-107) is a
+  dynamic-partition-overwrite rewrite of exactly the dirty chunks —
+  the same whole-chunk-rewrite granularity as the reference.
+
+Scale design (100 TB): a huge logical grid must not produce millions of
+tiny files, so each dimension takes a ``physical_factor`` that groups
+``factor`` adjacent chunks into one physical partition directory. The
+planner's pruning stays exact: value predicates are always applied, and
+the partition predicate is widened by the factor (still a contiguous
+range — no precision loss at the directory level beyond the grouping).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dmds_spark.core.dims import WorldSpec
+from dmds_spark.core.select import Select, Shape
+from dmds_spark.core.errors import ValueOutOfRangeError
+
+
+class World:
+    """A dimensional store over partitioned Parquet.
+
+    ``dim_cols`` come from the spec; any extra columns in upserted
+    DataFrames are the payload (the reference's opaque versioned payload,
+    src/lib.rs:26-49 — here decoded columns, the idiomatic-Spark choice
+    documented in SURVEY.md §1.5).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: WorldSpec,
+        path: str,
+        physical_factors: Sequence[int] | None = None,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.path = path
+        if physical_factors is None:
+            # default: bound physical partition count to ~4096 dirs total
+            physical_factors = self._default_factors(spec)
+        if len(physical_factors) != spec.ndims:
+            raise ValueError("physical_factors rank mismatch")
+        self.factors = tuple(int(f) for f in physical_factors)
+        # pending op log: list of (seq, kind, DataFrame) — kind in
+        # {"upsert", "delete"}; the reference's dirty-chunk buffer pool
+        # (src/world.rs:254) with explicit op ordering instead of locks
+        self._ops: list[tuple[int, str, DataFrame]] = []
+        self._seq = 0
+        self._lock = threading.Lock()  # flush vs. writer (reference lock_w, src/world.rs:58)
+
+    # -- geometry -----------------------------------------------------------
+
+    @staticmethod
+    def _default_factors(spec: WorldSpec, target_dirs: int = 4096) -> tuple[int, ...]:
+        """Pick per-dim grouping factors so the physical directory count
+        stays bounded however large the logical grid is."""
+        factors = [1] * spec.ndims
+        def total(fs):
+            t = 1
+            for d, f in zip(spec.dims, fs):
+                t *= max(1, -(-d.chunks_len // f))
+            return t
+        while total(factors) > target_dirs:
+            # double the factor of the dim with the most physical chunks
+            i = max(
+                range(spec.ndims),
+                key=lambda j: -(-spec.dims[j].chunks_len // factors[j]),
+            )
+            factors[i] *= 2
+        return tuple(factors)
+
+    def partition_cols(self) -> list[str]:
+        return [f"c{i}" for i in range(self.spec.ndims)]
+
+    def _with_partition_cols(self, df: DataFrame) -> DataFrame:
+        """Append physical partition columns computed from dim values —
+        the reference's ``chunk_pos_of_data`` routing
+        (src/world.rs:544-551) divided by the grouping factor."""
+        for i, (d, f) in enumerate(zip(self.spec.dims, self.factors)):
+            chunk = F.floor((F.col(d.name) - F.lit(d.start)) / F.lit(d.spacing))
+            df = df.withColumn(f"c{i}", (chunk / F.lit(f)).cast("long"))
+        return df
+
+    def _physical_partition_predicate(self, shape: Shape):
+        """Chunk-index Shape -> predicate over physical partition cols.
+        Chunk ranges are widened to the physical grouping (floor-div by
+        factor) — pruning stays correct, value predicates stay exact."""
+        if shape.is_none():
+            return F.lit(False)
+        pred = None
+        for box in shape.boxes:
+            box_pred = None
+            for i, (s, e) in enumerate(zip(box.start, box.end)):
+                d, f = self.spec.dims[i], self.factors[i]
+                ps, pe = s // f, e // f
+                full = (d.chunks_len - 1) // f
+                if ps == 0 and pe == full:
+                    continue
+                c = F.col(f"c{i}")
+                p = (c == ps) if ps == pe else ((c >= ps) & (c <= pe))
+                box_pred = p if box_pred is None else (box_pred & p)
+            if box_pred is None:
+                box_pred = F.lit(True)
+            pred = box_pred if pred is None else (pred | box_pred)
+        return pred
+
+    # -- schema / validation -------------------------------------------------
+
+    def _validate_dims(self, df: DataFrame) -> None:
+        for d in self.spec.dims:
+            if d.name not in df.columns:
+                raise ValueError(f"missing dim column {d.name}")
+
+    def _check_domain(self, df: DataFrame) -> DataFrame:
+        """Reject out-of-range dim values at write, mirroring
+        ``Error::ValueOutOfRange`` (src/lib.rs:136-142). Runs as one
+        aggregate over the batch (no driver-side row loop)."""
+        conds = [
+            (F.min(F.col(d.name) >= F.lit(d.start)) & F.min(F.col(d.name) <= F.lit(d.end))).alias(d.name)
+            for d in self.spec.dims
+        ]
+        row = df.agg(*conds).collect()[0]
+        for i, d in enumerate(self.spec.dims):
+            ok = row[d.name]
+            if ok is False:
+                raise ValueOutOfRangeError(i, -1, d.start, d.end)
+        return df
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def exists(self) -> bool:
+        """True iff the world has any persisted data files. Uses the
+        Hadoop FileSystem API so any supported scheme (file/hdfs/s3a)
+        works; empty partition-directory skeletons don't count."""
+        jvm = self.spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return False
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.endswith(".parquet"):
+                return True
+        return False
+
+    def _base(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    # -- write path (reference: src/world.rs:553-584) -------------------------
+
+    def upsert(self, df: DataFrame) -> None:
+        """Batch upsert keyed on dim 0 (reference ``World::insert``,
+        src/world.rs:553-567: replace-by-id). Later batches win over
+        earlier ones; within a batch, ids must be unique."""
+        self._validate_dims(df)
+        self._check_domain(df)
+        with self._lock:
+            self._seq += 1
+            self._ops.append((self._seq, "upsert", df))
+
+    def insert_rows(self, rows: Iterable[dict]) -> None:
+        """Convenience: upsert a small batch of row dicts (tests, REPL)."""
+        df = self.spark.createDataFrame(list(rows))
+        self.upsert(df)
+
+    def try_insert(self, df: DataFrame) -> None:
+        """Insert-if-absent (reference ``World::try_insert``,
+        src/world.rs:569-584): rows whose id already exists — on disk or
+        pending — are dropped, not replaced."""
+        self._validate_dims(df)
+        self._check_domain(df)
+        id_col = self.spec.id_dim.name
+        existing = self.snapshot().select(id_col)
+        new_rows = df.join(existing, on=id_col, how="left_anti")
+        with self._lock:
+            self._seq += 1
+            self._ops.append((self._seq, "upsert", new_rows))
+
+    def delete_ids(self, ids: Iterable[int]) -> None:
+        """Delete by id (reference ``Chunk::remove`` / ``Lazy::destroy``,
+        src/world.rs:77-87, src/world/iter.rs:254-265)."""
+        id_col = self.spec.id_dim.name
+        df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], T.StructType([T.StructField(id_col, T.LongType())])
+        )
+        with self._lock:
+            self._seq += 1
+            self._ops.append((self._seq, "delete", df))
+
+    def delete_where(self, sel: Select) -> None:
+        """Predicate delete: everything the selection matches."""
+        ids = self.read(sel).select(self.spec.id_dim.name)
+        with self._lock:
+            self._seq += 1
+            self._ops.append((self._seq, "delete", ids))
+
+    # -- pending-buffer resolution --------------------------------------------
+
+    def _resolved_pending(self) -> tuple[DataFrame | None, DataFrame | None]:
+        """Collapse the op log to (latest upsert rows, all touched ids).
+        Latest op per id wins — a window over __seq, the deterministic
+        replacement for the reference's chunk/item write locks."""
+        if not self._ops:
+            return None, None
+        from pyspark.sql import Window as W
+
+        id_col = self.spec.id_dim.name
+        parts = []
+        for seq, kind, df in self._ops:
+            if kind == "upsert":
+                parts.append(
+                    df.withColumn("__seq", F.lit(seq)).withColumn("__del", F.lit(False))
+                )
+            else:
+                parts.append(
+                    df.select(id_col)
+                    .withColumn("__seq", F.lit(seq))
+                    .withColumn("__del", F.lit(True))
+                )
+        # align schemas: deletes carry only the id column
+        all_cols = []
+        for p in parts:
+            for c in p.columns:
+                if c not in all_cols:
+                    all_cols.append(c)
+        aligned = []
+        for p in parts:
+            for c in all_cols:
+                if c not in p.columns:
+                    p = p.withColumn(c, F.lit(None))
+            aligned.append(p.select(all_cols))
+        log = aligned[0]
+        for p in aligned[1:]:
+            log = log.unionByName(p)
+        w = W.partitionBy(id_col).orderBy(F.col("__seq").desc())
+        latest = (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        touched = log.select(id_col).distinct()
+        live = latest.filter(~F.col("__del")).drop("__seq", "__del")
+        # delete-only op logs leave live empty AND missing dim columns —
+        # give it the full dim schema so downstream plans resolve
+        for d in self.spec.dims:
+            if d.name not in live.columns:
+                live = live.withColumn(d.name, F.lit(None).cast("long"))
+        return live, touched
+
+    # -- read path (reference: §3A) -------------------------------------------
+
+    def select(self, dim: int, bounds) -> Select:
+        """Seed a selection (reference ``World::select``,
+        src/world.rs:302-329)."""
+        return Select.dim(self.spec, dim, bounds)
+
+    def select_all(self) -> Select:
+        """Full-scan seed (reference src/world.rs:332-335)."""
+        return Select.all(self.spec)
+
+    def snapshot(self) -> DataFrame:
+        """Current logical state: on-disk chunks merged with the pending
+        buffer (the reference's iterator merges buffered chunks with IO
+        chunks, src/world/iter.rs:726-750)."""
+        base = self._base()
+        live, touched = self._resolved_pending()
+        id_col = self.spec.id_dim.name
+        if base is not None:
+            base = base.drop(*self.partition_cols())
+        if base is None and live is None:
+            # empty world with just the dim columns
+            schema = T.StructType(
+                [T.StructField(d.name, T.LongType()) for d in self.spec.dims]
+            )
+            return self.spark.createDataFrame([], schema)
+        if live is None:
+            return base
+        if base is None:
+            return live
+        base_kept = base.join(touched, on=id_col, how="left_anti")
+        live = live.select(
+            *[
+                F.col(c).cast(dict(base.dtypes)[c]) if c in dict(base.dtypes) else F.col(c)
+                for c in base.columns
+            ]
+        )
+        return base_kept.unionByName(live, allowMissingColumns=True)
+
+    def read(self, sel: Select) -> DataFrame:
+        """Execute a selection: partition pruning on the on-disk side
+        (physical chunk predicate) + exact value predicate everywhere +
+        pending-buffer merge. This is the reference's
+        ``Select::iter`` (src/world.rs:638-643) as one DataFrame."""
+        value_pred = sel.to_predicate()
+        base = self._base()
+        live, touched = self._resolved_pending()
+        id_col = self.spec.id_dim.name
+        out = None
+        if base is not None:
+            pruned = base.filter(self._physical_partition_predicate(sel.shape()))
+            pruned = pruned.filter(value_pred).drop(*self.partition_cols())
+            if touched is not None:
+                pruned = pruned.join(touched, on=id_col, how="left_anti")
+            out = pruned
+        if live is not None:
+            live_sel = live.filter(value_pred)
+            if out is None:
+                out = live_sel
+            else:
+                live_sel = live_sel.select(
+                    *[
+                        F.col(c).cast(dict(out.dtypes)[c]) if c in dict(out.dtypes) else F.col(c)
+                        for c in out.columns
+                    ]
+                )
+                out = out.unionByName(live_sel, allowMissingColumns=True)
+        if out is None:
+            return self.snapshot().filter(value_pred)
+        return out
+
+    def get(self, id_value: int) -> DataFrame:
+        """Point lookup by id — one pruned chunk on the IO side
+        (reference ``chunk_pos_of_data`` routing, src/world.rs:544-551)."""
+        return self.read(self.select(0, int(id_value)))
+
+    # -- flush (reference: §3B) ------------------------------------------------
+
+    @property
+    def writes(self) -> int:
+        """Pending op count — flush eligibility, mirroring the chunk
+        ``writes`` counter (src/world.rs:52-54)."""
+        return len(self._ops)
+
+    def flush(self) -> int:
+        """Persist the pending buffer: rewrite exactly the dirty chunks
+        via dynamic partition overwrite (the reference's whole-chunk
+        rewrite, src/world.rs:96-122 + tokio-fs/src/lib.rs:85-107).
+        Returns the number of ops flushed."""
+        with self._lock:
+            if not self._ops:
+                return 0
+            n_ops = len(self._ops)
+            live, touched = self._resolved_pending()
+            id_col = self.spec.id_dim.name
+            base = self._base()
+
+            if base is None:
+                out = self._with_partition_cols(live)
+                out.write.partitionBy(*self.partition_cols()).mode(
+                    "overwrite"
+                ).parquet(self.path)
+                self._ops = []
+                return n_ops
+
+            # dirty physical partitions = those holding any touched id
+            # (old location: deletes/relocations) or any new row (new
+            # location) — both sides, so a relocated row vanishes from
+            # its old chunk and appears in the new one atomically.
+            base_touched = base.join(touched, on=id_col, how="left_semi")
+            old_parts = base_touched.select(*self.partition_cols()).distinct()
+            new_parts = (
+                self._with_partition_cols(live)
+                .select(*self.partition_cols())
+                .distinct()
+            )
+            dirty = [
+                tuple(r)
+                for r in old_parts.unionByName(new_parts).distinct().collect()
+            ]
+            if not dirty:
+                self._ops = []
+                return n_ops
+
+            dirty_pred = F.lit(False)
+            for pos in dirty:
+                p = F.lit(True)
+                for c, v in zip(self.partition_cols(), pos):
+                    p = p & (F.col(c) == int(v))
+                dirty_pred = dirty_pred | p
+
+            base_part = base.filter(dirty_pred).drop(*self.partition_cols())
+            kept = base_part.join(touched, on=id_col, how="left_anti")
+            btypes = dict(base_part.dtypes)
+            live_cast = live.select(
+                *[
+                    (
+                        F.col(c).cast(btypes[c])
+                        if c in live.columns
+                        else F.lit(None).cast(btypes[c])
+                    ).alias(c)
+                    for c in base_part.columns
+                ],
+                *[F.col(c) for c in live.columns if c not in base_part.columns],
+            )
+            merged = kept.unionByName(live_cast, allowMissingColumns=True)
+            out = self._with_partition_cols(merged)
+            # localCheckpoint: materialize BEFORE overwriting the files
+            # we just read (self-overwrite is undefined otherwise)
+            out = out.localCheckpoint(eager=True)
+            (
+                out.write.partitionBy(*self.partition_cols())
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(self.path)
+            )
+            # dynamic overwrite only touches partitions present in the
+            # output; a dirty partition whose rows all relocated away
+            # keeps its stale file — clear those directories explicitly
+            # (the reference rewrites every dirty chunk, even to empty:
+            # src/world.rs:96-122 skips moved items but still writes).
+            remaining = {
+                tuple(r)
+                for r in out.select(*self.partition_cols()).distinct().collect()
+            }
+            jvm = self.spark.sparkContext._jvm
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            for pos in dirty:
+                if tuple(pos) not in remaining:
+                    d = "/".join(
+                        [self.path]
+                        + [f"{c}={int(v)}" for c, v in zip(self.partition_cols(), pos)]
+                    )
+                    jpath = jvm.org.apache.hadoop.fs.Path(d)
+                    fs = jpath.getFileSystem(hconf)
+                    if fs.exists(jpath):
+                        fs.delete(jpath, True)
+            self._ops = []
+            return n_ops
+
+
+class FlushDaemon:
+    """Periodic flush loop (reference ``daemon`` + ``ShutdownHandle``,
+    tokio-fs/src/lib.rs:207-235,158-200): every ``interval`` seconds,
+    flush each world with ``writes >= 1``; ``close()`` flushes a final
+    time (the reference's flush-on-drop)."""
+
+    LEAST_WRITES = 1  # tokio-fs/src/lib.rs:213
+
+    def __init__(self, worlds: Sequence[World], interval: float):
+        self.worlds = list(worlds)
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while not self._stop.wait(self.interval):
+            for w in self.worlds:
+                if w.writes >= self.LEAST_WRITES:
+                    w.flush()
+
+    def close(self):
+        """Stop the loop and flush everything dirty — the reference's
+        ShutdownHandle::drop (tokio-fs/src/lib.rs:174-200)."""
+        self._stop.set()
+        self._thread.join(timeout=30)
+        for w in self.worlds:
+            if w.writes >= 1:
+                w.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

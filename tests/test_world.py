@@ -1,0 +1,179 @@
+"""Port of the reference's world end-to-end tests (src/tests.rs) plus
+relocation/flush behavior the reference exercises implicitly.
+
+| test here              | reference                  |
+|------------------------|----------------------------|
+| test_buf_insert        | src/tests.rs:8-33          |
+| test_buf_remove        | src/tests.rs:35-69         |
+| test_save_load         | src/tests.rs:71-132        |
+| test_select            | src/tests.rs:134-175       |
+| test_io_modify         | src/tests.rs:177-239       |
+| test_buf_modify        | src/tests.rs:241-268       |
+
+Canonical fixtures: 2-dim worlds over 0..=1023 with items-per-chunk
+8/16 (src/tests.rs:11-23); records [114, 514], [10, 39] and update
+value 810 (src/tests.rs:25,151-152,235).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.core.dims import DimSpec, WorldSpec
+from dmds_spark.core.errors import ValueOutOfRangeError
+from dmds_spark.world import FlushDaemon, World
+
+
+def spec_1024() -> WorldSpec:
+    # reference geometry: dims ..1024, items_per_chunk 8 and 16
+    # (src/tests.rs:11-23)
+    return WorldSpec(
+        dims=(
+            DimSpec("dim0", 0, 1023, 8),
+            DimSpec("dim1", 0, 1023, 16),
+        )
+    )
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    return World(spark, spec_1024(), str(tmp_path / "w"), physical_factors=(1, 1))
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.select("dim0", "dim1").collect())
+
+
+def test_buf_insert(world):
+    # reference src/tests.rs:8-33: insert -> visible before any flush
+    world.insert_rows([{"dim0": 114, "dim1": 514}])
+    assert rows(world.get(114)) == [(114, 514)]
+    assert world.writes == 1  # dirty, unflushed
+
+
+def test_buf_remove(world):
+    # reference src/tests.rs:35-69: remove -> gone from reads
+    world.insert_rows([{"dim0": 114, "dim1": 514}])
+    world.delete_ids([114])
+    assert rows(world.get(114)) == []
+    assert rows(world.snapshot()) == []
+
+
+def test_save_load(spark, tmp_path, world):
+    # reference src/tests.rs:71-132: flush -> fresh world reads the same
+    world.insert_rows([{"dim0": 114, "dim1": 514}])
+    assert world.flush() == 1
+    assert world.writes == 0
+    w2 = World(spark, spec_1024(), world.path, physical_factors=(1, 1))
+    assert rows(w2.get(114)) == [(114, 514)]
+    # partition layout: chunk of 114 along dim0 (ipc 8) = 14,
+    # chunk of 514 along dim1 (ipc 16) = 32 -> c0=14/c1=32
+    assert os.path.isdir(os.path.join(world.path, "c0=14", "c1=32"))
+
+
+def test_select(world):
+    # reference src/tests.rs:134-175: select_all sees all; our selects
+    # are value-exact (the reference returns whole chunks, SURVEY §4.3.4)
+    world.insert_rows([{"dim0": 114, "dim1": 514}, {"dim0": 10, "dim1": 39}])
+    assert rows(world.read(world.select_all())) == [(10, 39), (114, 514)]
+    assert rows(world.read(world.select(0, slice(None, 20)))) == [(10, 39)]
+    assert rows(world.read(world.select(1, (500, 600)))) == [(114, 514)]
+    # and/plus algebra against the world
+    sel = world.select(0, (0, 200)).and_(1, (0, 100)).plus(1, (510, 514))
+    assert rows(world.read(sel)) == [(10, 39), (114, 514)]
+
+
+def test_io_modify(spark, world):
+    # reference src/tests.rs:177-239: persist -> reload -> mutate ->
+    # value visible; dim mutation relocates the row (Lazy::close,
+    # src/world/iter.rs:193-211)
+    world.insert_rows([{"dim0": 114, "dim1": 514}])
+    world.flush()
+    w2 = World(spark, spec_1024(), world.path, physical_factors=(1, 1))
+    w2.insert_rows([{"dim0": 114, "dim1": 810}])  # update: new dim1 value
+    assert rows(w2.get(114)) == [(114, 810)]
+    w2.flush()
+    # exactly one copy, in the new chunk (relocation)
+    w3 = World(spark, spec_1024(), world.path, physical_factors=(1, 1))
+    assert rows(w3.snapshot()) == [(114, 810)]
+    assert rows(w3.read(w3.select(1, (800, 820)))) == [(114, 810)]
+    assert rows(w3.read(w3.select(1, (500, 600)))) == []
+    # old partition dir rewritten without the row: value query via the
+    # pruned path returns nothing (dir may remain, rows must not)
+    base = spark.read.parquet(world.path)
+    old = base.filter((F.col("c0") == 14) & (F.col("c1") == 32))
+    assert old.count() == 0
+
+
+def test_buf_modify(world):
+    # reference src/tests.rs:241-268: update while buffered
+    world.insert_rows([{"dim0": 114, "dim1": 514}])
+    world.insert_rows([{"dim0": 114, "dim1": 810}])
+    assert rows(world.get(114)) == [(114, 810)]
+    assert rows(world.snapshot()) == [(114, 810)]
+
+
+def test_try_insert(world):
+    # reference src/world.rs:569-584: insert-if-absent
+    world.insert_rows([{"dim0": 114, "dim1": 514}])
+    df = world.spark.createDataFrame([{"dim0": 114, "dim1": 1}, {"dim0": 7, "dim1": 2}])
+    world.try_insert(df)
+    assert rows(world.snapshot()) == [(7, 2), (114, 514)]
+
+
+def test_out_of_range_insert(world):
+    # reference Error::ValueOutOfRange (src/lib.rs:136-142)
+    with pytest.raises(ValueOutOfRangeError):
+        world.insert_rows([{"dim0": 114, "dim1": 2000}])
+
+
+def test_delete_where(world):
+    world.insert_rows(
+        [{"dim0": i, "dim1": i * 3} for i in range(10)]
+    )
+    world.delete_where(world.select(1, (0, 14)))  # dim1 in 0..=14 -> ids 0..4
+    assert rows(world.snapshot()) == [(i, i * 3) for i in range(5, 10)]
+
+
+def test_flush_pruning_and_payload(spark, tmp_path):
+    # payload columns ride along; pruned read touches few partitions
+    spec = WorldSpec(
+        dims=(DimSpec("id", 0, 1023, 8), DimSpec("grp", 0, 1023, 16))
+    )
+    w = World(spark, spec, str(tmp_path / "wp"), physical_factors=(8, 4))
+    data = [{"id": i, "grp": (i * 7) % 1024, "payload": f"v{i}"} for i in range(0, 1000, 3)]
+    w.upsert(spark.createDataFrame(data))
+    w.flush()
+    w2 = World(spark, spec, w.path, physical_factors=(8, 4))
+    out = w2.read(w2.select(0, (100, 120)))
+    got = sorted((r["id"], r["payload"]) for r in out.collect())
+    assert got == [(i, f"v{i}") for i in range(102, 121, 3)]
+    # physical pruning: partition filter appears in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_flush_daemon(spark, tmp_path):
+    # reference daemon/ShutdownHandle (tokio-fs/src/lib.rs:158-235)
+    w = World(spark, spec_1024(), str(tmp_path / "wd"), physical_factors=(1, 1))
+    with FlushDaemon([w], interval=3600) as d:  # interval never fires in-test
+        w.insert_rows([{"dim0": 5, "dim1": 6}])
+        assert w.writes == 1
+    # close() flushed (flush-on-drop)
+    assert w.writes == 0
+    w2 = World(spark, spec_1024(), w.path, physical_factors=(1, 1))
+    assert rows(w2.snapshot()) == [(5, 6)]
+
+
+def test_upsert_delete_upsert_sequencing(world):
+    # op-log ordering: delete between two upserts of the same id
+    world.insert_rows([{"dim0": 1, "dim1": 10}])
+    world.delete_ids([1])
+    world.insert_rows([{"dim0": 1, "dim1": 20}])
+    assert rows(world.snapshot()) == [(1, 20)]
+    world.flush()
+    assert rows(world.snapshot()) == [(1, 20)]
+    world.delete_ids([1])
+    world.flush()
+    assert rows(world.snapshot()) == []
