@@ -1,0 +1,19 @@
+from dmds_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    streaming_dedup,
+    tumbling_window_agg,
+    watermarked,
+    world_upsert_sink,
+)
+
+__all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "watermarked",
+    "streaming_dedup",
+    "run_stream_to_memory",
+    "world_upsert_sink",
+]
