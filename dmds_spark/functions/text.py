@@ -1,0 +1,195 @@
+"""Text-analysis Column builders for LLM data pipelines (north star,
+SURVEY.md §2b last row): shingling, MinHash, SimHash, BPE-ish
+tokenization, fingerprints, language scoring, quality heuristics.
+
+Design rule: every builder is pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen-friendly, no Python in the hot path. And every hash
+is an **md5-string** construct: md5 is bit-identical in Spark and DuckDB,
+and string MIN is a total order both agree on, so even MinHash/LSH
+pipelines are oracle-checkable (the "random" hash family is
+``h_j(x) = md5(j || ':' || x)``, deterministic in both engines).
+
+At 100 TB these all scan-parallelize perfectly: per-row expressions with
+no shuffle; the shuffles appear only in the dedup joins built on top
+(operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation — the
+# shape (not the learned merges) of a byte-pair tokenizer's pretokenizer.
+BPE_ISH_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, " ")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pretokenization (same regex dialect subset in Spark/RE2)."""
+    return F.regexp_extract_all(
+        text if isinstance(text, Column) else F.col(text),
+        F.lit(BPE_ISH_PATTERN),
+        0,  # whole-match group (the pattern has no capture groups)
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-grams joined by single spaces; empty when < k words.
+    1-based ``element_at`` so the construction is identical to the
+    DuckDB oracle's ``list_slice(words, i, i+k-1)``."""
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1, so short docs
+    # must short-circuit to an empty array, not sequence(1, 0) == [1, 0]
+    body = (
+        f"transform(sequence(1, size(split({_sql(text)}, ' ')) - {k - 1}), "
+        f"i -> concat_ws(' ', " + ", ".join(
+            f"element_at(split({_sql(text)}, ' '), i + {j})" for j in range(k)
+        ) + "))"
+    )
+    return F.expr(
+        f"CASE WHEN size(split({_sql(text)}, ' ')) < {k} "
+        f"THEN array() ELSE {body} END"
+    )
+
+
+def _sql(text: Column | str) -> str:
+    if isinstance(text, str):
+        return text
+    raise ValueError("word_shingles needs a column NAME (used inside expr)")
+
+
+def char_ngrams(text: Column | str, n: int = 8) -> Column:
+    """Character n-grams (the rolling-hash window set)."""
+    col = text if isinstance(text, str) else None
+    if col is None:
+        raise ValueError("char_ngrams needs a column NAME (used inside expr)")
+    return F.expr(
+        f"CASE WHEN length({col}) < {n} THEN array() ELSE "
+        f"transform(sequence(1, length({col}) - {n - 1}), "
+        f"i -> substring({col}, i, {n})) END"
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of ``num_hashes`` md5-string minima.
+    ``sig[j] = MIN(md5(j || ':' || shingle))`` — one pass over the
+    shingle array per hash, all JVM-side array lambdas."""
+    def hash_for(j: int):
+        # exactly-1-arg lambda: a `j=j` default would make transform
+        # treat it as the (element, index) form and bind j to the index
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_for(j))) for j in range(num_hashes)]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: md5 of each band's concatenated minhashes, prefixed
+    with the band index. Docs sharing any band key are candidates."""
+    keys = []
+    for b in range(bands):
+        parts = [
+            F.element_at(signature, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        keys.append(
+            F.concat(F.lit(f"{b}:"), F.md5(F.concat_ws("|", *parts)))
+        )
+    return F.array(*keys)
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature slots."""
+    agree = sum(
+        F.when(
+            F.element_at(sig_a, j + 1) == F.element_at(sig_b, j + 1), 1
+        ).otherwise(0)
+        for j in range(num_hashes)
+    )
+    return agree / F.lit(float(num_hashes))
+
+
+def simhash_bits(tokens: Column, num_bits: int = 16) -> Column:
+    """SimHash as a ``num_bits``-char bitstring. Bit b is set when the
+    majority of tokens have hex digit b of md5(token) >= 8 (that digit's
+    top bit). Pure string ops — portable to the SQL oracle via
+    ``instr('0123456789abcdef', substring(md5(t), b+1, 1))``."""
+    def merge_for(b: int):
+        # exactly-2-arg lambda: PySpark dispatches HOF arity by the
+        # Python signature, so a default-arg closure would mis-bind
+        return lambda acc, t: acc + F.when(
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(t), b + 1, 1)) >= 9,
+            1,
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(num_bits):
+        # +1 when digit's value >= 8 else -1, summed over tokens
+        contrib = F.aggregate(tokens, F.lit(0), merge_for(b))
+        bits.append(F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hamming_distance_bitstrings(a: Column, b: Column, num_bits: int) -> Column:
+    """Hamming distance between equal-length bitstrings."""
+    return sum(
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(num_bits)
+    )
+
+
+def jaccard_exact(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over shingle sets (array_intersect/union are
+    set-semantic, mirroring DuckDB's list_intersect/list_distinct)."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return inter.cast("double") / F.when(union == 0, 1).otherwise(union)
+
+
+def rolling_fingerprint(text_col: str, ngram: int = 8) -> Column:
+    """Document fingerprint: minimum md5 over all character n-grams —
+    the select-the-minimum flavor of winnowing fingerprints, one value
+    per document. Near-identical documents share it with high
+    probability; any single-character edit changes at most n windows."""
+    return F.array_min(
+        F.transform(char_ngrams(text_col, ngram), lambda g: F.md5(g))
+    )
+
+
+# Stopword profiles for the language-ID heuristic. Tiny on purpose:
+# the heuristic is a deterministic scoring rule (top stopword-hit-rate
+# wins, ties broken alphabetically), not a trained model.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"],
+}
+
+
+def stopword_hit_rate(tokens: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are in the stopword list."""
+    hits = F.size(
+        F.filter(tokens, lambda t: F.lower(t).isin([s for s in stopwords]))
+    )
+    return hits.cast("double") / F.greatest(F.size(tokens), F.lit(1))
+
+
+def lang_id(tokens: Column) -> Column:
+    """Deterministic language guess: argmax stopword hit rate, 'und'
+    (undetermined) when every profile scores zero. Ties resolve to the
+    alphabetically first language code."""
+    scored = [
+        (code, stopword_hit_rate(tokens, sw)) for code, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scored])
+    out = F.lit("und")
+    # reversed so the alphabetically-first winner is applied last
+    for code, score in reversed(scored):
+        out = F.when((score == best_score) & (best_score > 0), code).otherwise(out)
+    return out

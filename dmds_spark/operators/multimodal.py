@@ -1,0 +1,222 @@
+"""Multimodal column plumbing (north star, SURVEY.md §2b):
+image/audio/video as opaque ``binary`` columns with typed metadata,
+processed through Arrow-batched ``mapInPandas`` stages.
+
+The actual media codecs (JPEG/PNG decode, audio resample, video
+demux) are NOT available in this container, so the codec call itself
+is stubbed — ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic parser of our own
+header format. Everything AROUND the codec is real and tested:
+schemas, Arrow batch shapes, partition behavior, UDF signatures,
+frame explosion, and feature extraction (byte histograms are real
+math on the real bytes).
+
+Scale notes: media bytes never hit the driver; each stage is
+``mapInPandas`` over Arrow record batches, so a 100 TB media table
+streams through executors batch-by-batch. Metadata-only queries
+(width/height/duration filters) read ONLY the metadata columns —
+binary columns are pruned out of the parquet scan entirely.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# our deterministic fake media header: magic(4) | width(4) | height(4)
+# | channels(4) | payload...
+MEDIA_MAGIC = b"DMDS"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def encode_fake_media(width: int, height: int, channels: int, seed: int) -> bytes:
+    """Deterministic fake media bytes (header + pseudo-random payload)."""
+    header = MEDIA_MAGIC + struct.pack(">III", width, height, channels)
+    n = width * height * channels
+    payload = bytes((seed * 31 + i * 7) % 256 for i in range(min(n, 4096)))
+    return header + payload
+
+
+def decode_image(content: bytes, fake: bool = False) -> dict:
+    """Decode one image's header. The real codec is stubbed: this
+    container ships no imaging libraries, so ``fake=False`` raises —
+    callers on a real cluster would swap in PIL/libvips here."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding requires an imaging library not present "
+            "in this environment; pass fake=True for the deterministic "
+            "header parser"
+        )
+    if content[:4] != MEDIA_MAGIC:
+        raise ValueError("bad magic")
+    width, height, channels = struct.unpack(">III", content[4:16])
+    return {"width": width, "height": height, "channels": channels}
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture:
+    one fake image per doc, sized from its text stats. Runs fully
+    distributed (mapInPandas) — the binary is generated executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                width = 16 + int(n_chars) % 48
+                height = 16 + (int(n_chars) // 7) % 48
+                content = encode_fake_media(width, height, 3, int(doc_id))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "kind": "image",
+                        "content": content,
+                        "meta": {
+                            "width": width,
+                            "height": height,
+                            "channels": 3,
+                            "n_bytes": len(content),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode stage: parse each image's header executor-side. Arrow
+    streams binary batches into pandas; nothing touches the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                d = decode_image(bytes(content), fake=fake)
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "payload_bytes": len(content) - 16,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("histogram", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_byte_histograms(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature extraction that is REAL math on the real bytes: an
+    L1-normalized byte-value histogram per media payload — the stand-in
+    for an embedding model, with the same pipeline shape (binary ->
+    fixed-width float vector)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = np.frombuffer(bytes(content)[16:], dtype=np.uint8)
+                if len(payload) == 0:
+                    hist = np.zeros(bins)
+                else:
+                    hist = np.bincount(payload // (256 // bins), minlength=bins)
+                    hist = hist / hist.sum()
+                out.append(
+                    {"media_id": int(media_id), "histogram": hist.tolist()}
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256, stride: int = 2) -> DataFrame:
+    """Frame sampling for "video": split the payload into fixed-size
+    frames and keep every ``stride``-th one — the demux-and-sample
+    pipeline shape (real demuxers plug into the same seam)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)[16:]
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    out.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_no": i,
+                            "frame": payload[i * frame_bytes : (i + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {"media_id": [], "frame_no": [], "frame": []}
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+def metadata_only_scan(media: DataFrame) -> DataFrame:
+    """Metadata queries must not read the binary column: selecting only
+    ``meta.*`` lets parquet column pruning skip the content bytes
+    entirely (ReadSchema shows no ``content``)."""
+    return media.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )

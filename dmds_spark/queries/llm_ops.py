@@ -202,6 +202,46 @@ def similarity_cosine_topk(spark, sf_dir):
     )
 
 
+@register("multimodal_decode_stats", None)  # binary plumbing: rows-only check
+def multimodal_decode_stats(spark, sf_dir):
+    """Multimodal pipeline end-to-end: documents -> fake media table
+    (binary + typed metadata) -> Arrow mapInPandas decode -> aggregate.
+    The codec itself is stubbed (no imaging libs in this container, see
+    operators/multimodal.py); the Spark plumbing is real."""
+    from dmds_spark.operators.multimodal import (
+        decode_images,
+        media_table_from_documents,
+    )
+
+    media = media_table_from_documents(_docs(spark, sf_dir))
+    return (
+        decode_images(media, fake=True)
+        .groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("width").cast("bigint")).alias("sum_width"),
+            F.sum(F.col("height").cast("bigint")).alias("sum_height"),
+        )
+    )
+
+
+@register("multimodal_frame_sample", None)  # binary plumbing: rows-only check
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over binary payloads (the video-demux shape):
+    fixed-width frames, stride 2, counted per media item."""
+    from dmds_spark.operators.multimodal import (
+        media_table_from_documents,
+        sample_frames,
+    )
+
+    media = media_table_from_documents(_docs(spark, sf_dir))
+    return (
+        sample_frames(media, frame_bytes=256, stride=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
 @register(
     "similarity_pairs_threshold",
     """

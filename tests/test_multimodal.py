@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: real Arrow/mapInPandas execution over
+binary columns with the codec stubbed (SURVEY.md §2b multimodal row).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.multimodal import (
+    decode_image,
+    decode_images,
+    extract_byte_histograms,
+    media_table_from_documents,
+    metadata_only_scan,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path_factory.mktemp("media")) + "/media.parquet"
+    media_table_from_documents(docs).write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.count() == 500
+    r = media.filter(F.col("media_id") == 7).collect()[0]
+    assert r["kind"] == "image"
+    assert bytes(r["content"])[:4] == b"DMDS"
+    assert r["meta"]["channels"] == 3
+    # deterministic: regenerating yields identical bytes
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    again = media_table_from_documents(docs).filter(F.col("media_id") == 7).collect()[0]
+    assert bytes(again["content"]) == bytes(r["content"])
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"DMDS" + b"\x00" * 12, fake=False)
+
+
+def test_decode_images_matches_metadata(media):
+    decoded = decode_images(media, fake=True)
+    joined = decoded.join(media, "media_id").filter(
+        (F.col("width") != F.col("meta.width"))
+        | (F.col("height") != F.col("meta.height"))
+    )
+    assert joined.count() == 0
+    assert decoded.count() == 500
+
+
+def test_byte_histograms(media):
+    feats = extract_byte_histograms(media, bins=16)
+    rows = feats.filter(F.col("media_id").isin(1, 2, 3)).collect()
+    for r in rows:
+        h = r["histogram"]
+        assert len(h) == 16
+        assert abs(sum(h) - 1.0) < 1e-9  # L1-normalized
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, frame_bytes=256, stride=2)
+    # every sampled frame is full-size and frame_no is even
+    bad = frames.filter(
+        (F.length("frame") != 256) | (F.col("frame_no") % 2 != 0)
+    )
+    assert bad.count() == 0
+    assert frames.count() > 0
+
+
+def test_metadata_scan_prunes_binary(media):
+    q = metadata_only_scan(media).filter(F.col("n_bytes") > 1000)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the content column must not be read at all
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "content" not in read_schema[0]
