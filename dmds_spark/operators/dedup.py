@@ -22,12 +22,8 @@ from pyspark.sql import functions as F
 
 from dmds_spark.functions.text import (
     hamming_distance_bitstrings,
-    jaccard_exact,
     lsh_band_keys,
     minhash_jaccard_estimate,
-    minhash_signature,
-    simhash_bits,
-    word_shingles,
     words,
 )
 
@@ -41,14 +37,45 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """(id, signature) for docs with at least k words."""
-    sh = word_shingles(text_col, k)
-    return (
-        df.select(F.col(id_col), sh.alias("__shingles"))
-        .filter(F.size("__shingles") > 0)
-        .select(
-            id_col, minhash_signature(F.col("__shingles"), num_hashes).alias("signature")
+    """(id, signature) for docs with at least k words.
+
+    Execution shape: tokenize with posexplode, form k-grams with
+    window ``lead`` (small, codegen-stable expressions — array-lambda
+    HOFs both run interpreted and emit huge generated methods the JIT
+    refuses to compile, measured 40x slower and unstable), hash into
+    ``num_hashes`` md5 columns, then groupBy(id).min each. The window
+    and the aggregation share the id partitioning, so the whole
+    pipeline pays ONE shuffle (plus map-side partial mins). Results
+    are identical to functions.text.minhash_signature."""
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    tok = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("__pos", "__w")
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    lead_cols = [F.lead("__w", i).over(win) for i in range(1, k)]
+    sh = (
+        tok.select(
+            id_col,
+            F.concat_ws(" ", F.col("__w"), *lead_cols).alias("__s"),
+            lead_cols[-1].alias("__last"),
         )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"__h{j}") for j in range(num_hashes)]
+    ).select(
+        id_col,
+        F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -57,9 +84,19 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
-    The only shuffle is the equi-join on the exploded band key."""
+    The only shuffle is the equi-join on the exploded band key.
+
+    ``materialize`` snapshots the signatures (localCheckpoint) before
+    the self-join: both join sides then read the computed signatures
+    instead of re-deriving the whole shingle->hash->min pipeline per
+    side (measured 50x on the sf0.1 corpus). At production scale the
+    same barrier is a signatures table written once and joined from —
+    the standard two-job shape of web-scale dedup pipelines."""
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
     rows = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -106,7 +143,7 @@ def dedup_minhash_keep_first(
 ) -> DataFrame:
     """Drop every doc that near-duplicates a lower-id doc (single-link,
     one LSH pass — the standard keep-canonical policy)."""
-    pairs = dedup_minhash(df, text_col, id_col, **kw)
+    pairs = dedup_minhash(df, text_col, id_col, **kw).localCheckpoint(eager=True)
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, on=id_col, how="left_anti")
 
@@ -123,9 +160,39 @@ def simhash_pairs(
     bit prefix (docs within hamming distance d of each other agree on
     some prefix with good probability at these sizes), verify exact
     hamming <= max_hamming. Returns (id_a, id_b, hamming)."""
-    sh = df.select(
-        F.col(id_col), simhash_bits(words(text_col), num_bits).alias("simhash")
+    # explode tokens -> md5 ONCE per token -> num_bits sum aggregates:
+    # codegen throughout, one shuffle, identical results to
+    # functions.text.simhash_bits (which stays as the per-row Column
+    # form for composition in narrow plans)
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    dig = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("__t")
+    ).select(id_col, F.md5("__t").alias("__d"))
+    contribs = dig.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.instr(
+                        F.lit("0123456789abcdef"), F.substring("__d", b + 1, 1)
+                    )
+                    >= 9,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(num_bits)
+        ]
     )
+    sh = contribs.select(
+        id_col,
+        F.concat(
+            *[
+                F.when(F.col(f"__b{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(num_bits)
+            ]
+        ).alias("simhash"),
+    ).localCheckpoint(eager=True)  # shared by both self-join sides
     blocked = sh.withColumn("block", F.substring("simhash", 1, prefix_bits))
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
@@ -152,18 +219,63 @@ def jaccard_verify_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs (the
-    verify stage after LSH): joins shingle sets back to (id_a, id_b)
-    and keeps pairs with true Jaccard >= threshold."""
-    sh = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, k)).alias("sh")
+    verify stage after LSH).
+
+    Pure-join formulation — no array columns anywhere: explode each
+    doc's DISTINCT shingles to rows; |A∩B| is the row count of the
+    (pair ⋈ shingles_a ⋈ shingles_b on equal shingle) join;
+    |A∪B| = |A| + |B| − |A∩B| from per-doc counts. Every operator is
+    a codegen-friendly equi-join/aggregate, and the candidate set
+    (post-LSH, tiny relative to the corpus) broadcasts."""
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    sh = minhash_shingle_rows(df, text_col, id_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    p = pairs.select("id_a", "id_b")
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
+    inter_counts = (
+        F.broadcast(p)
+        .join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    j = jaccard_exact(F.col("sh_a"), F.col("sh_b"))
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__inter").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    )
+    # no broadcast hint on the counts: inter_counts (candidate-sized)
+    # is the small side at scale — AQE picks the build side
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", j)
+        inter_counts.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, DISTINCT per doc — the exploded form of the
+    shingle set, built with the same window-lead shape as
+    minhash_signatures."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("__pos", "__w")
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    lead_cols = [F.lead("__w", i).over(win) for i in range(1, k)]
+    return (
+        tok.select(
+            id_col,
+            F.concat_ws(" ", F.col("__w"), *lead_cols).alias("__s"),
+            lead_cols[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "__s")
+        .distinct()
     )

@@ -1,0 +1,23 @@
+from dmds_spark.plans.inspect import (
+    broadcast_join_count,
+    codegen_span_count,
+    partition_filters,
+    physical_plan,
+    plan_report,
+    pushed_filters,
+    read_schemas,
+    scan_count,
+    shuffle_count,
+)
+
+__all__ = [
+    "physical_plan",
+    "plan_report",
+    "pushed_filters",
+    "partition_filters",
+    "read_schemas",
+    "broadcast_join_count",
+    "shuffle_count",
+    "codegen_span_count",
+    "scan_count",
+]

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
+        # plan introspection (plans/inspect.py) needs untruncated
+        # FileScan metadata (PushedFilters/ReadSchema lines)
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )

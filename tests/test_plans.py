@@ -1,0 +1,115 @@
+"""Plan-property pins for the headline queries (SURVEY.md §4: the
+optimizations the engine owes the user). A change that silently drops
+pushdown, column pruning, a broadcast, or adds a shuffle fails HERE,
+not on the cluster bill.
+
+Run at sf0.001 — plan shape is scale-independent (modulo AQE runtime
+re-planning, which these static checks precede).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.plans import (
+    broadcast_join_count,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from dmds_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_q6_filters_reach_scan(spark, qs):
+    """Every Q6 predicate must push into the parquet scan."""
+    df = qs["q6_forecast_revenue"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf
+    assert "l_discount" in pf or "l_shipdate" in pf
+
+
+def test_q6_column_pruning(spark, qs):
+    """Q6 touches 4 columns; the scan must not read more."""
+    df = qs["q6_forecast_revenue"](spark, SF)
+    rs = read_schemas(df)[0]
+    cols = {c.split(":")[0] for c in rs[len("struct<") : -1].split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q1_partial_aggregation(spark, qs):
+    """Q1's aggregation must be two-phase (map-side partial combine
+    before the exchange) — the difference between shuffling 600k rows
+    and shuffling 6."""
+    plan = physical_plan(qs["q1_pricing_summary"](spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q3_broadcasts_customer(spark, qs):
+    """The filtered customer dim must broadcast, never shuffle-join."""
+    df = qs["q3_shipping_priority"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q5_broadcasts_dims(spark, qs):
+    """supplier/nation/region are all broadcast in the 6-way join."""
+    df = qs["q5_local_supplier_volume"](spark, SF)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_topn_uses_take_ordered(spark, qs):
+    """Global top-N must run as TakeOrderedAndProject (per-partition
+    top-N + driver merge), not a full sort."""
+    plan = physical_plan(qs["sort_limit_topn"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_row_number_single_shuffle(spark, qs):
+    """A single window pass = exactly one exchange."""
+    df = qs["window_row_number"](spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_sessionize_single_shuffle(spark, qs):
+    """Lag + running-sum + grouped agg all share the user_id
+    partitioning: one exchange total, the rest reuses it."""
+    df = qs["sessionize_10m"](spark, SF)
+    assert shuffle_count(df) <= 2  # one for the window; agg may reuse
+
+
+def test_dedup_exact_single_shuffle(spark, qs):
+    df = qs["dedup_exact_keep_first"](spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """The window (k-gram lead) and the min-aggregation share the
+    doc_id partitioning: one exchange for the whole signature pipeline
+    (+1 only if the parallelism guard repartitions a tiny source)."""
+    from dmds_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    # tiny test file triggers the ensure_parallelism round-robin; the
+    # semantic pipeline itself contributes exactly one hash exchange
+    assert shuffle_count(sigs) <= 2
+
+
+def test_ann_broadcasts_query_side(spark, qs):
+    """The single query vector must broadcast to the candidates."""
+    df = qs["similarity_ann_lsh_topk"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_dmds_empty_select_is_local(spark, qs):
+    """An out-of-domain selection folds to an empty LocalRelation —
+    zero I/O (the reference's Shape::None, src/world.rs:313-317)."""
+    df = qs["dmds_select_empty_domain"](spark, SF)
+    plan = physical_plan(df)
+    assert "FileScan" not in plan or "LocalTableScan" in plan
