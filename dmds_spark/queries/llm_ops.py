@@ -202,6 +202,119 @@ def similarity_cosine_topk(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_embedding_neardup",
+    """
+    SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+      SELECT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+    )
+    """,
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dedup: drop each vector that is
+    near-duplicate (cosine > 0.45, the top of this corpus's pair
+    distribution) of a lower-id vector. All-pairs here (the corpus
+    fits); the scale path blocks on the LSH bucket of
+    similarity_ann_lsh_topk and runs the same keep-first anti-join."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    doomed = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim > 0.45)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(doomed, "vec_id", "left_anti").select("vec_id")
+
+
+@register(
+    "similarity_ivf_topk",
+    """
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC, a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    ), cells AS (
+      SELECT vec_id, embedding, aid FROM assign WHERE rn = 1
+    ), q AS (SELECT * FROM cells WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST(ROUND(CAST(list_cosine_similarity(c.embedding, q.embedding) AS DECIMAL(18,9)), 4) AS DOUBLE) AS sim
+    FROM cells c, q
+    WHERE c.aid = q.aid AND c.vec_id <> 0
+    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: 8 anchor vectors (vec_id < 8) act as coarse
+    centroids; every vector is assigned to its nearest anchor (inverted
+    file cell) and the query searches only its own cell. At scale the
+    cell id is the partition key (partition pruning per query) and
+    anchors are a broadcast list; assignment is one scan."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cos(x, y):
+        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+    w = W.partitionBy("vec_id").orderBy(
+        cos(F.col("embedding"), F.col("av")).desc(), F.col("aid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(anchors))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "aid")
+    )
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("aid").alias("qaid")
+    )
+    sim = cos(F.col("embedding"), F.col("qv"))
+    return (
+        cells.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("aid") == F.col("qaid"))
+        .withColumn("sim_exact", sim)
+        .orderBy(F.col("sim_exact").desc(), F.col("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round(F.col("sim_exact").cast("decimal(18,9)"), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+
+
 @register("multimodal_decode_stats", None)  # binary plumbing: rows-only check
 def multimodal_decode_stats(spark, sf_dir):
     """Multimodal pipeline end-to-end: documents -> fake media table

@@ -410,6 +410,53 @@ def join_theta_range(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, CAST(p.value AS DOUBLE) AS prev_purchase
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for each click, the latest purchase at-or-before it
+    per user. The operator (operators.relational.asof_join) expresses
+    it as union + last_value window — ONE sort-shuffle on (user, time),
+    not the naive theta-join + per-row max double shuffle. The oracle
+    is DuckDB's native ASOF JOIN. Right side deduped per (user, ts) so
+    both formulations pick the same row."""
+    from pyspark.sql import Window as W
+
+    from dmds_spark.operators.relational import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("prev_purchase"))
+    )
+    out = asof_join(
+        clicks, purch, on="ts", by=["user_id"], right_value_cols=["prev_purchase"]
+    )
+    return out.select(
+        "event_id", "user_id", F.col("prev_purchase").cast("double").alias("prev_purchase")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation family
 # ---------------------------------------------------------------------------

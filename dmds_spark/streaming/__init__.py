@@ -1,3 +1,4 @@
+from dmds_spark.streaming.stateful import running_user_totals
 from dmds_spark.streaming.windows import (
     run_stream_to_memory,
     session_window_agg,
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_dedup",
     "run_stream_to_memory",
     "world_upsert_sink",
+    "running_user_totals",
 ]

@@ -355,6 +355,34 @@ class World:
         (reference ``chunk_pos_of_data`` routing, src/world.rs:544-551)."""
         return self.read(self.select(0, int(id_value)))
 
+    # -- interop with the reference's on-disk format ---------------------------
+
+    def import_chunk_tree(self, root: str, decoder=None, payload_schema=None) -> int:
+        """Bulk-load a chunk tree written by the reference engine (or by
+        ``export_chunk_tree``) into this world: binaryFile scan ->
+        distributed frame decode (sources/codec.py, byte-compatible with
+        src/world.rs:33-47) -> one upsert batch. Returns rows loaded."""
+        from dmds_spark.sources.codec import raw_payload_decoder, read_chunk_tree
+
+        df = read_chunk_tree(
+            self.spark, root, self.spec,
+            decoder or raw_payload_decoder, payload_schema,
+        )
+        self.upsert(df)
+        return df.count()
+
+    def export_chunk_tree(self, root: str, version: int = 0,
+                          payload_col: str | None = None, nested: bool = True) -> int:
+        """Write the world's current snapshot as a reference-compatible
+        chunk tree (one file per chunk, items sorted by id — the
+        BTreeMap order, src/world.rs:25). Returns chunk files written."""
+        from dmds_spark.sources.codec import write_chunk_tree
+
+        return write_chunk_tree(
+            self.snapshot(), root, self.spec, version,
+            payload_col=payload_col, nested=nested,
+        )
+
     # -- flush (reference: §3B) ------------------------------------------------
 
     @property
