@@ -35,6 +35,8 @@ def main() -> int:
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
         "q10_returned_revenue",
+        "q9_product_profit",
+        "q18_large_volume_customer",
         "agg_rollup",
         "window_row_number",
         "topk_per_group",
