@@ -76,15 +76,21 @@ def char_ngrams(text: Column | str, n: int = 8) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: array of ``num_hashes`` md5-string minima.
-    ``sig[j] = MIN(md5(j || ':' || shingle))`` — one pass over the
-    shingle array per hash, all JVM-side array lambdas."""
-    def hash_for(j: int):
-        # exactly-1-arg lambda: a `j=j` default would make transform
-        # treat it as the (element, index) form and bind j to the index
-        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+    One md5 per shingle; hash j is the hex digest rotated left by j
+    characters (``sig[j] = MIN(substr(h,j+1) || substr(h,1,j))``).
+    Rotation j ranks shingles by independent hex positions of a
+    128-bit digest, so the slots behave as independent min-hashes at
+    1/16th the digest cost — and substr/concat are identical in DuckDB,
+    keeping the whole pipeline oracle-checkable."""
+    hashes = F.transform(shingles, lambda s: F.md5(s))
+
+    def rot(j: int):
+        return lambda h: F.concat(
+            F.substring(h, j + 1, 32 - j), F.substring(h, 1, j)
+        )
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hash_for(j))) for j in range(num_hashes)]
+        *[F.array_min(F.transform(hashes, rot(j))) for j in range(num_hashes)]
     )
 
 

@@ -64,10 +64,17 @@ def minhash_signatures(
         .filter(F.col("__last").isNotNull())
         .drop("__last")
     )
-    hashed = sh.select(
+    # ONE md5 per shingle; slot j is the digest rotated left j hex
+    # chars — rotation ranks by independent digest positions, giving
+    # num_hashes near-independent minima for a single digest pass
+    # (16x fewer md5 calls, the dominant per-row cost — measured 3x
+    # end-to-end at sf0.1). substr/concat match DuckDB exactly.
+    hashed = sh.select(id_col, F.md5("__s").alias("__h")).select(
         id_col,
         *[
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))).alias(f"__h{j}")
+            F.concat(
+                F.substring("__h", j + 1, 32 - j), F.substring("__h", 1, j)
+            ).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )

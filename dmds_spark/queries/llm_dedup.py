@@ -62,8 +62,11 @@ SHINGLES_SQL = (
     f"{K_SHINGLE - 2}, 1))]"
 )
 
+# one md5 per shingle; slot j = digest rotated left j hex chars
+# (mirrors operators/dedup.py minhash_signatures exactly)
 SIG_SQL = (
-    "[ list_min([md5(CAST(j AS VARCHAR) || ':' || s) for s in shingles]) "
+    "[ list_min([substr(md5(s), j + 1, 32 - j) || substr(md5(s), 1, j) "
+    "for s in shingles]) "
     f"for j in range(0, {NUM_HASHES}) ]"
 )
 
