@@ -1,0 +1,74 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+At 100 TB you never sample with an RNG: a seeded `df.sample` is only
+reproducible for a fixed partitioning, and any repartition/split change
+silently changes the sample. The scale-correct primitive is a content
+hash: `keep iff hash(key) mod D < K`. It's reproducible across runs,
+engines, partitionings and cluster sizes, it's a pure per-row filter
+(no shuffle, pushes into the scan pipeline), and joining two hash
+samples of related tables keeps referential integrity when keyed on
+the join key (sample orders by o_orderkey -> their lineitems by
+l_orderkey land in the same sample).
+
+md5-based so the DuckDB oracle computes the identical sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, denominator: int = 10_000) -> Column:
+    """Stable bucket in [0, denominator): first 15 hex chars of md5
+    (60 bits — exact in an i64 on both engines) mod denominator."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % denominator
+
+
+def hash_sample(
+    df: DataFrame, key: Column, rate: float, denominator: int = 10_000
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate*denominator. `rate` resolution
+    is 1/denominator."""
+    keep = int(round(rate * denominator))
+    return df.filter(hash_bucket(key, denominator) < keep)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    denominator: int = 10_000,
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample 'view' events 100x,
+    keep every 'purchase'). One scan, no shuffle: the per-stratum keep
+    threshold is a CASE expression over the stratum column."""
+    thr = F.lit(int(round(default_rate * denominator)))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, int(round(rate * denominator))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(key, denominator) < thr)
+
+
+def hash_split(
+    df: DataFrame, key: Column, weights: list[float], denominator: int = 10_000
+) -> list[DataFrame]:
+    """Disjoint deterministic train/val/test-style splits: bucket
+    ranges proportional to `weights`. Every row lands in exactly one
+    split, stable under any re-run or repartition."""
+    total = sum(weights)
+    bounds = [0]
+    acc = 0.0
+    for w in weights:
+        acc += w
+        bounds.append(int(round(acc / total * denominator)))
+    b = hash_bucket(key, denominator)
+    return [
+        df.filter((b >= lo) & (b < hi))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]

@@ -57,6 +57,7 @@ def _load():
     from dmds_spark.queries import relational  # noqa: F401
     from dmds_spark.queries import tpch_extra  # noqa: F401
     from dmds_spark.queries import extra_ops  # noqa: F401
+    from dmds_spark.queries import sampling_q  # noqa: F401
     from dmds_spark.queries import llm_ops  # noqa: F401
     from dmds_spark.queries import llm_dedup  # noqa: F401
     from dmds_spark.queries import streaming_batch  # noqa: F401
