@@ -554,6 +554,168 @@ def q21_late_suppliers(spark, sf_dir):
 
 
 @register(
+    "q11_important_parts",
+    f"""
+    WITH value_by_part AS (
+      SELECT l_partkey, SUM({_REV_SQL}) AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM value_by_part
+    WHERE part_value > (
+      SELECT SUM(part_value) * CAST(0.001 AS DECIMAL(6,4)) FROM value_by_part
+    )
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp: "stock value" = discounted revenue
+    a nation's suppliers booked per part). Parts whose value exceeds
+    0.1% of the nation total. supplier+nation broadcast; one shuffle on
+    partkey; the scalar total is a single-row broadcast join (never a
+    global window — that would funnel every part through one task).
+    Threshold math all-DECIMAL so both engines compare exactly."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("part_value"))
+    )
+    total = value.agg(
+        (F.sum("part_value") * F.lit(0.001).cast("decimal(6,4)")).alias("thr")
+    )
+    return value.join(F.broadcast(total), F.col("part_value") > F.col("thr")).select(
+        "l_partkey", F.col("part_value").cast("double").alias("part_value")
+    )
+
+
+@register(
+    "q12_priority_lateness",
+    """
+    SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+    GROUP BY EXTRACT(year FROM l_shipdate)
+    """,
+)
+def q12_priority_lateness(spark, sf_dir):
+    """TPC-H Q12 shape (no l_shipmode/commit dates in this schema: the
+    mode axis becomes ship year, lateness = shipped >30 days after
+    order). Pivot-style conditional counts; one shuffle on orderkey;
+    the date comparison is a non-equi post-join filter."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem stands in for partsupp as the
+    part↔supplier relation; "customer complaints" = negative acctbal).
+    Distinct-supplier count per (brand, type, size). NOT IN compiles to
+    a left-anti broadcast join (supplier is tiny); part broadcast; the
+    count(distinct) expands to a two-phase aggregate on Spark's side."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        )
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 60
+      )
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp availqty: a supplier qualifies if
+    it shipped >60 units of some red part in 1996 — same nested
+    IN(GROUP BY ... HAVING) structure). Inner pipeline: part-name
+    filter broadcast into lineitem, one shuffle on (suppkey, partkey),
+    then a left-semi into the tiny supplier⋈nation side. Exact DECIMAL
+    quantity sum keeps the HAVING edge cases identical across engines."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    red = T(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    nat = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    qualified = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
     "q22_idle_customers",
     """
     SELECT c_nationkey, COUNT(*) AS numcust
