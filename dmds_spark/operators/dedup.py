@@ -286,3 +286,73 @@ def minhash_shingle_rows(
         .select(id_col, "__s")
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    label(v) starts as v; each round takes the min label over v and its
+    neighbors; converges in O(component diameter) rounds. Returns
+    (id_col, cluster_id) where cluster_id = min vertex id reachable.
+
+    Execution shape per round: one shuffle join (labels onto the edge
+    list) + one groupBy(min). Lineage is cut with an eager
+    localCheckpoint each round — without it the plan doubles per
+    iteration and the driver dies planning round ~8. Near-dup clusters
+    have tiny diameters (chains of pairwise-similar docs), so 3-4
+    rounds is typical; the max_iter guard turns a pathological chain
+    into an explicit error, never a hang. At 1000-executor scale the
+    same loop runs with edges hash-partitioned on src — the classic
+    large-star/small-star refinement only pays off past billions of
+    edges (it halves round count but doubles per-round shuffles).
+
+    ``vertices`` (optional) adds isolated vertices: docs with no edge
+    get cluster_id = their own id.
+    """
+    und = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).union(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+    if vertices is not None:
+        verts = vertices.select(F.col(id_col).alias("__u")).distinct()
+    else:
+        verts = und.select("__u").distinct()
+    und = und.localCheckpoint(eager=True)
+    labels = verts.withColumn("__label", F.col("__u")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # min over self-label and every neighbor's label
+        lab_v = labels.select(F.col("__u").alias("__v2"), F.col("__label"))
+        neigh = (
+            und.join(lab_v, F.col("__v") == F.col("__v2"), "inner")
+            .groupBy("__u")
+            .agg(F.min("__label").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "__u", "left_outer")
+            .select(
+                "__u",
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__nmin"), F.col("__label"))
+                ).alias("__label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        old = labels.select("__u", F.col("__label").alias("__old"))
+        changed = (
+            new_labels.join(old, "__u")
+            .filter(F.col("__label") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select(F.col("__u").alias(id_col), F.col("__label").alias("cluster_id"))

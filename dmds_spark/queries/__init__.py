@@ -61,5 +61,6 @@ def _load():
     from dmds_spark.queries import llm_ops  # noqa: F401
     from dmds_spark.queries import llm_dedup  # noqa: F401
     from dmds_spark.queries import streaming_batch  # noqa: F401
+    from dmds_spark.queries import advanced  # noqa: F401
 
     _LOADED = True

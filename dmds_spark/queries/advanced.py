@@ -1,0 +1,137 @@
+"""Coverage completions round 2: distribution window functions
+(cume_dist/percent_rank), aggregate-to-sorted-array, unpivot/melt, and
+corpus n-gram top-k — §2b window/agg/semi-structured rows plus the
+token-statistics side of the training-data pipeline.
+
+Determinism: cume_dist/percent_rank are ratios of exact integer counts
+(bit-identical doubles in both engines given a total order);
+collect_list is sorted before compare; unpivot values come from exact
+DECIMAL sums; the n-gram top-k is totally ordered by (count, bigram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.relational import T, _dec
+
+
+@register(
+    "window_cume_percent",
+    """
+    SELECT event_id, user_id,
+           CUME_DIST() OVER w AS cd,
+           PERCENT_RANK() OVER w AS pr
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def window_cume_percent(spark, sf_dir):
+    """Distribution window functions over each user's events. The
+    (value, event_id) order is total, so there are no peer groups and
+    both engines produce identical count ratios. One shuffle on
+    user_id; the user_id filter pushes into the scan."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT user_id, list_sort(list(event_type)) AS types,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE user_id < 100
+    GROUP BY user_id
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Aggregate-to-array (collect_list) with a deterministic sort —
+    the \"gather a user's history into one row\" shape feature
+    pipelines use before sequence modeling. Map-side partial collect,
+    one shuffle on user_id; array_sort makes the nondeterministic
+    collection order comparable."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("types"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM m
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide-to-long unpivot (melt) of per-flag aggregates. The unpivot
+    itself is a narrow generate — no extra shuffle beyond the
+    aggregation's. Exact DECIMAL sums so both engines emit identical
+    doubles."""
+    li = T(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+    return m.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "text_ngram_topk",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), big AS (
+      SELECT UNNEST([toks[i] || ' ' || toks[i + 1]
+                     for i in range(1, len(toks))]) AS bigram
+      FROM tok
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM big GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-level top-k bigrams — the n-gram frequency pass of a
+    training-data quality pipeline. Same window-lead shingle shape as
+    the minhash operator (codegen-friendly, one shuffle for the window
+    + one for the count); top-k is a totally-ordered limit the
+    TakeOrderedAndProject exec handles without a global sort."""
+    from dmds_spark.functions.text import words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.posexplode(words("text")).alias("__pos", "__w"), "doc_id")
+    win = W.partitionBy("doc_id").orderBy("__pos")
+    nxt = F.lead("__w", 1).over(win)
+    big = tok.select(
+        F.concat_ws(" ", F.col("__w"), nxt).alias("bigram"), nxt.alias("__n")
+    ).filter(F.col("__n").isNotNull())
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )

@@ -393,3 +393,46 @@ def similarity_ann_lsh_topk(spark, sf_dir):
             .alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SQL = (
+    CAND_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + f""", edges AS (
+  SELECT id_a, id_b FROM cand WHERE {EST_SQL} >= 0.5
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b AS u, id_a AS v FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+)
+SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN (
+  SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u
+) c ON d.doc_id = c.u
+"""
+)
+
+
+@register("dedup_cluster_assign", _CLUSTER_SQL)
+def dedup_cluster_assign(spark, sf_dir):
+    """Final stage of the web-scale dedup pipeline: group near-dup
+    pairs into clusters (connected components, cluster id = min doc id
+    in the component) so each cluster keeps one canonical doc. Spark
+    side: iterative min-label propagation, one shuffle join + min-agg
+    per round, lineage cut per round (operators/dedup.py
+    connected_components). Oracle: recursive-CTE transitive closure —
+    exact same components."""
+    from dmds_spark.operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash(docs, "text", "doc_id", NUM_HASHES, BANDS, 0.5)
+    return connected_components(
+        pairs, "id_a", "id_b", vertices=docs, id_col="doc_id"
+    )
