@@ -135,3 +135,72 @@ def text_ngram_topk(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "agg_salted_sum",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_sum(spark, sf_dir):
+    """Skew-safe aggregation: events has a handful of event_type values
+    (extreme key skew — a naive groupBy puts ~1/5 of 100 TB on one
+    task). salted_agg shuffles on (event_type, salt16) first, then
+    merges 16 partials per key — identical result, 16x the parallelism
+    on the hot keys. DECIMAL sum so the salted re-sum is exact."""
+    from dmds_spark.operators.skew import salted_agg
+
+    ev = T(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "total_value": (F.sum(F.col("value").cast("decimal(18,6)")), "sum"),
+            "n": (F.count(F.lit(1)), "sum"),
+            "min_user": (F.min("user_id"), "min"),
+            "max_user": (F.max("user_id"), "max"),
+        },
+        distributor_cols=["event_id"],
+    ).select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_user").cast("long").alias("min_user"),
+        F.col("max_user").cast("long").alias("max_user"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, type_total
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    WHERE user_id < 200
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-safe equi-join on a hot key: every events row joins a
+    per-type dim on event_type (~5 distinct values). salted_join salts
+    the fact side by event_id and replicates the dim 8x, so each hot
+    key spreads over 8 tasks instead of hot-spotting one. Same rows as
+    the naive join (the oracle is the naive SQL)."""
+    from dmds_spark.operators.skew import salted_join
+
+    ev = T(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("type_total")
+    )
+    fact = ev.filter(F.col("user_id") < 200).select("event_id", "event_type")
+    return salted_join(
+        fact, dim, on="event_type", distributor_cols=["event_id"], salt_n=8
+    ).select("event_id", "event_type", "type_total")
