@@ -487,6 +487,64 @@ class World:
             self._ops = []
             return n_ops
 
+    def compact(self, max_files_per_partition: int = 1) -> int:
+        """Rewrite fragmented physical partitions down to one file each,
+        rows sorted by id within the file.
+
+        Every flush appends-by-overwrite at whole-partition granularity,
+        but a long upsert history still fragments partitions written by
+        different Spark jobs (and at 100 TB the small-file problem is
+        the #1 scan-throughput killer: each file costs a task + a
+        footer read). Compaction = the reference's whole-chunk rewrite
+        (src/world.rs:96-122) applied for layout instead of
+        durability; sorting by id restores the BTreeMap order
+        (src/world.rs:25) so parquet row-group min/max stats prune id
+        point-gets again.
+
+        Only partitions holding more than ``max_files_per_partition``
+        files are rewritten. Requires a clean buffer (flush first) so
+        the rewrite cannot race pending ops. Returns the number of
+        partitions compacted."""
+        with self._lock:
+            if self._ops:
+                raise RuntimeError("flush pending ops before compact()")
+            base = self._base()
+            if base is None:
+                return 0
+            pcols = self.partition_cols()
+            frag = (
+                base.select(*pcols, F.input_file_name().alias("__f"))
+                .groupBy(*pcols)
+                .agg(F.count_distinct("__f").alias("__nf"))
+                .filter(F.col("__nf") > max_files_per_partition)
+                .select(*pcols)
+                .collect()
+            )
+            if not frag:
+                return 0
+            pred = F.lit(False)
+            for pos in frag:
+                p = F.lit(True)
+                for c in pcols:
+                    p = p & (F.col(c) == int(pos[c]))
+                pred = pred | p
+            id_col = self.spec.id_dim.name
+            out = (
+                base.filter(pred)
+                # one task (=> one file) per physical partition, rows
+                # id-sorted within it for row-group stats pruning
+                .repartition(*[F.col(c) for c in pcols])
+                .sortWithinPartitions(*pcols, id_col)
+                .localCheckpoint(eager=True)  # materialize before self-overwrite
+            )
+            (
+                out.write.partitionBy(*pcols)
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(self.path)
+            )
+            return len(frag)
+
 
 class FlushDaemon:
     """Periodic flush loop (reference ``daemon`` + ``ShutdownHandle``,
