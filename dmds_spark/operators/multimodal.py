@@ -220,3 +220,54 @@ def metadata_only_scan(media: DataFrame) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_width: int, target_height: int, fake: bool = True
+) -> DataFrame:
+    """Resize stage: binary in -> binary out with the target geometry.
+    The pixel resampling itself is stubbed (no imaging library in this
+    container — a real cluster swaps in PIL/pyvips inside ``run``); the
+    Spark-side shape is the production one: Arrow-batched binary
+    columns through mapInPandas, output partitioning inherited from
+    the input (no shuffle), constant memory per batch via the
+    iterator protocol."""
+    if not fake:
+        raise NotImplementedError(
+            "real resampling requires an imaging library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                src = decode_image(bytes(content), fake=True)
+                # stub resample: re-encode at the target geometry with a
+                # payload derived from the source id (deterministic)
+                resized = encode_fake_media(
+                    target_width, target_height, src["channels"], int(media_id)
+                )
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "content": resized,
+                        "width": target_width,
+                        "height": target_height,
+                        "channels": src["channels"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)

@@ -3,6 +3,7 @@ from dmds_spark.streaming.windows import (
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
+    stream_static_enrich,
     streaming_dedup,
     tumbling_window_agg,
     watermarked,
@@ -17,5 +18,6 @@ __all__ = [
     "streaming_dedup",
     "run_stream_to_memory",
     "world_upsert_sink",
+    "stream_static_enrich",
     "running_user_totals",
 ]

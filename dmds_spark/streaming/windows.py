@@ -76,16 +76,18 @@ def streaming_dedup(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> 
 
 
 def run_stream_to_memory(
-    sdf: DataFrame, query_name: str, timeout_sec: float = 120.0
+    sdf: DataFrame, query_name: str, timeout_sec: float = 120.0,
+    output_mode: str = "complete",
 ):
     """Execute a streaming DataFrame with availableNow (process all
     available input, then stop) into an in-memory table; returns the
-    result as a batch DataFrame. Complete mode — windows close when the
-    input is exhausted."""
+    result as a batch DataFrame. Default complete mode — windows close
+    when the input is exhausted; stateless streams (projections,
+    stream-static joins) pass output_mode="append"."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -112,3 +114,13 @@ def world_upsert_sink(sdf: DataFrame, world, checkpoint_dir: str, mode: str = "u
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    table. Spark re-plans the static side per micro-batch (so a
+    refreshed dim parquet is picked up) and broadcasts it when small —
+    the standard streaming-enrichment shape; no state store involved."""
+    return stream.join(dim, on, how)

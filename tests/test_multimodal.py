@@ -77,3 +77,17 @@ def test_metadata_scan_prunes_binary(media):
     # the content column must not be read at all
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "content" not in read_schema[0]
+
+
+def test_resize_images(spark, media):
+    from dmds_spark.operators.multimodal import decode_images, resize_images
+
+    media = media.limit(20)
+    resized = resize_images(media, 32, 24)
+    got = decode_images(resized).collect()
+    assert len(got) == 20
+    assert all(r["width"] == 32 and r["height"] == 24 for r in got)
+    # deterministic: same input -> same bytes
+    a = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    b = {r["media_id"]: bytes(r["content"]) for r in resize_images(media, 32, 24).collect()}
+    assert a == b

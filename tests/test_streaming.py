@@ -171,3 +171,18 @@ def test_world_upsert_sink(spark, events_dir, tmp_path):
     assert w.writes == 0  # everything flushed
     w2 = World(spark, spec, w.path)
     assert w2.snapshot().count() == spark.read.parquet(events_dir).count()
+
+
+def test_stream_static_join(spark, events_dir, events_stream):
+    from dmds_spark.streaming import stream_static_enrich
+
+    ev = spark.read.parquet(events_dir)
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    stream = stream_static_enrich(
+        events_stream.select("event_id", "event_type"), dim, "event_type"
+    )
+    got = run_stream_to_memory(stream, "ss_join", output_mode="append")
+    want = ev.select("event_id", "event_type").join(dim, "event_type")
+    assert canon(got, ["event_id", "event_type", "type_total"]) == canon(
+        want, ["event_id", "event_type", "type_total"]
+    )
