@@ -204,3 +204,81 @@ def join_salted_skew(spark, sf_dir):
     return salted_join(
         fact, dim, on="event_type", distributor_cols=["event_id"], salt_n=8
     ).select("event_id", "event_type", "type_total")
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH hourly AS (
+      SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS total_dec
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(ws_us) AS mn, MAX(ws_us) AS mx FROM hourly
+    ), grid AS (
+      SELECT t.event_type, g.ws_us
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT UNNEST(range(mn, mx + 3600000000, 3600000000)) AS ws_us
+            FROM bounds) g
+    )
+    SELECT g.event_type, g.ws_us,
+           COALESCE(h.n, CAST(0 AS BIGINT)) AS n,
+           CAST(COALESCE(
+             LAST_VALUE(h.total_dec IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.ws_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS total_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.ws_us = h.ws_us
+    """,
+)
+def timeseries_gapfill(spark, sf_dir):
+    """Time-series gap-fill + forward-fill (LOCF): densify hourly
+    per-type aggregates over the full observed range (missing hours get
+    n=0) and carry the last non-null hourly total forward. The grid is
+    types x sequence(min_hour, max_hour) — generated, never shuffled
+    until the one join back to the hourly aggregate; the LOCF window
+    partitions by type (bounded state, streaming-friendly). Exact
+    DECIMAL fill values so both engines agree bit-for-bit."""
+    from dmds_spark.queries.streaming_batch import _events
+
+    ev = _events(spark, sf_dir)
+    step = 3_600_000_000  # one hour in microseconds
+    hourly = ev.groupBy(
+        F.unix_micros(F.window("ts", "1 hour").start).alias("ws_us"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("total_dec"),
+    )
+    bounds = hourly.agg(
+        F.min("ws_us").alias("mn"), F.max("ws_us").alias("mx")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.lit(step))
+            ).alias("ws_us"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ws_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = grid.join(hourly, ["event_type", "ws_us"], "left")
+    return filled.select(
+        "event_type",
+        "ws_us",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(
+            F.last("total_dec", ignorenulls=True).over(w),
+            F.lit(0).cast("decimal(12,2)"),
+        )
+        .cast("double")
+        .alias("total_filled"),
+    )

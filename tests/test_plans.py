@@ -113,3 +113,51 @@ def test_dmds_empty_select_is_local(spark, qs):
     df = qs["dmds_select_empty_domain"](spark, SF)
     plan = physical_plan(df)
     assert "FileScan" not in plan or "LocalTableScan" in plan
+
+
+def test_q11_broadcasts_dims_and_threshold(spark, qs):
+    """Q11: supplier/nation and the one-row threshold must all
+    broadcast — the per-part value agg is the only real shuffle."""
+    df = qs["q11_important_parts"](spark, SF)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q16_antijoin_broadcasts(spark, qs):
+    """Q16's NOT-IN supplier exclusion must be a broadcast anti-join."""
+    plan = physical_plan(qs["q16_supplier_part_count"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_salted_agg_two_phase(spark, qs):
+    """salted_agg must shuffle on (key, salt) then on key — two
+    exchanges, both preceded by partial aggregation."""
+    df = qs["agg_salted_sum"](spark, SF)
+    assert shuffle_count(df) == 2
+    assert "partial_sum" in physical_plan(df)
+
+
+def test_salted_join_no_broadcast_of_fact(spark, qs):
+    """join_salted_skew joins on (key, salt): the composite key must
+    appear in the join, proving the hot key is actually split."""
+    plan = physical_plan(qs["join_salted_skew"](spark, SF))
+    assert "__salt" in plan
+
+
+def test_gapfill_grid_is_broadcast(spark, qs):
+    """The bounds row feeding the dense grid must broadcast; the LOCF
+    window and the grid join share the event_type partitioning."""
+    df = qs["timeseries_gapfill"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_cluster_pairs_single_band_shuffle(spark):
+    """The LSH candidate join must join on the band key only (one
+    shuffle), never a cartesian of signatures."""
+    from dmds_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    cand = minhash_lsh_candidates(sigs, "doc_id")
+    plan = physical_plan(cand)
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
