@@ -49,6 +49,8 @@ def main() -> int:
         "similarity_ann_lsh_topk",
         "window_tumbling_1h",
         "sessionize_10m",
+        "timeseries_gapfill",
+        "pipeline_curation",
     ]
     headline = [h for h in headline if h in qs]
 

@@ -436,3 +436,76 @@ def dedup_cluster_assign(spark, sf_dir):
     return connected_components(
         pairs, "id_a", "id_b", vertices=docs, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation: lang filter -> quality gate -> exact dedup
+# -> near-dup keep-first
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+WITH tok0 AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), lang AS (
+  SELECT doc_id, text, toks, {_LANG_CASE_SQL} AS lang_guess FROM tok0
+), quality AS (
+  SELECT doc_id, text, len(toks) AS n_tokens FROM lang
+  WHERE lang_guess = 'en'
+    AND length(text) BETWEEN 100 AND 20000
+    AND len(toks) >= 20
+), exact AS (
+  SELECT doc_id, text, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM quality
+), kept AS (
+  SELECT doc_id, text, n_tokens FROM exact WHERE rn = 1
+), sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS shingles FROM kept
+), sig AS (
+  SELECT doc_id, {SIG_SQL} AS sig FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, sig, UNNEST([{BAND_SQL}]) AS band_key FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), doomed AS (
+  SELECT DISTINCT id_b FROM cand WHERE {EST_SQL} >= 0.5
+)
+SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens
+FROM kept k LEFT JOIN doomed d ON k.doc_id = d.id_b
+WHERE d.id_b IS NULL
+"""
+
+
+@register("pipeline_curation", _CURATION_SQL)
+def pipeline_curation(spark, sf_dir):
+    """The flagship training-data curation pipeline, end to end in one
+    plan: language ID (keep 'en') -> quality gate (length in
+    [100, 20000], >= 20 tokens) -> exact dedup keep-first -> MinHash
+    near-dup keep-first (threshold 0.5). Returns surviving doc_ids
+    with token counts.
+
+    At 100 TB the filters are narrow scans (no shuffle until the exact
+    dedup's hash exchange); the LSH stage runs on the already-curated
+    subset — the ordering that minimizes bytes through the expensive
+    stage. Every stage's hash is md5, so the whole composite is
+    oracle-checkable."""
+    from dmds_spark.operators.dedup import dedup_exact as dedup_exact_op
+
+    docs = _docs(spark, sf_dir)
+    toks = words("text")
+    quality = docs.filter(
+        (lang_id(toks) == "en")
+        & F.length("text").between(100, 20000)
+        & (F.size(toks) >= 20)
+    )
+    kept = dedup_exact_op(quality, "text", "doc_id")
+    survived = dedup_minhash_keep_first(
+        kept, "text", "doc_id",
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+    )
+    return survived.select(
+        "doc_id", F.size(words("text")).cast("bigint").alias("n_tokens")
+    )

@@ -1,0 +1,39 @@
+"""bucketized_range_join (scale path) must produce exactly the naive
+range_join's rows, and its plan must be a hash equi-join on the bucket
+— not a nested loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.relational import bucketized_range_join, range_join
+
+
+def _frames(spark):
+    pts = spark.createDataFrame(
+        [(i, float(i * 3 % 500)) for i in range(1000)], ["pid", "v"]
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(j * 40), float(j * 40 + 55)) for j in range(12)],
+        ["iid", "lo", "hi"],
+    )
+    return pts, ivs
+
+
+def test_bucketized_matches_naive(spark):
+    pts, ivs = _frames(spark)
+    naive = range_join(pts, ivs, F.col("v"), F.col("lo"), F.col("hi"))
+    fast = bucketized_range_join(pts, ivs, "v", "lo", "hi", bucket_width=64)
+    key = lambda df: sorted(
+        (r["pid"], r["iid"]) for r in df.select("pid", "iid").collect()
+    )
+    assert key(fast) == key(naive)
+    assert len(key(fast)) > 0
+
+
+def test_bucketized_is_hash_join(spark):
+    pts, ivs = _frames(spark)
+    fast = bucketized_range_join(pts, ivs, "v", "lo", "hi", bucket_width=64)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "__bucket" in plan
