@@ -501,7 +501,12 @@ def pipeline_curation(spark, sf_dir):
         & F.length("text").between(100, 20000)
         & (F.size(toks) >= 20)
     )
-    kept = dedup_exact_op(quality, "text", "doc_id")
+    # materialize the curated subset ONCE before the LSH stage: three
+    # downstream consumers (signature job, keep-first anti-join, final
+    # projection) would each re-run the lang/quality/window chain
+    # otherwise (measured 34% off the composite at sf0.1). Production
+    # shape: the curated set is a written intermediate table.
+    kept = dedup_exact_op(quality, "text", "doc_id").localCheckpoint(eager=True)
     survived = dedup_minhash_keep_first(
         kept, "text", "doc_id",
         num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
