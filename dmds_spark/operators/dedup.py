@@ -332,23 +332,22 @@ def connected_components(
             .groupBy("__u")
             .agg(F.min("__label").alias("__nmin"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence count is a filter over materialized rows, not a
+        # second join job per round
+        stepped = (
             labels.join(neigh, "__u", "left_outer")
             .select(
                 "__u",
                 F.least(
                     F.col("__label"), F.coalesce(F.col("__nmin"), F.col("__label"))
                 ).alias("__label"),
+                F.col("__label").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        old = labels.select("__u", F.col("__label").alias("__old"))
-        changed = (
-            new_labels.join(old, "__u")
-            .filter(F.col("__label") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__label") != F.col("__old")).count()
+        labels = stepped.select("__u", "__label")
         if changed == 0:
             break
     else:

@@ -72,3 +72,17 @@ def hash_split(
         df.filter((b >= lo) & (b < hi))
         for lo, hi in zip(bounds[:-1], bounds[1:])
     ]
+
+
+def weighted_hash_sample(
+    df: DataFrame, key: Column, weight: Column, denominator: int = 10_000
+) -> DataFrame:
+    """Per-row weighted sampling: keep a row with probability
+    ``weight`` (a column in [0, 1]) — deterministically, via the same
+    content-hash bucket as hash_sample. Quality-weighted corpus
+    downsampling ("keep good docs more often") without an RNG: the
+    decision is a pure per-row expression, reproducible everywhere,
+    and re-running with a higher weight keeps a superset (hash buckets
+    don't reshuffle between runs)."""
+    thr = F.floor(weight * denominator)
+    return df.filter(hash_bucket(key, denominator) < thr)

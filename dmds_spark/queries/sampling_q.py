@@ -125,3 +125,26 @@ def sample_bucket_distribution(spark, sf_dir):
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sample_weighted_quality",
+    f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE {_BUCKET_SQL.format(k='doc_id')}
+          < FLOOR(LEAST(n_chars, 2000) / 2000.0 * 10000)
+    """,
+)
+def sample_weighted_quality(spark, sf_dir):
+    """Quality-weighted downsampling: keep probability = min(length,
+    2000)/2000, decided by content hash (deterministic, partition-
+    independent, superset-stable under weight increases). A narrow
+    per-row filter — pushes into the scan, no shuffle anywhere."""
+    from dmds_spark.operators.sampling import weighted_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
+    return weighted_hash_sample(docs, F.col("doc_id"), w).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
