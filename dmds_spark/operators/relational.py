@@ -114,3 +114,55 @@ def asof_join(
     for v in right_value_cols:
         u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return u.filter(F.col("__side") == 1).drop("__side")
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, out: str = "rn", num_ranges: int | None = None
+) -> DataFrame:
+    """Global row_number over a total order WITHOUT a single-partition
+    window (the ``W.orderBy`` trap: every row through one task).
+
+    The distributed shape: range-repartition on the order (each task
+    owns a contiguous key range), rank within each partition, then add
+    per-partition offsets (a tiny driver-side cumulative sum over one
+    count per partition — #partitions values, never rows). Identical
+    output to ``row_number() OVER (ORDER BY ...)`` when the order is
+    total (callers must include a tie-break key, as everywhere else in
+    this engine)."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_ranges, *order_cols)
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    part = part.localCheckpoint(eager=True)  # pin partitioning for both consumers
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return part.withColumn(
+        out, (F.row_number().over(w) + off).cast("bigint")
+    ).drop("__pid")
+
+
+def ntile_from_rn(rn, n_rows: int, k: int):
+    """Exact NTILE(k) bucket from a global row number and the total row
+    count: the first ``n_rows % k`` buckets get ``n_rows//k + 1`` rows,
+    the rest ``n_rows//k`` (the SQL-standard allocation)."""
+    q, r = divmod(n_rows, k)
+    big = r * (q + 1)  # rows living in the larger buckets
+    return F.when(
+        F.lit(q) == 0, rn  # fewer rows than buckets: bucket == rn
+    ).when(
+        rn <= big, F.ceil(rn / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rn - F.lit(big)) / F.lit(q)))

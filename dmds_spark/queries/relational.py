@@ -657,16 +657,31 @@ def window_row_number(spark, sf_dir):
     """,
 )
 def window_rank_dense_ntile(spark, sf_dir):
+    """rank/dense_rank are per-nation windows (one bounded shuffle).
+    The global NTILE(4) is NOT a global window (single-partition trap):
+    it's computed from a distributed global row number
+    (range-repartition + per-partition offsets, operators.relational.
+    global_row_number) and the SQL-standard bucket-allocation formula —
+    identical output, every stage parallel."""
     from pyspark.sql import Window as W
 
+    from dmds_spark.operators.relational import global_row_number, ntile_from_rn
+
     cust = T(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    wg = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return cust.select(
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    n_rows = cust.count()
+    ranked = global_row_number(cust, order, out="__rn")
+    w = W.partitionBy("c_nationkey").orderBy(*order)
+    return ranked.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        ntile_from_rn(F.col("__rn"), n_rows, 4).cast("bigint").alias("quartile"),
+    ).select(
         "c_custkey",
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(wg).cast("bigint").alias("quartile"),
+        "quartile",
     )
 
 
@@ -816,11 +831,14 @@ def sort_nulls_ordering(spark, sf_dir):
     cust = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
     j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-    w = W.orderBy(F.col("o_orderkey").asc_nulls_first(), F.col("c_custkey"))
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .select("c_custkey", "o_orderkey")
+    order = [F.col("o_orderkey").asc_nulls_first(), F.col("c_custkey")]
+    # top-50 via TakeOrderedAndProject (per-partition top-k + driver
+    # merge — never a single-partition global window over all rows);
+    # the row_number window then runs on <= 50 rows
+    top = j.orderBy(*order).limit(50)
+    w = W.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "c_custkey", "o_orderkey"
     )
 
 
