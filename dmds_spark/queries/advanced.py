@@ -282,3 +282,66 @@ def timeseries_gapfill(spark, sf_dir):
         .cast("double")
         .alias("total_filled"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    f"""
+    WITH so AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             % 10000) < 2000
+    ), sl AS (
+      SELECT l_orderkey, l_quantity FROM lineitem
+      WHERE (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             % 10000) < 2000
+    )
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM so JOIN sl ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, CAST(o_totalprice AS DOUBLE)
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located join under the correctness gate: a 20%
+    referential hash-slice of orders and lineitem is written ONCE as
+    same-bucketed tables (8 buckets on the order key, sorted), then
+    joined and aggregated on that key — the join and the groupBy both
+    reuse the bucket distribution, so the only exchange in the read
+    plan is none at all (pinned in tests/test_bucketing.py). This is
+    the pay-the-shuffle-at-write-time pattern every repeated fact-fact
+    join at 100 TB should use."""
+    import os
+    import shutil
+
+    from dmds_spark.operators.bucketing import bucketed_join, write_bucketed
+    from dmds_spark.operators.sampling import hash_sample
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch", "bucketed", tag,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    so = hash_sample(
+        T(spark, sf_dir, "orders"), F.col("o_orderkey"), 0.20
+    ).select("o_orderkey", "o_totalprice")
+    sl = hash_sample(
+        T(spark, sf_dir, "lineitem"), F.col("l_orderkey"), 0.20
+    ).select("l_orderkey", "l_quantity")
+    write_bucketed(so, f"bkt_orders_{tag}", ["o_orderkey"], 8,
+                   path=os.path.join(root, "orders"))
+    write_bucketed(sl, f"bkt_lineitem_{tag}", ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"], path=os.path.join(root, "lineitem"))
+    j = bucketed_join(
+        spark, f"bkt_lineitem_{tag}", f"bkt_orders_{tag}",
+        on=[spark.table(f"bkt_lineitem_{tag}").l_orderkey
+            == spark.table(f"bkt_orders_{tag}").o_orderkey],
+    )
+    return j.groupBy(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+    )

@@ -148,3 +148,44 @@ def sample_weighted_quality(spark, sf_dir):
     return weighted_hash_sample(docs, F.col("doc_id"), w).select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+@register(
+    "sample_referential",
+    f"""
+    WITH so AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE {_BUCKET_SQL.format(k='o_orderkey')} < 1000
+    )
+    SELECT so.o_orderkey, CAST(COUNT(l_linenumber) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM so JOIN lineitem ON l_orderkey = so.o_orderkey
+    WHERE {_BUCKET_SQL.format(k='l_orderkey')} < 1000
+    GROUP BY so.o_orderkey
+    """,
+)
+def sample_referential(spark, sf_dir):
+    """Referential-integrity sampling: hash-sample orders at 10% on
+    o_orderkey and lineitem at 10% on l_orderkey — because the hash and
+    key agree, every sampled order arrives with ALL its lineitems (no
+    orphaned or truncated join groups), which a random sample cannot
+    guarantee. The join is then exact over the 10% slice. Both filters
+    are per-row scan predicates; one shuffle for the join+agg."""
+    from dmds_spark.operators.sampling import hash_sample
+
+    orders = hash_sample(
+        T(spark, sf_dir, "orders"), F.col("o_orderkey"), 0.10
+    ).select("o_orderkey")
+    li = hash_sample(
+        T(spark, sf_dir, "lineitem"), F.col("l_orderkey"), 0.10
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_linenumber").cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+    )
