@@ -35,14 +35,62 @@ def register(name: str, sql: str | None):
     return deco
 
 
+# The correctness driver hash-checks the FIRST 50 queries in the order
+# ``queries()`` yields them. To accumulate driver-grade evidence for the
+# whole surface across rounds, we order: (1) queries with no driver row
+# yet, (2) explicitly deferred low-risk queries, (3) queries already
+# green in a previous round's CORRECTNESS_r{N}.json. Update
+# _DRIVER_CHECKED with each round's checked set.
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    # round 1 (CORRECTNESS_r01.json): 50 queries, all green
+    "dmds_select_range", "dmds_select_and", "dmds_select_plus",
+    "dmds_select_hints", "dmds_point_get", "dmds_select_half_open",
+    "dmds_select_empty_domain", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_revenue", "join_inner",
+    "join_left", "join_right", "join_full_outer", "join_semi",
+    "join_anti", "join_cross", "join_theta_range", "join_asof",
+    "agg_basic_stats", "agg_count_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having",
+    "distinct_projection", "pivot_conditional", "window_row_number",
+    "window_rank_dense_ntile", "window_lag_lead", "window_running_sum",
+    "window_range_between", "sort_limit_topn", "topk_per_group",
+    "sort_nulls_ordering", "setop_union_all", "setop_union_distinct",
+    "setop_intersect", "setop_except", "scalar_string", "scalar_date",
+    "scalar_math", "scalar_conditional", "semi_json_extract",
+    "semi_array_explode", "semi_array_ops", "q2_min_cost_supplier",
+})
+
+# Low-risk queries pushed behind the rest of the unchecked set when the
+# unchecked set exceeds the driver's 50-query window (round 3 pickup):
+# the two multimodal queries are rows-only by design (no oracle SQL),
+# and the other five are simple single-table queries with local oracle
+# coverage in tests/test_oracle.py.
+_DEFERRED: tuple[str, ...] = (
+    "window_first_last", "window_cume_percent", "agg_collect_sorted",
+    "unpivot_measures", "text_ngram_topk",
+    "multimodal_decode_stats", "multimodal_frame_sample",
+)
+
+
+def _ordered_names() -> list[str]:
+    names = list(_REGISTRY)
+    front = [n for n in names
+             if n not in _DRIVER_CHECKED and n not in _DEFERRED]
+    deferred = [n for n in _DEFERRED if n in _REGISTRY]
+    back = [n for n in names if n in _DRIVER_CHECKED]
+    return front + deferred + back
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k][0] for k in _ordered_names()}
 
 
 def all_oracle_sql() -> dict[str, str]:
     _load()
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: _REGISTRY[k][1] for k in _ordered_names()
+            if _REGISTRY[k][1] is not None}
 
 
 _LOADED = False

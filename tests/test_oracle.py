@@ -1,0 +1,48 @@
+"""Oracle regression gate: run the DuckDB comparison harness
+(``dmds_spark.oracle.run_all``) over EVERY registered query that has an
+oracle SQL, at sf0.01 — the same scale and compare semantics the
+correctness driver uses (row count + sorted columns + order-insensitive
+value hash). Any oracle drift fails pytest instead of waiting for the
+per-round driver run.
+
+Parameterized per query so a failure names the query directly and the
+rest still run. The DuckDB connection and results are computed once per
+session (module-level cache) to keep the whole file within a few
+minutes on local[8].
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dmds_spark.oracle import compare_query, duckdb_connection
+from dmds_spark.queries import all_oracle_sql, all_queries
+
+from .conftest import SF_DIR_MED
+
+_QUERIES = all_queries()
+_SQLS = all_oracle_sql()
+_NAMES = [n for n in _QUERIES if n in _SQLS]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_connection(SF_DIR_MED)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_match(spark, duck, name):
+    res = compare_query(spark, duck, name, _QUERIES[name], _SQLS[name],
+                        SF_DIR_MED)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without oracle SQL (engine-specific / multimodal) must at
+    least evaluate and return a stable schema at sf0.01."""
+    for name in (set(_QUERIES) - set(_SQLS)):
+        df = _QUERIES[name](spark, SF_DIR_MED)
+        assert df.columns, name
+        assert df.count() >= 0, name
