@@ -155,22 +155,13 @@ def dedup_minhash_keep_first(
     return df.join(doomed, on=id_col, how="left_anti")
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_bits: int = 16,
-    max_hamming: int = 3,
-    prefix_bits: int = 4,
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_bits: int = 16
 ) -> DataFrame:
-    """SimHash near-dup pairs: bitstring signature per doc, block on the
-    bit prefix (docs within hamming distance d of each other agree on
-    some prefix with good probability at these sizes), verify exact
-    hamming <= max_hamming. Returns (id_a, id_b, hamming)."""
-    # explode tokens -> md5 ONCE per token -> num_bits sum aggregates:
-    # codegen throughout, one shuffle, identical results to
-    # functions.text.simhash_bits (which stays as the per-row Column
-    # form for composition in narrow plans)
+    """(id, simhash bitstring) per doc: explode tokens -> md5 ONCE per
+    token -> num_bits majority-vote sum aggregates. Codegen throughout,
+    one shuffle, identical results to functions.text.simhash_bits
+    (which stays as the per-row Column form for narrow plans)."""
     from dmds_spark.operators.parallel import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -191,7 +182,7 @@ def simhash_pairs(
             for b in range(num_bits)
         ]
     )
-    sh = contribs.select(
+    return contribs.select(
         id_col,
         F.concat(
             *[
@@ -199,22 +190,84 @@ def simhash_pairs(
                 for b in range(num_bits)
             ]
         ).alias("simhash"),
-    ).localCheckpoint(eager=True)  # shared by both self-join sides
-    blocked = sh.withColumn("block", F.substring("simhash", 1, prefix_bits))
+    )
+
+
+def simhash_band_keys(simhash: "F.Column", num_bits: int, bands: int):
+    """Pigeonhole band keys: split the bitstring into ``bands`` equal
+    substrings; key b = 'b:substring'. Any pair within hamming distance
+    ``bands - 1`` agrees EXACTLY on >= 1 band (pigeonhole), so blocking
+    on these keys has perfect recall — unlike prefix blocking, which
+    both misses pairs differing inside the prefix and degenerates to
+    2^prefix coarse blocks at scale."""
+    width = num_bits // bands
+    if width * bands != num_bits:
+        raise ValueError(f"bands={bands} must divide num_bits={num_bits}")
+    return F.array(
+        *[
+            F.concat(F.lit(f"{b}:"), F.substring(simhash, b * width + 1, width))
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame,
+    id_col: str,
+    num_bits: int = 16,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from a (id, simhash) table: explode the
+    ``max_hamming + 1`` pigeonhole band keys, equi-join on the key,
+    dedup pairs found in several bands, verify exact hamming <=
+    max_hamming. Returns (id_a, id_b, hamming) with exact recall.
+
+    Scale shape: per-band buckets have 2^(num_bits/bands) key space per
+    band (e.g. 2^8 = 256x finer than a 4-bit prefix at 32 bits / 4
+    bands); the join is an equi-join AQE can split on hot buckets."""
+    bands = bands if bands is not None else max_hamming + 1
+    blocked = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            simhash_band_keys(F.col("simhash"), num_bits, bands)
+        ).alias("__block"),
+    )
     a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "__block"
     )
     b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "__block"
     )
     ham = hamming_distance_bitstrings(F.col("sh_a"), F.col("sh_b"), num_bits)
     return (
-        a.join(b, "block")
+        a.join(b, "__block")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 16,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: bitstring signature per doc, pigeonhole
+    band blocking (exact recall for hamming <= max_hamming), exact
+    hamming verify. Returns (id_a, id_b, hamming)."""
+    sh = simhash_signatures(df, text_col, id_col, num_bits)
+    # snapshot: shared by both self-join sides (else the token/md5/agg
+    # pipeline runs twice); at production scale a written table
+    sh = sh.localCheckpoint(eager=True)
+    return simhash_pairs_from_signatures(sh, id_col, num_bits, max_hamming, bands)
 
 
 def jaccard_verify_pairs(

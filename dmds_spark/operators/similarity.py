@@ -1,0 +1,128 @@
+"""Similarity-search building blocks: JVM-side cosine, deterministic
+random-hyperplane LSH (multi-table), and LSH-blocked candidate pairs.
+
+The blocking scheme is the standard multi-table sign-random-projection
+LSH: ``tables`` independent hash tables, each hashing a vector to the
+concatenated signs of ``planes`` hyperplane projections. Two vectors
+are candidates iff they share a bucket in >= 1 table. Recall for a pair
+at angle θ is 1 - (1 - (1 - θ/π)^planes)^tables; ``planes`` trades
+bucket selectivity (grow it like log2(n) to keep buckets bounded as the
+corpus grows) and ``tables`` buys recall back.
+
+Scale shape (100 TB): bucketing is a per-row scan (explode factor =
+``tables``); the candidate join is an equi-join on the bucket string —
+shuffle width bounded by bucket sizes, never an all-pairs product.
+Hyperplanes are md5-derived literal constants, identical in Spark and
+DuckDB plans, which keeps every pipeline built on them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+
+
+def dot(x: Column, y: Column) -> Column:
+    """JVM-side dot product of two array<float|double> columns (no
+    Python UDF): zip_with multiply + aggregate sum, in double."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def hyperplane(table: int, h: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values from
+    md5 — the same literal vector is embedded in both engines' plans."""
+    return [
+        int(hashlib.md5(f"p{table}:{h}:{i}".encode()).hexdigest()[0], 16) - 7.5
+        for i in range(dim)
+    ]
+
+
+def _dot_lit(vec_col: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_table_bucket(
+    vec_col: Column, table: int, planes: int, dim: int = EMB_DIM
+) -> Column:
+    """Bucket string for one LSH table: 'T:bbbb' (table id + sign
+    bits), so buckets from different tables never collide."""
+    bits = [
+        F.when(_dot_lit(vec_col, hyperplane(table, h, dim)) > 0, "1").otherwise("0")
+        for h in range(planes)
+    ]
+    return F.concat(F.lit(f"{table}:"), *bits)
+
+
+def lsh_bucket_sql(
+    vec_expr: str, tables: int, planes: int, dim: int = EMB_DIM
+) -> list[str]:
+    """DuckDB expressions mirroring lsh_table_bucket, one per table."""
+    out = []
+    for t in range(tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), "
+            f"[{', '.join(str(v) for v in hyperplane(t, h, dim))}]) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for h in range(planes)
+        )
+        out.append(f"'{t}:' || " + bits)
+    return out
+
+
+def lsh_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: int = 16,
+    planes: int = 4,
+    dim: int = EMB_DIM,
+    materialize: bool = True,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, va, vb), id_a < id_b, sharing >= 1
+    LSH bucket. The join is an equi-join on the bucket string; pairs
+    found in several tables are deduped BEFORE any downstream cosine.
+
+    ``materialize`` snapshots the bucketed table once so both self-join
+    sides read computed buckets instead of re-deriving ``tables *
+    planes`` projections per side (same barrier as the MinHash
+    signatures job; at production scale it is a written intermediate)."""
+    buckets = F.array(
+        *[lsh_table_bucket(F.col(vec_col), t, planes, dim) for t in range(tables)]
+    )
+    b = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("__bucket")
+    )
+    if materialize:
+        b = b.localCheckpoint(eager=True)
+    a_side = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+    )
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+    )
+    return (
+        a_side.join(b_side, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )

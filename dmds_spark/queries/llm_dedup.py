@@ -164,7 +164,9 @@ def dedup_jaccard_verify(spark, sf_dir):
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex digit (top bit of the digit)
-SIMHASH_PREFIX = 8
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: >=1 band agrees
+SIMHASH_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_SQL = (
     "array_to_string([ CASE WHEN list_sum([CASE WHEN instr('0123456789abcdef', "
     "md5(tk)[b+1:b+1]) >= 9 THEN 1 ELSE -1 END for tk in toks]) >= 0 "
@@ -175,6 +177,10 @@ HAMMING_SQL = " + ".join(
     "THEN 1 ELSE 0 END"
     for i in range(SIMHASH_BITS)
 )
+SIMHASH_BAND_SQL = ", ".join(
+    f"'{b}:' || substring(simhash, {b * SIMHASH_BAND_W + 1}, {SIMHASH_BAND_W})"
+    for b in range(SIMHASH_BANDS)
+)
 
 
 @register(
@@ -182,22 +188,24 @@ HAMMING_SQL = " + ".join(
     f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     shh AS (SELECT doc_id, {SIMHASH_SQL} AS simhash FROM tok),
-    blocked AS (SELECT doc_id, simhash, substring(simhash, 1, {SIMHASH_PREFIX}) AS block FROM shh)
+    blocked AS (SELECT doc_id, simhash, UNNEST([{SIMHASH_BAND_SQL}]) AS block FROM shh)
     SELECT id_a, id_b, CAST(({HAMMING_SQL}) AS BIGINT) AS hamming FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
       FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-    ) WHERE ({HAMMING_SQL}) <= 3
+    ) WHERE ({HAMMING_SQL}) <= {SIMHASH_MAX_HAMMING}
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 32-bit majority-vote signature (one bit
-    per md5 hex digit), 8-bit prefix blocking, exact hamming <= 3
-    verify. 16 bits saturates on a shared-vocabulary corpus (every
-    pair within hamming 3); 32 bits keeps the pair set selective."""
+    per md5 hex digit), pigeonhole band blocking (4 bands of 8 bits —
+    any pair within hamming 3 agrees exactly on >= 1 band, so recall is
+    EXACT), hamming <= 3 verify. 16 bits saturates on a
+    shared-vocabulary corpus; 32 bits keeps the pair set selective."""
     return simhash_pairs(
         _docs(spark, sf_dir), "text", "doc_id",
-        num_bits=SIMHASH_BITS, max_hamming=3, prefix_bits=SIMHASH_PREFIX,
+        num_bits=SIMHASH_BITS, max_hamming=SIMHASH_MAX_HAMMING,
+        bands=SIMHASH_BANDS,
     )
 
 

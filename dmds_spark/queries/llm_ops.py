@@ -15,7 +15,30 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dmds_spark.operators.similarity import (
+    cosine,
+    lsh_blocked_pairs,
+    lsh_bucket_sql,
+)
 from dmds_spark.queries import register
+
+# Multi-table sign-LSH blocking parameters shared by the near-dup and
+# pairs-threshold queries (and their generated oracle SQL). 4 planes =
+# 16 buckets/table at this corpus size; at 100 TB grow planes like
+# log2(n / target_bucket_rows) and buy recall back with more tables.
+LSH_TABLES = 16
+LSH_PLANES = 4
+
+_PAIR_CAND_CTE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         UNNEST([{", ".join(lsh_bucket_sql("embedding", LSH_TABLES, LSH_PLANES))}]) AS bucket
+  FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+"""
 
 
 def _docs(spark, sf_dir):
@@ -204,37 +227,31 @@ def similarity_cosine_topk(spark, sf_dir):
 
 @register(
     "dedup_embedding_neardup",
-    """
+    _PAIR_CAND_CTE
+    + """
     SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
-      SELECT b.vec_id
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+      SELECT c.id_b FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.45
     )
     """,
 )
 def dedup_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dedup: drop each vector that is
-    near-duplicate (cosine > 0.45, the top of this corpus's pair
-    distribution) of a lower-id vector. All-pairs here (the corpus
-    fits); the scale path blocks on the LSH bucket of
-    similarity_ann_lsh_topk and runs the same keep-first anti-join."""
+    """Embedding-cosine near-dedup: drop each vector whose cosine to a
+    lower-id LSH-candidate vector exceeds 0.45 (the top of this
+    corpus's pair distribution).
+
+    Scale shape: multi-table sign-LSH blocking (operators/similarity)
+    — bucketing is a per-row scan, the candidate join is an equi-join
+    on the bucket string, and the exact cosine runs only on deduped
+    candidates. Never an all-pairs product; plan-pinned in
+    tests/test_plans.py. The oracle mirrors the same buckets, so the
+    probabilistic recall is identical on both sides."""
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    sim = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    cand = lsh_blocked_pairs(e, "vec_id", "embedding", LSH_TABLES, LSH_PLANES)
     doomed = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(sim > 0.45)
+        cand.filter(cosine(F.col("va"), F.col("vb")) > 0.45)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -357,38 +374,23 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "similarity_pairs_threshold",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-                                        AND a.label = b.label
-    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.20
+    _PAIR_CAND_CTE
+    + """
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.20
     """,
 )
 def similarity_pairs_threshold(spark, sf_dir):
-    """All same-label pairs above a cosine threshold — the verify stage
-    of an ANN pipeline. Blocking on label bounds the pair explosion
-    (at 100 TB: block on LSH bucket instead, same shape)."""
+    """All LSH-candidate pairs above a cosine threshold — the verify
+    stage of an ANN pipeline. Blocking on the multi-table LSH bucket
+    (not a low-cardinality attribute like label) keeps the within-block
+    pair count bounded by bucket size at any corpus scale; the oracle
+    mirrors the same buckets, so recall is identical on both sides."""
     e = _emb(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("label").alias("la"),
+    cand = lsh_blocked_pairs(e, "vec_id", "embedding", LSH_TABLES, LSH_PLANES)
+    return (
+        cand.filter(cosine(F.col("va"), F.col("vb")) > 0.20)
+        .select("id_a", "id_b")
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("label").alias("lb"),
-    )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    j = a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("la") == F.col("lb")))
-    sim = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
-    return j.filter(sim > 0.20).select("id_a", "id_b")

@@ -150,6 +150,32 @@ def test_gapfill_grid_is_broadcast(spark, qs):
     assert broadcast_join_count(df) >= 1
 
 
+def test_embedding_neardup_no_all_pairs(spark, qs):
+    """The near-dup candidate join must be an equi-join on the LSH
+    bucket — never a BroadcastNestedLoopJoin / cartesian all-pairs."""
+    plan = physical_plan(qs["dedup_embedding_neardup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bucket" in plan
+
+
+def test_pairs_threshold_no_all_pairs(spark, qs):
+    """Threshold pairs block on the LSH bucket, not a low-cardinality
+    attribute: equi-join on __bucket, no nested-loop."""
+    plan = physical_plan(qs["similarity_pairs_threshold"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bucket" in plan
+
+
+def test_simhash_band_equijoin(spark, qs):
+    """SimHash blocking must equi-join on the pigeonhole band key."""
+    plan = physical_plan(qs["dedup_simhash_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__block" in plan
+
+
 def test_cluster_pairs_single_band_shuffle(spark):
     """The LSH candidate join must join on the band key only (one
     shuffle), never a cartesian of signatures."""
