@@ -21,7 +21,7 @@ def main() -> int:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from dmds_spark.queries import all_queries
-    from dmds_spark.session import get_spark
+    from dmds_spark.session import get_spark, release_materialized_state
 
     spark = get_spark(app_name="dmds_spark_bench")
 
@@ -60,12 +60,16 @@ def main() -> int:
     for name in headline:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
+        release_materialized_state(spark)
         print(f"warmup {name} {time.perf_counter()-t0:.2f}s", file=sys.stderr)
 
     # min over repeats: a full GC of the large local-JVM heap pauses
     # tens of seconds and lands on an arbitrary query; the minimum is
-    # the plan's actual cost (what a multi-executor cluster would see)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # the plan's actual cost (what a multi-executor cluster would see).
+    # release_materialized_state between queries drops each query's
+    # localCheckpoint blocks so heap pressure (and GC landing spots)
+    # stays per-query instead of accumulating over the whole loop.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
     for _ in range(repeats):
         for name in headline:
@@ -73,6 +77,7 @@ def main() -> int:
             qs[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 4)
             times[name] = min(times.get(name, dt), dt)
+            release_materialized_state(spark)
             print(f"measured {name} {dt:.2f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 4)

@@ -58,3 +58,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_materialized_state(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD (localCheckpoint snapshots from
+    the dedup/clustering/curation pipelines) and clear the SQL cache.
+
+    A finished query's checkpoint blocks stay in the block manager
+    until the JVM ContextCleaner notices the Python-side reference
+    died; across a long session (bench loop, notebook) that backlog
+    inflates the heap and turns into multi-second GC pauses landing on
+    unrelated queries. Calling this between queries makes memory usage
+    per-query, not per-session. Returns the number of RDDs released."""
+    jsc = spark.sparkContext._jsc
+    rdds = list(jsc.getPersistentRDDs().values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    spark.catalog.clearCache()
+    return len(rdds)

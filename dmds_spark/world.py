@@ -60,6 +60,8 @@ class World:
         spec: WorldSpec,
         path: str,
         physical_factors: Sequence[int] | None = None,
+        pending_limit: int | None = 64,
+        validate: str = "flush",
     ):
         self.spark = spark
         self.spec = spec
@@ -76,6 +78,19 @@ class World:
         self._ops: list[tuple[int, str, DataFrame]] = []
         self._seq = 0
         self._lock = threading.Lock()  # flush vs. writer (reference lock_w, src/world.rs:58)
+        # buffer cap (reference ``World::set_chunks_limit`` eviction,
+        # src/world.rs:295-299,462-512): past the limit the op log
+        # auto-flushes, so read planning cost and driver references stay
+        # bounded however long the writer session lives. None = unbounded.
+        self.set_pending_limit(pending_limit)
+        if validate not in ("eager", "flush", "off"):
+            raise ValueError("validate must be eager|flush|off")
+        # "eager": range-check each batch at upsert (one collect per
+        # batch — the batch is computed twice). "flush": fold the check
+        # into the flush pass as raise_error guards on the dim columns
+        # (one scan produces both the check and the write). "off": trust
+        # the writer.
+        self.validate = validate
 
     # -- geometry -----------------------------------------------------------
 
@@ -141,9 +156,11 @@ class World:
                 raise ValueError(f"missing dim column {d.name}")
 
     def _check_domain(self, df: DataFrame) -> DataFrame:
-        """Reject out-of-range dim values at write, mirroring
+        """Eager range check (``validate="eager"``), mirroring
         ``Error::ValueOutOfRange`` (src/lib.rs:136-142). Runs as one
-        aggregate over the batch (no driver-side row loop)."""
+        aggregate over the batch (no driver-side row loop) — but it DOES
+        force the batch to be computed once here and again at flush;
+        the default ``validate="flush"`` mode avoids that."""
         conds = [
             (F.min(F.col(d.name) >= F.lit(d.start)) & F.min(F.col(d.name) <= F.lit(d.end))).alias(d.name)
             for d in self.spec.dims
@@ -154,6 +171,39 @@ class World:
             if ok is False:
                 raise ValueOutOfRangeError(i, -1, d.start, d.end)
         return df
+
+    _GUARD_MARK = "DMDS_RANGE"
+
+    def _domain_guard(self, df: DataFrame) -> DataFrame:
+        """Wrap each dim column in a raise_error guard: the check runs
+        inside the same executor pass that materializes the flush
+        output — zero extra scans, fully distributed. The error message
+        carries dim index + bounds so the driver re-raises a typed
+        ValueOutOfRangeError (``_reraise_domain``)."""
+        cols = []
+        for i, d in enumerate(self.spec.dims):
+            c = F.col(d.name)
+            bad = c.isNotNull() & ((c < F.lit(d.start)) | (c > F.lit(d.end)))
+            msg = F.concat(
+                F.lit(f"{self._GUARD_MARK}:{i}:{d.start}:{d.end}:"),
+                c.cast("string"),
+            )
+            cols.append(F.when(bad, F.raise_error(msg)).otherwise(c).alias(d.name))
+        guarded = {d.name for d in self.spec.dims}
+        return df.select(
+            *cols, *[F.col(c) for c in df.columns if c not in guarded]
+        )
+
+    def _reraise_domain(self, exc: Exception):
+        """Translate an executor-side guard failure back into the typed
+        error; re-raise the original otherwise."""
+        import re
+
+        m = re.search(rf"{self._GUARD_MARK}:(\d+):(-?\d+):(-?\d+):(-?\d+)", str(exc))
+        if m:
+            dim, start, end, val = (int(g) for g in m.groups())
+            raise ValueOutOfRangeError(dim, val, start, end) from exc
+        raise exc
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -180,15 +230,36 @@ class World:
 
     # -- write path (reference: src/world.rs:553-584) -------------------------
 
+    def set_pending_limit(self, limit: int | None) -> None:
+        """Cap the pending op log (reference ``set_chunks_limit``,
+        src/world.rs:295-299): when the number of buffered ops reaches
+        the limit, the next write triggers an automatic flush — the
+        honest Spark analogue of the reference's buffer-pool eviction
+        (there is no partial eviction here because the op log is a
+        logical diff, not a page cache)."""
+        if limit is not None and limit < 1:
+            raise ValueError("pending_limit must be >= 1 or None")
+        self._pending_limit = limit
+
+    def _append_op(self, kind: str, df: DataFrame) -> None:
+        with self._lock:
+            self._seq += 1
+            self._ops.append((self._seq, kind, df))
+            over = (
+                self._pending_limit is not None
+                and len(self._ops) >= self._pending_limit
+            )
+        if over:
+            self.flush()
+
     def upsert(self, df: DataFrame) -> None:
         """Batch upsert keyed on dim 0 (reference ``World::insert``,
         src/world.rs:553-567: replace-by-id). Later batches win over
         earlier ones; within a batch, ids must be unique."""
         self._validate_dims(df)
-        self._check_domain(df)
-        with self._lock:
-            self._seq += 1
-            self._ops.append((self._seq, "upsert", df))
+        if self.validate == "eager":
+            self._check_domain(df)
+        self._append_op("upsert", df)
 
     def insert_rows(self, rows: Iterable[dict]) -> None:
         """Convenience: upsert a small batch of row dicts (tests, REPL)."""
@@ -200,13 +271,12 @@ class World:
         src/world.rs:569-584): rows whose id already exists — on disk or
         pending — are dropped, not replaced."""
         self._validate_dims(df)
-        self._check_domain(df)
+        if self.validate == "eager":
+            self._check_domain(df)
         id_col = self.spec.id_dim.name
         existing = self.snapshot().select(id_col)
         new_rows = df.join(existing, on=id_col, how="left_anti")
-        with self._lock:
-            self._seq += 1
-            self._ops.append((self._seq, "upsert", new_rows))
+        self._append_op("upsert", new_rows)
 
     def delete_ids(self, ids: Iterable[int]) -> None:
         """Delete by id (reference ``Chunk::remove`` / ``Lazy::destroy``,
@@ -215,16 +285,12 @@ class World:
         df = self.spark.createDataFrame(
             [(int(i),) for i in ids], T.StructType([T.StructField(id_col, T.LongType())])
         )
-        with self._lock:
-            self._seq += 1
-            self._ops.append((self._seq, "delete", df))
+        self._append_op("delete", df)
 
     def delete_where(self, sel: Select) -> None:
         """Predicate delete: everything the selection matches."""
         ids = self.read(sel).select(self.spec.id_dim.name)
-        with self._lock:
-            self._seq += 1
-            self._ops.append((self._seq, "delete", ids))
+        self._append_op("delete", ids)
 
     # -- pending-buffer resolution --------------------------------------------
 
@@ -395,97 +461,107 @@ class World:
         """Persist the pending buffer: rewrite exactly the dirty chunks
         via dynamic partition overwrite (the reference's whole-chunk
         rewrite, src/world.rs:96-122 + tokio-fs/src/lib.rs:85-107).
-        Returns the number of ops flushed."""
+        With ``validate="flush"`` the domain check rides along as
+        raise_error guards in the same pass. Returns ops flushed."""
         with self._lock:
             if not self._ops:
                 return 0
-            n_ops = len(self._ops)
-            live, touched = self._resolved_pending()
-            id_col = self.spec.id_dim.name
-            base = self._base()
+            try:
+                return self._flush_locked()
+            except ValueOutOfRangeError:
+                raise
+            except Exception as e:  # noqa: BLE001 — guard translation
+                self._reraise_domain(e)
 
-            if base is None:
-                out = self._with_partition_cols(live)
-                out.write.partitionBy(*self.partition_cols()).mode(
-                    "overwrite"
-                ).parquet(self.path)
-                self._ops = []
-                return n_ops
+    def _flush_locked(self) -> int:
+        n_ops = len(self._ops)
+        live, touched = self._resolved_pending()
+        if self.validate == "flush" and live is not None:
+            live = self._domain_guard(live)
+        id_col = self.spec.id_dim.name
+        base = self._base()
 
-            # dirty physical partitions = those holding any touched id
-            # (old location: deletes/relocations) or any new row (new
-            # location) — both sides, so a relocated row vanishes from
-            # its old chunk and appears in the new one atomically.
-            base_touched = base.join(touched, on=id_col, how="left_semi")
-            old_parts = base_touched.select(*self.partition_cols()).distinct()
-            new_parts = (
-                self._with_partition_cols(live)
-                .select(*self.partition_cols())
-                .distinct()
-            )
-            dirty = [
-                tuple(r)
-                for r in old_parts.unionByName(new_parts).distinct().collect()
-            ]
-            if not dirty:
-                self._ops = []
-                return n_ops
-
-            dirty_pred = F.lit(False)
-            for pos in dirty:
-                p = F.lit(True)
-                for c, v in zip(self.partition_cols(), pos):
-                    p = p & (F.col(c) == int(v))
-                dirty_pred = dirty_pred | p
-
-            base_part = base.filter(dirty_pred).drop(*self.partition_cols())
-            kept = base_part.join(touched, on=id_col, how="left_anti")
-            btypes = dict(base_part.dtypes)
-            live_cast = live.select(
-                *[
-                    (
-                        F.col(c).cast(btypes[c])
-                        if c in live.columns
-                        else F.lit(None).cast(btypes[c])
-                    ).alias(c)
-                    for c in base_part.columns
-                ],
-                *[F.col(c) for c in live.columns if c not in base_part.columns],
-            )
-            merged = kept.unionByName(live_cast, allowMissingColumns=True)
-            out = self._with_partition_cols(merged)
-            # localCheckpoint: materialize BEFORE overwriting the files
-            # we just read (self-overwrite is undefined otherwise)
-            out = out.localCheckpoint(eager=True)
-            (
-                out.write.partitionBy(*self.partition_cols())
-                .mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(self.path)
-            )
-            # dynamic overwrite only touches partitions present in the
-            # output; a dirty partition whose rows all relocated away
-            # keeps its stale file — clear those directories explicitly
-            # (the reference rewrites every dirty chunk, even to empty:
-            # src/world.rs:96-122 skips moved items but still writes).
-            remaining = {
-                tuple(r)
-                for r in out.select(*self.partition_cols()).distinct().collect()
-            }
-            jvm = self.spark.sparkContext._jvm
-            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
-            for pos in dirty:
-                if tuple(pos) not in remaining:
-                    d = "/".join(
-                        [self.path]
-                        + [f"{c}={int(v)}" for c, v in zip(self.partition_cols(), pos)]
-                    )
-                    jpath = jvm.org.apache.hadoop.fs.Path(d)
-                    fs = jpath.getFileSystem(hconf)
-                    if fs.exists(jpath):
-                        fs.delete(jpath, True)
+        if base is None:
+            out = self._with_partition_cols(live)
+            out.write.partitionBy(*self.partition_cols()).mode(
+                "overwrite"
+            ).parquet(self.path)
             self._ops = []
             return n_ops
+
+        # dirty physical partitions = those holding any touched id
+        # (old location: deletes/relocations) or any new row (new
+        # location) — both sides, so a relocated row vanishes from
+        # its old chunk and appears in the new one atomically.
+        # Materialized once (it is small: partition keys only) and used
+        # BOTH as the semi-join filter — never a driver-built OR chain,
+        # which blows up planning past a few thousand dirty partitions —
+        # and as the driver-side list for empty-directory cleanup.
+        base_touched = base.join(touched, on=id_col, how="left_semi")
+        old_parts = base_touched.select(*self.partition_cols()).distinct()
+        new_parts = (
+            self._with_partition_cols(live)
+            .select(*self.partition_cols())
+            .distinct()
+        )
+        dirty_df = (
+            old_parts.unionByName(new_parts).distinct().localCheckpoint(eager=True)
+        )
+        dirty = [tuple(r) for r in dirty_df.collect()]
+        if not dirty:
+            self._ops = []
+            return n_ops
+
+        base_part = base.join(
+            F.broadcast(dirty_df), on=self.partition_cols(), how="left_semi"
+        ).drop(*self.partition_cols())
+        kept = base_part.join(touched, on=id_col, how="left_anti")
+        btypes = dict(base_part.dtypes)
+        live_cast = live.select(
+            *[
+                (
+                    F.col(c).cast(btypes[c])
+                    if c in live.columns
+                    else F.lit(None).cast(btypes[c])
+                ).alias(c)
+                for c in base_part.columns
+            ],
+            *[F.col(c) for c in live.columns if c not in base_part.columns],
+        )
+        merged = kept.unionByName(live_cast, allowMissingColumns=True)
+        out = self._with_partition_cols(merged)
+        # localCheckpoint: materialize BEFORE overwriting the files
+        # we just read (self-overwrite is undefined otherwise)
+        out = out.localCheckpoint(eager=True)
+        (
+            out.write.partitionBy(*self.partition_cols())
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+        # dynamic overwrite only touches partitions present in the
+        # output; a dirty partition whose rows all relocated away
+        # keeps its stale file — clear those directories explicitly
+        # (the reference rewrites every dirty chunk, even to empty:
+        # src/world.rs:96-122 skips moved items but still writes).
+        remaining = {
+            tuple(r)
+            for r in out.select(*self.partition_cols()).distinct().collect()
+        }
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for pos in dirty:
+            if tuple(pos) not in remaining:
+                d = "/".join(
+                    [self.path]
+                    + [f"{c}={int(v)}" for c, v in zip(self.partition_cols(), pos)]
+                )
+                jpath = jvm.org.apache.hadoop.fs.Path(d)
+                fs = jpath.getFileSystem(hconf)
+                if fs.exists(jpath):
+                    fs.delete(jpath, True)
+        self._ops = []
+        return n_ops
 
     def compact(self, max_files_per_partition: int = 1) -> int:
         """Rewrite fragmented physical partitions down to one file each,
@@ -512,25 +588,24 @@ class World:
             if base is None:
                 return 0
             pcols = self.partition_cols()
-            frag = (
+            # small (partition keys only): materialize once, use as a
+            # broadcast semi-join filter — thousands of fragmented
+            # partitions are the NORMAL state at scale, and a
+            # driver-built OR chain over them blows up planning
+            frag_df = (
                 base.select(*pcols, F.input_file_name().alias("__f"))
                 .groupBy(*pcols)
                 .agg(F.count_distinct("__f").alias("__nf"))
                 .filter(F.col("__nf") > max_files_per_partition)
                 .select(*pcols)
-                .collect()
+                .localCheckpoint(eager=True)
             )
-            if not frag:
+            n_frag = frag_df.count()
+            if not n_frag:
                 return 0
-            pred = F.lit(False)
-            for pos in frag:
-                p = F.lit(True)
-                for c in pcols:
-                    p = p & (F.col(c) == int(pos[c]))
-                pred = pred | p
             id_col = self.spec.id_dim.name
             out = (
-                base.filter(pred)
+                base.join(F.broadcast(frag_df), on=pcols, how="left_semi")
                 # one task (=> one file) per physical partition, rows
                 # id-sorted within it for row-group stats pruning
                 .repartition(*[F.col(c) for c in pcols])
@@ -543,7 +618,7 @@ class World:
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(self.path)
             )
-            return len(frag)
+            return n_frag
 
 
 class FlushDaemon:

@@ -122,10 +122,53 @@ def test_try_insert(world):
     assert rows(world.snapshot()) == [(7, 2), (114, 514)]
 
 
-def test_out_of_range_insert(world):
-    # reference Error::ValueOutOfRange (src/lib.rs:136-142)
+def test_out_of_range_insert_flush_mode(world):
+    # reference Error::ValueOutOfRange (src/lib.rs:136-142). Default
+    # validate="flush": the check rides the flush pass (documented
+    # divergence — the reference errors at insert; eager mode matches
+    # that at the cost of computing the batch twice).
+    world.insert_rows([{"dim0": 114, "dim1": 2000}])
+    with pytest.raises(ValueOutOfRangeError) as ei:
+        world.flush()
+    assert ei.value.dim == 1
+    assert ei.value.value == 2000
+
+
+def test_out_of_range_insert_eager_mode(spark, tmp_path):
+    w = World(spark, spec_1024(), str(tmp_path / "we"),
+              physical_factors=(1, 1), validate="eager")
     with pytest.raises(ValueOutOfRangeError):
-        world.insert_rows([{"dim0": 114, "dim1": 2000}])
+        w.insert_rows([{"dim0": 114, "dim1": 2000}])
+
+
+def test_out_of_range_flush_mode_existing_base(world):
+    # guard must also fire on the merge-with-base path
+    world.insert_rows([{"dim0": 1, "dim1": 1}])
+    world.flush()
+    world.insert_rows([{"dim0": 3000, "dim1": 2}])
+    with pytest.raises(ValueOutOfRangeError) as ei:
+        world.flush()
+    assert ei.value.dim == 0
+
+
+def test_pending_limit_auto_flush(spark, tmp_path):
+    # reference World::set_chunks_limit (src/world.rs:295-299): the
+    # buffer cap keeps the op log — and thus read-planning cost —
+    # bounded across an arbitrarily long writer session
+    w = World(spark, spec_1024(), str(tmp_path / "wl"),
+              physical_factors=(1, 1), pending_limit=8)
+    for i in range(30):
+        w.insert_rows([{"dim0": i, "dim1": 2 * i}])
+        assert w.writes < 8  # never grows past the cap
+    assert rows(w.snapshot()) == [(i, 2 * i) for i in range(30)]
+    w.flush()
+    w2 = World(spark, spec_1024(), w.path, physical_factors=(1, 1))
+    assert rows(w2.snapshot()) == [(i, 2 * i) for i in range(30)]
+
+
+def test_set_pending_limit_validation(world):
+    with pytest.raises(ValueError):
+        world.set_pending_limit(0)
 
 
 def test_delete_where(world):
