@@ -61,20 +61,47 @@ def encode_fake_media(width: int, height: int, channels: int, seed: int) -> byte
     return header + payload
 
 
-def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Decode one image's header. The real codec is stubbed: this
-    container ships no imaging libraries, so ``fake=False`` raises —
-    callers on a real cluster would swap in PIL/libvips here."""
-    if not fake:
+def _pil():
+    """Pillow is an OPTIONAL dependency: present on a real cluster,
+    absent in this container. Import-gated so everything degrades to
+    the deterministic fake codec (or a clear error) without it."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(content: bytes, fake: bool | None = None) -> dict:
+    """Decode one image's header.
+
+    ``fake=True`` forces the deterministic DMDS header parser;
+    ``fake=False`` forces a real codec (Pillow), raising
+    NotImplementedError when it isn't installed; ``fake=None`` (auto)
+    sniffs: DMDS-magic bytes use the fake parser, anything else goes
+    through Pillow when available."""
+    is_fake_bytes = content[:4] == MEDIA_MAGIC
+    if fake is True or (fake is None and is_fake_bytes):
+        if not is_fake_bytes:
+            raise ValueError("bad magic")
+        width, height, channels = struct.unpack(">III", content[4:16])
+        return {"width": width, "height": height, "channels": channels}
+    Image = _pil()
+    if Image is None:
         raise NotImplementedError(
-            "real image decoding requires an imaging library not present "
-            "in this environment; pass fake=True for the deterministic "
+            "real image decoding requires Pillow, which is not installed; "
+            "pip install Pillow, or pass fake=True for the deterministic "
             "header parser"
         )
-    if content[:4] != MEDIA_MAGIC:
-        raise ValueError("bad magic")
-    width, height, channels = struct.unpack(">III", content[4:16])
-    return {"width": width, "height": height, "channels": channels}
+    import io
+
+    with Image.open(io.BytesIO(bytes(content))) as im:
+        return {
+            "width": im.width,
+            "height": im.height,
+            "channels": len(im.getbands()),
+        }
 
 
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
@@ -118,9 +145,11 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
+def decode_images(media: DataFrame, fake: bool | None = None) -> DataFrame:
     """Decode stage: parse each image's header executor-side. Arrow
-    streams binary batches into pandas; nothing touches the driver."""
+    streams binary batches into pandas; nothing touches the driver.
+    ``fake`` as in decode_image: None = per-content auto (DMDS bytes
+    via the deterministic parser, real images via Pillow if present)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,38 +263,59 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, target_width: int, target_height: int, fake: bool = True
+    media: DataFrame, target_width: int, target_height: int,
+    fake: bool | None = None,
 ) -> DataFrame:
     """Resize stage: binary in -> binary out with the target geometry.
-    The pixel resampling itself is stubbed (no imaging library in this
-    container — a real cluster swaps in PIL/pyvips inside ``run``); the
-    Spark-side shape is the production one: Arrow-batched binary
-    columns through mapInPandas, output partitioning inherited from
-    the input (no shuffle), constant memory per batch via the
-    iterator protocol."""
-    if not fake:
+    DMDS fake media re-encodes deterministically at the target size;
+    real images resample through Pillow when it is installed
+    (``fake=False`` requires it; checked up front so a misconfigured
+    cluster fails at plan time, not per-task). The Spark-side shape is
+    the production one either way: Arrow-batched binary columns through
+    mapInPandas, output partitioning inherited from the input (no
+    shuffle), constant memory per batch via the iterator protocol."""
+    if fake is False and _pil() is None:
         raise NotImplementedError(
-            "real resampling requires an imaging library not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "real resampling requires Pillow, which is not installed; "
+            "pip install Pillow, or use fake=True/None for the "
+            "deterministic stub"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                src = decode_image(bytes(content), fake=True)
-                # stub resample: re-encode at the target geometry with a
-                # payload derived from the source id (deterministic)
-                resized = encode_fake_media(
-                    target_width, target_height, src["channels"], int(media_id)
-                )
+                raw = bytes(content)
+                use_fake = fake is True or (fake is None and raw[:4] == MEDIA_MAGIC)
+                if use_fake:
+                    src = decode_image(raw, fake=True)
+                    # stub resample: re-encode at the target geometry
+                    # with a payload derived from the source id
+                    resized = encode_fake_media(
+                        target_width, target_height, src["channels"], int(media_id)
+                    )
+                    channels = src["channels"]
+                else:
+                    Image = _pil()
+                    if Image is None:
+                        raise NotImplementedError(
+                            "non-DMDS media bytes need Pillow to resample"
+                        )
+                    with Image.open(io.BytesIO(raw)) as im:
+                        fmt = im.format or "PNG"
+                        channels = len(im.getbands())
+                        buf = io.BytesIO()
+                        im.resize((target_width, target_height)).save(buf, fmt)
+                        resized = buf.getvalue()
                 out.append(
                     {
                         "media_id": int(media_id),
                         "content": resized,
                         "width": target_width,
                         "height": target_height,
-                        "channels": src["channels"],
+                        "channels": channels,
                     }
                 )
             yield pd.DataFrame(out)

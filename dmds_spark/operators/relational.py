@@ -158,11 +158,26 @@ def global_row_number(
 def ntile_from_rn(rn, n_rows: int, k: int):
     """Exact NTILE(k) bucket from a global row number and the total row
     count: the first ``n_rows % k`` buckets get ``n_rows//k + 1`` rows,
-    the rest ``n_rows//k`` (the SQL-standard allocation)."""
+    the rest ``n_rows//k`` (the SQL-standard allocation).
+
+    Pure integer arithmetic: ceil(a/b) = floor((a-1)/b) + 1 via bigint
+    division — double division would lose integer precision once rn
+    exceeds 2^53 (~9e15 rows, in scope at the 100 TB framing) and shift
+    bucket boundaries by one."""
     q, r = divmod(n_rows, k)
     big = r * (q + 1)  # rows living in the larger buckets
+
+    def int_ceil_div(a, b: int):
+        # ceil(a/b) = floor((a-1)/b) + 1; subtracting pmod makes the
+        # numerator exactly divisible, and decimal(38,0) division of an
+        # exact multiple is lossless at any magnitude a bigint can hold
+        exact = (a - 1) - F.pmod(a - 1, F.lit(b))
+        return (exact.cast("decimal(38,0)") / F.lit(b)).cast("bigint") + 1
+
     return F.when(
         F.lit(q) == 0, rn  # fewer rows than buckets: bucket == rn
     ).when(
-        rn <= big, F.ceil(rn / F.lit(q + 1))
-    ).otherwise(F.lit(r) + F.ceil((rn - F.lit(big)) / F.lit(q)))
+        rn <= big, int_ceil_div(rn, q + 1).cast("bigint")
+    ).otherwise(
+        (F.lit(r) + int_ceil_div(rn - F.lit(big), q)).cast("bigint")
+    )

@@ -83,6 +83,12 @@ def weighted_hash_sample(
     downsampling ("keep good docs more often") without an RNG: the
     decision is a pure per-row expression, reproducible everywhere,
     and re-running with a higher weight keeps a superset (hash buckets
-    don't reshuffle between runs)."""
-    thr = F.floor(weight * denominator)
+    don't reshuffle between runs).
+
+    Quantization: the effective keep probability is
+    ``round(weight * denominator) / denominator`` — resolution
+    1/denominator with symmetric (round-half-up) bias, matching
+    hash_sample. Weights below 1/(2*denominator) round to a zero keep
+    rate; raise ``denominator`` if sub-0.5e-4 weights matter."""
+    thr = F.round(weight * denominator).cast("long")
     return df.filter(hash_bucket(key, denominator) < thr)

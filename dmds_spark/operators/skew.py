@@ -63,6 +63,11 @@ def salted_agg(
     )
 
 
+_SALTED_JOIN_SAFE = {"inner", "left", "left_outer", "leftouter",
+                     "left_semi", "leftsemi", "semi",
+                     "left_anti", "leftanti", "anti"}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -72,9 +77,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the fact side salted and the dim side replicated
-    ``salt_n`` times. Result rows are identical to ``fact.join(dim,
-    on, how)``; the shuffle distributes each hot key over salt_n
-    tasks."""
+    ``salt_n`` times. For fact-preserving join types (inner/left/
+    semi/anti) result rows are identical to ``fact.join(dim, on,
+    how)``; the shuffle distributes each hot key over salt_n tasks.
+
+    right/full are rejected: an unmatched dim row exists once per
+    replica, so those joins would emit it salt_n times. Swap the sides
+    (salt the dim if IT is the skewed one) or rely on AQE's skew-join
+    split for outer shapes."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTED_JOIN_SAFE
+    }:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(_SALTED_JOIN_SAFE)}; "
+            f"got how={how!r} (unmatched dim replicas would duplicate)"
+        )
     f = fact.withColumn("__salt", _salt(distributor_cols, salt_n))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

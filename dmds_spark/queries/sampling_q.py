@@ -133,7 +133,7 @@ def sample_bucket_distribution(spark, sf_dir):
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
     FROM documents
     WHERE {_BUCKET_SQL.format(k='doc_id')}
-          < FLOOR(LEAST(n_chars, 2000) / 2000.0 * 10000)
+          < ROUND(LEAST(n_chars, 2000) / 2000.0 * 10000)
     """,
 )
 def sample_weighted_quality(spark, sf_dir):

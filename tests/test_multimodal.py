@@ -38,8 +38,40 @@ def test_media_schema_and_determinism(spark, media):
 
 
 def test_decode_stub_raises_without_fake():
+    # fake=False forces a real codec; without Pillow that must raise
+    from dmds_spark.operators.multimodal import _pil
+
+    if _pil() is not None:
+        pytest.skip("Pillow installed: real codec path active")
     with pytest.raises(NotImplementedError):
         decode_image(b"DMDS" + b"\x00" * 12, fake=False)
+
+
+def test_decode_auto_sniffs_fake_bytes():
+    # auto mode: DMDS magic routes to the deterministic parser even
+    # when Pillow is absent
+    from dmds_spark.operators.multimodal import encode_fake_media
+
+    got = decode_image(encode_fake_media(20, 10, 3, seed=1))
+    assert got == {"width": 20, "height": 10, "channels": 3}
+
+
+def test_decode_real_image_roundtrip():
+    # with Pillow installed the real path decodes real bytes; without
+    # it, the same call degrades to a clear NotImplementedError
+    from dmds_spark.operators.multimodal import _pil
+
+    Image = _pil()
+    if Image is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        return
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (33, 21)).save(buf, "PNG")
+    got = decode_image(buf.getvalue())
+    assert got == {"width": 33, "height": 21, "channels": 3}
 
 
 def test_decode_images_matches_metadata(media):

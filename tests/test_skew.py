@@ -59,3 +59,15 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert sorted(
         map(tuple, got.select("id", "key", "total").collect())
     ) == sorted(map(tuple, want.select("id", "key", "total").collect()))
+
+
+def test_salted_join_rejects_dim_preserving_shapes(spark):
+    # right/full would emit each unmatched dim row once per salt
+    # replica — rejected up front
+    import pytest
+
+    df = _skewed(spark)
+    dim = df.groupBy("key").agg(F.count(F.lit(1)).alias("total"))
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(df, dim, on="key", distributor_cols=["id"], how=how)
