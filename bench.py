@@ -43,11 +43,21 @@ def main() -> int:
         "dmds_select_plus",
         "dedup_exact_keep_first",
         "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "dedup_embedding_neardup",
         "text_token_stats",
         "text_lang_id",
+        "text_bpe_token_count",
+        "text_fingerprint",
         "similarity_cosine_topk",
         "similarity_ann_lsh_topk",
+        "similarity_ivf_topk",
+        "sample_hash_10pct",
+        "sample_train_val_test",
+        "agg_salted_sum",
+        "join_salted_skew",
         "window_tumbling_1h",
+        "window_sliding_1h_30m",
         "sessionize_10m",
         "timeseries_gapfill",
         "pipeline_curation",

@@ -457,6 +457,46 @@ class World:
         ``writes`` counter (src/world.rs:52-54)."""
         return len(self._ops)
 
+    def chunk_states(self) -> DataFrame:
+        """Per-chunk dirty view for daemons (reference ``World::chunks``
+        iterator, src/world.rs: the maintenance loop inspects each
+        buffered chunk's write count): one row per physical partition
+        the pending buffer would touch, with pending upsert/delete row
+        counts. Distributed — partition keys only ever reach the
+        caller, never rows."""
+        live, touched = self._resolved_pending()
+        pcols = self.partition_cols()
+        if live is None:
+            schema = T.StructType(
+                [T.StructField(c, T.LongType()) for c in pcols]
+                + [T.StructField("pending_upserts", T.LongType()),
+                   T.StructField("pending_deletes", T.LongType())]
+            )
+            return self.spark.createDataFrame([], schema)
+        id_col = self.spec.id_dim.name
+        up = (
+            self._with_partition_cols(live)
+            .groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("pending_upserts"))
+        )
+        base = self._base()
+        if base is not None and touched is not None:
+            # deletes/relocations dirty the partition currently holding
+            # the touched id on disk
+            dels = (
+                base.join(touched, on=id_col, how="left_semi")
+                .groupBy(*pcols)
+                .agg(F.count(F.lit(1)).alias("pending_deletes"))
+            )
+            out = up.join(dels, on=pcols, how="full_outer")
+        else:
+            out = up.withColumn("pending_deletes", F.lit(None).cast("long"))
+        return out.select(
+            *[F.col(c).cast("long").alias(c) for c in pcols],
+            F.coalesce("pending_upserts", F.lit(0)).alias("pending_upserts"),
+            F.coalesce("pending_deletes", F.lit(0)).alias("pending_deletes"),
+        )
+
     def flush(self) -> int:
         """Persist the pending buffer: rewrite exactly the dirty chunks
         via dynamic partition overwrite (the reference's whole-chunk

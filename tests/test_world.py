@@ -220,3 +220,24 @@ def test_upsert_delete_upsert_sequencing(world):
     world.delete_ids([1])
     world.flush()
     assert rows(world.snapshot()) == []
+
+
+def test_chunk_states(spark, world):
+    # reference World::chunks iterator: per-chunk dirty view (M11)
+    assert world.chunk_states().count() == 0
+    world.insert_rows([{"dim0": 114, "dim1": 514}, {"dim0": 10, "dim1": 39}])
+    states = {
+        (r["c0"], r["c1"]): (r["pending_upserts"], r["pending_deletes"])
+        for r in world.chunk_states().collect()
+    }
+    # chunk of (114,514) = (14,32); chunk of (10,39) = (1,2)
+    assert states == {(14, 32): (1, 0), (1, 2): (1, 0)}
+    world.flush()
+    assert world.chunk_states().count() == 0
+    # a delete dirties the on-disk partition holding the id
+    world.delete_ids([114])
+    states = {
+        (r["c0"], r["c1"]): (r["pending_upserts"], r["pending_deletes"])
+        for r in world.chunk_states().collect()
+    }
+    assert states == {(14, 32): (0, 1)}
