@@ -90,13 +90,29 @@ def main() -> int:
             release_materialized_state(spark)
             print(f"measured {name} {dt:.2f}s", file=sys.stderr)
 
-    total = round(sum(times.values()), 4)
+    # "value" stays comparable with BASELINE.md's recorded table (the
+    # round-1 21-query headline set); queries added to the headline
+    # later are reported per-query and in value_full so the widened
+    # surface is tracked without breaking the round-over-round ratio.
+    baseline_set = {
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q10_returned_revenue", "q9_product_profit",
+        "q18_large_volume_customer", "agg_rollup", "window_row_number",
+        "topk_per_group", "dmds_select_plus", "dedup_exact_keep_first",
+        "dedup_minhash_pairs", "text_token_stats", "text_lang_id",
+        "similarity_cosine_topk", "similarity_ann_lsh_topk",
+        "window_tumbling_1h", "sessionize_10m", "timeseries_gapfill",
+        "pipeline_curation",
+    }
+    total = round(sum(v for k, v in times.items() if k in baseline_set), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "value_full": round(sum(times.values()), 4),
                 "queries": times,
                 "sf": sf,
             }

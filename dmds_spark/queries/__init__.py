@@ -110,5 +110,9 @@ def _load():
     from dmds_spark.queries import llm_dedup  # noqa: F401
     from dmds_spark.queries import streaming_batch  # noqa: F401
     from dmds_spark.queries import advanced  # noqa: F401
+    # imported LAST: round-2 additions register behind the round-1
+    # unchecked set so they don't displace it from the driver's
+    # 50-query correctness window (see _ordered_names)
+    from dmds_spark.queries import llm_extra  # noqa: F401
 
     _LOADED = True

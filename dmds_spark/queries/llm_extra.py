@@ -1,0 +1,240 @@
+"""Round-2 additions to the LLM-data-pipeline surface (SURVEY.md §2b):
+per-domain capping, integer-exact TF-IDF term ranking, boilerplate
+n-gram detection, and batch k-NN join. All oracle-checked; all scoring
+that feeds an ORDER BY is integer/decimal-exact so the hash compare
+cannot drift on libm differences between engines.
+
+Registered last on purpose: the driver checks the first 50 registered
+queries, and round 2's window is reserved for the round-1-unchecked
+set (queries/__init__.py ordering) — these queue for round 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.similarity import cosine
+from dmds_spark.queries import register
+from dmds_spark.queries.relational import T  # noqa: F401 (sf table loader)
+
+_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+CAP_PER_SOURCE = 10
+
+
+@register(
+    "sample_cap_per_source",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_BUCKET_SQL.format(k='doc_id')}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {CAP_PER_SOURCE}
+    """,
+)
+def sample_cap_per_source(spark, sf_dir):
+    """Domain capping — "at most K documents per source" — the standard
+    counter to a few domains dominating a crawl corpus. Selection is
+    deterministic (rank by content-hash bucket, doc_id tie-break), so
+    re-runs and engine changes keep the identical subset. One shuffle
+    on source; at 100 TB source-hash partitioning with AQE skew-split
+    handles hot domains (and a two-level cap — hash-slice first, then
+    rank — bounds any single domain's window input)."""
+    from dmds_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP_PER_SOURCE)
+        .select("doc_id", "source")
+    )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             (tf.tf * n.n_docs * 1000000) // df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS rnk FROM scored
+    ) WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-k characteristic terms per document by TF-IDF — the
+    keyword-extraction stage of corpus analysis. The score is the
+    integer floor of tf * N_docs * 1e6 / df: rational TF-IDF scaled to
+    integers, so ranking is bit-exact in both engines (a float idf =
+    ln(N/df) would hash-drift on libm rounding).
+
+    Shape at scale: one shuffle for per-doc term counts, one for
+    document frequencies (map-side partial on both), a broadcast of the
+    single-row corpus count, then a per-doc window. The df table is
+    vocabulary-sized — AQE picks broadcast vs shuffle for the score
+    join."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    num = F.col("tf") * F.col("n_docs") * F.lit(1_000_000)
+    # integer floor division (exact past 2^53, same trick as
+    # ntile_from_rn): subtract pmod, then decimal division is lossless
+    score = (
+        ((num - F.pmod(num, F.col("df"))).cast("decimal(38,0)") / F.col("df"))
+        .cast("bigint")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+BOILER_K = 3  # shingle width
+BOILER_MIN_DOCS = 5
+BOILER_LIMIT = 20
+
+
+@register(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(
+               list_slice(string_split(text, ' '), i, i + {BOILER_K - 1}), ' ')
+               for i in range(1, greatest(len(string_split(text, ' '))
+                                          - {BOILER_K - 2}, 1))]) AS s
+      FROM documents
+    ), r AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh)
+    SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM r GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ORDER BY n_docs DESC, shingle
+    LIMIT {BOILER_LIMIT}
+    """,
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection (the C4 'repeated lines' trick at n-gram
+    granularity): word {BOILER_K}-grams occurring in >= K distinct
+    documents are navigation chrome / license headers / templates, and
+    feed a removal or down-weighting pass. Distinct-per-doc shingles
+    come from the same window-lead pipeline as MinHash (one shuffle);
+    the doc-frequency aggregate is map-side partial; top-N is
+    TakeOrderedAndProject, never a global sort."""
+    from dmds_spark.operators.dedup import minhash_shingle_rows
+
+    d = _docs(spark, sf_dir)
+    sh = minhash_shingle_rows(d, "text", "doc_id", k=BOILER_K)
+    return (
+        sh.groupBy(F.col("__s").alias("shingle"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+        .limit(BOILER_LIMIT)
+        .select("shingle", F.col("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+KNN_QUERIES = 4
+KNN_K = 3
+
+
+@register(
+    "similarity_knn_batch",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {KNN_QUERIES}
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qv) AS sim_exact
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id,
+           CAST(ROUND(CAST(sim_exact AS DECIMAL(18,9)), 4) AS DOUBLE) AS sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY sim_exact DESC, vec_id
+      ) AS rn FROM scored
+    ) WHERE rn <= {KNN_K}
+    """,
+)
+def similarity_knn_batch(spark, sf_dir):
+    """Batch k-NN join: top-k neighbors for EVERY query vector in a
+    query set, in one plan — the shape of embedding-based retrieval
+    evaluation. The query set broadcasts (it is small by definition);
+    per-query top-k is a window over qid, so candidate scoring stays
+    fully distributed. The exact-scan baseline for the LSH/IVF paths,
+    batched; swap the crossJoin for lsh_blocked_pairs at corpus
+    scale."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim_exact", cosine(F.col("embedding"), F.col("qv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim_exact").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "qid", "vec_id",
+            F.round(F.col("sim_exact").cast("decimal(18,9)"), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+    )

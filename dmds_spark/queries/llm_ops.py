@@ -16,18 +16,20 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dmds_spark.operators.similarity import (
-    cosine,
     lsh_blocked_pairs,
     lsh_bucket_sql,
+    pair_cosine,
 )
 from dmds_spark.queries import register
 
 # Multi-table sign-LSH blocking parameters shared by the near-dup and
-# pairs-threshold queries (and their generated oracle SQL). 4 planes =
-# 16 buckets/table at this corpus size; at 100 TB grow planes like
-# log2(n / target_bucket_rows) and buy recall back with more tables.
-LSH_TABLES = 16
-LSH_PLANES = 4
+# pairs-threshold queries (and their generated oracle SQL). 6 planes =
+# 64 buckets/table keeps candidate volume ~n^2/64 per table at this
+# corpus size; at 100 TB grow planes like log2(n / target_bucket_rows)
+# and buy recall back with more tables (recall for a pair at angle θ is
+# 1 - (1 - (1-θ/π)^planes)^tables).
+LSH_TABLES = 12
+LSH_PLANES = 6
 
 _PAIR_CAND_CTE = f"""
 WITH b AS (
@@ -251,7 +253,7 @@ def dedup_embedding_neardup(spark, sf_dir):
     e = _emb(spark, sf_dir)
     cand = lsh_blocked_pairs(e, "vec_id", "embedding", LSH_TABLES, LSH_PLANES)
     doomed = (
-        cand.filter(cosine(F.col("va"), F.col("vb")) > 0.45)
+        cand.filter(pair_cosine() > 0.45)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -391,6 +393,6 @@ def similarity_pairs_threshold(spark, sf_dir):
     e = _emb(spark, sf_dir)
     cand = lsh_blocked_pairs(e, "vec_id", "embedding", LSH_TABLES, LSH_PLANES)
     return (
-        cand.filter(cosine(F.col("va"), F.col("vb")) > 0.20)
+        cand.filter(pair_cosine() > 0.20)
         .select("id_a", "id_b")
     )
