@@ -82,3 +82,35 @@ def test_bands_must_divide_bits(spark):
     df = spark.createDataFrame([("0" * 30,)], ["simhash"])
     with pytest.raises(ValueError):
         df.select(simhash_band_keys(F.col("simhash"), 30, 4))
+
+
+def test_property_recall_random_signatures(spark):
+    """Property: EVERY pair within hamming <= 3 is found, whatever the
+    bit pattern (pigeonhole guarantee) — checked over a deterministic
+    pseudo-random batch in one Spark job."""
+    import random
+
+    rng = random.Random(42)
+    sigs, expected = [], {}
+    base_id = 0
+    for _ in range(40):
+        a = [rng.randint(0, 1) for _ in range(BITS)]
+        d = rng.randint(0, 3)
+        flip = rng.sample(range(BITS), d)
+        b = [bit ^ (1 if i in flip else 0) for i, bit in enumerate(a)]
+        sigs.append("".join(map(str, a)))
+        sigs.append("".join(map(str, b)))
+        expected[(base_id, base_id + 1)] = d
+        base_id += 2
+    sh = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], ["doc_id", "simhash"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_from_signatures(
+            sh, "doc_id", num_bits=BITS, max_hamming=3
+        ).collect()
+    }
+    # every constructed pair must be present with the exact distance
+    for pair, d in expected.items():
+        assert got.get(pair) == d, (pair, d, got.get(pair))
