@@ -176,6 +176,24 @@ def test_simhash_band_equijoin(spark, qs):
     assert "__block" in plan
 
 
+def test_tfidf_broadcasts_corpus_count(spark, qs):
+    """The single-row corpus count must broadcast into the score join;
+    ranking is a per-doc window, never a global sort."""
+    df = qs["text_tfidf_topk"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_knn_batch_broadcasts_queries(spark, qs):
+    """The query set broadcasts; candidate scoring stays distributed."""
+    df = qs["similarity_knn_batch"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_boilerplate_topn_no_global_sort(spark, qs):
+    plan = physical_plan(qs["text_boilerplate_ngrams"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cluster_pairs_single_band_shuffle(spark):
     """The LSH candidate join must join on the band key only (one
     shuffle), never a cartesian of signatures."""
