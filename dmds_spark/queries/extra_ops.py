@@ -9,7 +9,6 @@ table). The CRUD query is the reference's write path (src/world.rs:
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -109,11 +108,16 @@ def dmds_crud_snapshot(spark, sf_dir):
             DimSpec("user_id", 0, 2047, 64),
         )
     )
+    import uuid
+
+    # per-invocation world dir: concurrent evaluations (bench loop
+    # overlapping the correctness driver) must not rmtree each other's
+    # live chunk tree mid-read
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch", "crud_world", os.path.basename(sf_dir.rstrip("/")),
+        ".scratch", "crud_world",
+        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
     )
-    shutil.rmtree(root, ignore_errors=True)
     world = World(spark, spec, root)
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")
