@@ -185,6 +185,45 @@ def text_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+@register(
+    "stream_dedup_events",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS ws_us
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type,
+                            time_bucket(INTERVAL '10 minutes', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_events(spark, sf_dir):
+    """Batch-equivalence target for streaming dedup
+    (streaming/windows.py streaming_dedup / dropDuplicates after a
+    watermark): keep the FIRST event per (user, type, 10-minute
+    window), earliest (ts, event_id) wins. In streaming the watermark
+    bounds the dedup state to one window's keys; here the same
+    semantics is one window pass over the batch table."""
+    from dmds_spark.sources.registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy(
+        "user_id", "event_type", F.window("ts", "10 minutes").start
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros(F.window("ts", "10 minutes").start).alias("ws_us"),
+        )
+    )
+
+
 KNN_QUERIES = 4
 KNN_K = 3
 
