@@ -149,3 +149,109 @@ def pair_cosine() -> Column:
     cosine(va, vb) — same dot and sqrt doubles, same multiply order —
     with the norm computed per vector, not per pair."""
     return dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+
+
+def centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    dim: int = EMB_DIM,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group centroid (elementwise mean) of a vector column,
+    summed in DECIMAL so the result is EXACT and independent of
+    aggregation order — float sums hash-drift across engines and even
+    across partitionings of the same engine. Returns (group_col,
+    centroid: array<double> rounded to ``scale`` decimals).
+
+    Shape: posexplode to (group, pos, x) rows, one groupBy(group, pos)
+    decimal-sum shuffle (map-side partial), then array re-assembly
+    ordered by pos. At 100 TB this is the k-means M-step / class-
+    prototype aggregation."""
+    rows = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    # exact decimal SUM (order-independent), then ONE deterministic
+    # IEEE double division by the exact count — never a float sum,
+    # never decimal division (whose result scale rules differ between
+    # engines)
+    agg = rows.groupBy(group_col, "__pos").agg(
+        F.sum(F.col("__x").cast("double").cast(f"decimal(28,{scale})"))
+        .alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
+    pairs = agg.select(group_col, "__pos", mean.alias("__m"))
+    return (
+        pairs.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+            ).alias("__pairs")
+        )
+        .select(
+            group_col,
+            F.transform(
+                F.col("__pairs"), lambda p: p["__m"].cast("double")
+            ).alias("centroid"),
+        )
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Deterministic k-means: centers init from the k data vectors
+    with the smallest md5(id) (a reproducible pseudo-random seed draw
+    — no RNG state, same centers on any partitioning), ``iters``
+    rounds of assign (centers embedded as broadcast literals, argmin
+    squared euclidean with index tie-break) + decimal-exact M-step via
+    ``centroids``; a cluster that loses all members keeps its previous
+    center. Returns (id, cluster).
+
+    Per round: one scan with k literal-distance expressions + one
+    posexplode/groupBy shuffle for the new centers (k rows to the
+    driver — bounded by k, never data size) — the canonical
+    distributed k-means shape. Iterative, so registered queries using
+    it take the rows-only correctness path (no single SQL oracle)."""
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centers = [
+        (c, [float(v) for v in row[vec_col]]) for c, row in enumerate(seeds)
+    ]
+
+    def sqdist_to(center_vals):
+        arr = F.array(*[F.lit(v) for v in center_vals])
+        diff = F.zip_with(
+            F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    assigned = None
+    for _ in range(iters):
+        best = None
+        for c, vals in centers:
+            d = sqdist_to(vals)
+            cur = F.struct(d.alias("d"), F.lit(c).alias("c"))
+            best = cur if best is None else F.least(best, cur)
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col), best["c"].alias("cluster")
+        )
+        new_centers = {
+            int(r["cluster"]): [float(v) for v in r["centroid"]]
+            for r in centroids(assigned, "cluster", vec_col, dim).collect()
+        }
+        centers = [
+            (c, new_centers.get(c, vals)) for c, vals in centers
+        ]
+    return assigned.select(id_col, "cluster")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dmds_spark.operators.similarity import cosine
+from dmds_spark.operators.similarity import centroids, cosine, kmeans_assign
 from dmds_spark.queries import register
 from dmds_spark.queries.relational import T  # noqa: F401 (sf table loader)
 
@@ -221,6 +221,46 @@ def stream_dedup_events(spark, sf_dir):
             "event_id", "user_id", "event_type",
             F.unix_micros(F.window("ts", "10 minutes").start).alias("ws_us"),
         )
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH r AS (
+      SELECT label,
+             UNNEST([{'pos': i, 'x': embedding[i]}
+                     for i in range(1, len(embedding) + 1)]) AS u
+      FROM embeddings
+    ), s AS (
+      SELECT label, u.pos AS pos,
+             CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM r GROUP BY label, u.pos
+    )
+    SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid
+    FROM s GROUP BY label
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid (class prototype / k-means M-step) with
+    order-independent exactness: elements are summed in DECIMAL, then
+    one deterministic double division per (label, pos) — a float sum
+    would hash-drift with aggregation order, across engines AND across
+    partitionings of the same engine. One posexplode + one shuffle."""
+    return centroids(_emb(spark, sf_dir), "label", "embedding")
+
+
+@register("embedding_kmeans_assign", None)  # iterative: rows-only check
+def embedding_kmeans_assign(spark, sf_dir):
+    """Deterministic distributed k-means assignment (md5-derived
+    initial centers, no RNG; broadcast centers per round; decimal-exact
+    M-step). Iterative with a k-row driver collect per round, so there
+    is no single SQL oracle — the driver records a rows-only check and
+    tests/test_similarity_ops.py pins determinism and convergence
+    behavior."""
+    return kmeans_assign(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=8, iters=2
     )
 
 
