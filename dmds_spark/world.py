@@ -603,7 +603,26 @@ class World:
         self._ops = []
         return n_ops
 
-    def compact(self, max_files_per_partition: int = 1) -> int:
+    def zvalue(self) -> F.Column:
+        """Morton (Z-order) key over the world's dims: bit-interleave
+        the dim offsets so rows close in EVERY dimension are close in
+        the sort order. Sorting files by this key gives parquet
+        row-group min/max stats pruning power on all dims at once —
+        an id-only sort (the BTreeMap order) prunes id point-gets but
+        leaves secondary-dim range scans reading every row group.
+        Pure integer expression (shifts/ors), codegen-friendly."""
+        ndims = self.spec.ndims
+        bits = 63 // ndims
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for i, d in enumerate(self.spec.dims):
+                off = (F.col(d.name) - F.lit(d.start)).cast("long")
+                bit = F.shiftright(off, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * ndims + i))
+        return z
+
+    def compact(self, max_files_per_partition: int = 1,
+                order: str = "id") -> int:
         """Rewrite fragmented physical partitions down to one file each,
         rows sorted by id within the file.
 
@@ -617,10 +636,18 @@ class World:
         (src/world.rs:25) so parquet row-group min/max stats prune id
         point-gets again.
 
+        ``order`` picks the within-file sort: ``"id"`` restores the
+        BTreeMap id order (best for point-gets), ``"zorder"`` sorts by
+        the Morton key (``zvalue``) so row-group stats prune range
+        scans on EVERY dim — the right choice when the workload filters
+        on secondary dims as often as on id.
+
         Only partitions holding more than ``max_files_per_partition``
         files are rewritten. Requires a clean buffer (flush first) so
         the rewrite cannot race pending ops. Returns the number of
         partitions compacted."""
+        if order not in ("id", "zorder"):
+            raise ValueError("order must be 'id' or 'zorder'")
         with self._lock:
             if self._ops:
                 raise RuntimeError("flush pending ops before compact()")
@@ -644,12 +671,13 @@ class World:
             if not n_frag:
                 return 0
             id_col = self.spec.id_dim.name
+            sort_key = self.zvalue() if order == "zorder" else F.col(id_col)
             out = (
                 base.join(F.broadcast(frag_df), on=pcols, how="left_semi")
                 # one task (=> one file) per physical partition, rows
-                # id-sorted within it for row-group stats pruning
+                # sorted within it for row-group stats pruning
                 .repartition(*[F.col(c) for c in pcols])
-                .sortWithinPartitions(*pcols, id_col)
+                .sortWithinPartitions(*pcols, sort_key)
                 .localCheckpoint(eager=True)  # materialize before self-overwrite
             )
             (

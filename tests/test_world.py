@@ -241,3 +241,32 @@ def test_chunk_states(spark, world):
         for r in world.chunk_states().collect()
     }
     assert states == {(14, 32): (0, 1)}
+
+
+def test_zvalue_interleave(spark, world):
+    # Morton key: dim0 bits land at even positions, dim1 at odd
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], ["dim0", "dim1"]
+    )
+    got = {(r["dim0"], r["dim1"]): r["z"]
+           for r in df.select("dim0", "dim1", world.zvalue().alias("z")).collect()}
+    # interleave(x=3 (11b), y=5 (101b)): bits y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(3, 5)] == 0b100111
+
+
+def test_compact_zorder(spark, tmp_path):
+    spec = spec_1024()
+    w = World(spark, spec, str(tmp_path / "wz"), physical_factors=(128, 64))
+    # two flushes -> fragmented partition dirs
+    w.upsert(spark.createDataFrame([{"dim0": i, "dim1": (i * 37) % 1024} for i in range(0, 200, 2)]))
+    w.flush()
+    w.upsert(spark.createDataFrame([{"dim0": i, "dim1": (i * 37) % 1024} for i in range(1, 200, 2)]))
+    w.flush()
+    n = w.compact(order="zorder")
+    assert n >= 1
+    assert rows(w.snapshot()) == [(i, (i * 37) % 1024) for i in range(200)]
+    with pytest.raises(ValueError):
+        w.compact(order="bogus")
