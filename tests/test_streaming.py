@@ -186,3 +186,31 @@ def test_stream_static_join(spark, events_dir, events_stream):
     assert canon(got, ["event_id", "event_type", "type_total"]) == canon(
         want, ["event_id", "event_type", "type_total"]
     )
+
+
+def test_streaming_dedup_window_keys_match_batch_query(spark, events_stream, events_dir):
+    """Streaming dedup keyed on (user, type, 10-min window) must keep
+    exactly the key set of the batch query stream_dedup_events. The
+    SURVIVOR per key is arrival-order-dependent in a stream (first
+    arrival wins) vs ts-order in batch, so the equivalence contract is
+    the key set, not the surviving event_id."""
+    from dmds_spark.queries.llm_extra import stream_dedup_events
+
+    keyed = events_stream.withColumn(
+        "ws_us", F.unix_micros(F.window("ts", "10 minutes").start)
+    )
+    s = streaming_dedup(keyed, ["user_id", "event_type", "ws_us"], "ts", "45 days")
+    q = (
+        s.writeStream.format("memory")
+        .queryName("dedup_win_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = canon(spark.table("dedup_win_eq"), ["user_id", "event_type", "ws_us"])
+    # batch query reads the canonical sf0.001 table; same logical rows
+    want = canon(
+        stream_dedup_events(spark, SF), ["user_id", "event_type", "ws_us"]
+    )
+    assert got == want
