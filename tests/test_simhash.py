@@ -114,3 +114,40 @@ def test_property_recall_random_signatures(spark):
     # every constructed pair must be present with the exact distance
     for pair, d in expected.items():
         assert got.get(pair) == d, (pair, d, got.get(pair))
+
+
+def test_column_form_matches_operator_pipeline(spark):
+    """functions.text.simhash_bits (the per-row composable Column form)
+    must produce the same signatures as the operator pipeline's
+    explode/aggregate form, and hamming_distance_bitstrings must agree
+    with the bit_count(xor) fast path."""
+    from dmds_spark.functions.text import (
+        hamming_distance_bitstrings,
+        simhash_bits,
+        words,
+    )
+    from dmds_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    per_row = docs.select(
+        "doc_id", simhash_bits(words("text"), 32).alias("simhash")
+    )
+    pipeline = simhash_signatures(docs, "text", "doc_id", 32)
+    a = {r["doc_id"]: r["simhash"] for r in per_row.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in pipeline.collect()}
+    assert a == b
+
+    pairs = spark.createDataFrame(
+        [("0" * 32, "0" * 32), ("0" * 31 + "1", "1" + "0" * 31),
+         ("01" * 16, "10" * 16)],
+        ["sh_a", "sh_b"],
+    )
+    got = pairs.select(
+        hamming_distance_bitstrings(F.col("sh_a"), F.col("sh_b"), 32).alias("h"),
+        F.bit_count(
+            F.conv("sh_a", 2, 10).cast("long").bitwiseXOR(
+                F.conv("sh_b", 2, 10).cast("long")
+            )
+        ).alias("h2"),
+    ).collect()
+    assert [(r.h, r.h2) for r in got] == [(0, 0), (2, 2), (32, 32)]
