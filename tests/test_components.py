@@ -41,3 +41,28 @@ def test_nonconvergence_raises(spark):
     edf = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edf, "id_a", "id_b", max_iter=1)
+
+
+def test_jaccard_exact_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from dmds_spark.functions.text import jaccard_exact
+
+    df = spark.createDataFrame(
+        [(["a b c", "b c d"], ["b c d", "d e f"]), ([], [])],
+        ["sa", "sb"],
+    )
+    got = [r.j for r in df.select(
+        jaccard_exact(F.col("sa"), F.col("sb")).alias("j")
+    ).collect()]
+    assert got[0] == 1 / 3  # {a b c, b c d} vs {b c d, d e f}
+    assert got[1] == 0.0
+
+
+def test_optimized_plan_inspection(spark):
+    from dmds_spark.plans import physical_plan
+    from dmds_spark.plans.inspect import optimized_plan
+
+    df = spark.range(10).filter("id > 3")
+    assert "id" in optimized_plan(df)
+    assert "Range" in physical_plan(df)
