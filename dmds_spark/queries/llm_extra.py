@@ -264,6 +264,88 @@ def embedding_kmeans_assign(spark, sf_dir):
     )
 
 
+# --- relational coverage completions (registered here, in the module
+# imported last, for the same driver-window reason as everything else
+# in this file) ------------------------------------------------------
+
+
+@register(
+    "setop_except_all",
+    """
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_shipdate < DATE '1996-06-01'
+    """,
+)
+def setop_except_all(spark, sf_dir):
+    """Bag (multiset) difference — EXCEPT ALL keeps multiplicity
+    (count_in_A - count_in_B per row value), unlike EXCEPT's set
+    semantics. Executes as one hash aggregation per side + counted
+    anti-merge; same single-shuffle shape as union_distinct."""
+    li = T(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < "1998-01-01").select(
+        "l_returnflag", "l_linestatus"
+    )
+    b = li.filter(F.col("l_shipdate") < "1996-06-01").select(
+        "l_returnflag", "l_linestatus"
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_shipdate < DATE '1998-01-01'
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+    """,
+)
+def setop_intersect_all(spark, sf_dir):
+    """Bag intersection — min(count_in_A, count_in_B) per row value."""
+    li = T(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < "1998-01-01").select(
+        "l_returnflag", "l_linestatus"
+    )
+    b = li.filter(F.col("l_quantity") > 25).select(
+        "l_returnflag", "l_linestatus"
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS k FROM orders
+      WHERE o_orderkey < 2000
+    ), b AS (
+      SELECT NULLIF(c_custkey % 7, 0) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    )
+    SELECT a.o_orderkey, a.k, b.n_cust
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    every engine must get right around outer-join null columns.
+    Still a hash-partitionable equi-join (null-safe equality is a
+    valid shuffle key: all NULLs hash together)."""
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k")
+    )
+    b = customer.groupBy(
+        F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    return a.alias("a").join(
+        b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k"))
+    ).select("a.o_orderkey", "a.k", "b.n_cust")
+
+
 KNN_QUERIES = 4
 KNN_K = 3
 
