@@ -270,3 +270,16 @@ def test_compact_zorder(spark, tmp_path):
     assert rows(w.snapshot()) == [(i, (i * 37) % 1024) for i in range(200)]
     with pytest.raises(ValueError):
         w.compact(order="bogus")
+
+
+def test_flush_daemon_concurrent_with_autoflush(spark, tmp_path):
+    # daemon flushes on its timer while the writer's pending_limit
+    # auto-flush fires — the single lock must serialize them without
+    # losing ops or double-applying any batch
+    w = World(spark, spec_1024(), str(tmp_path / "wd"),
+              physical_factors=(1, 1), pending_limit=4)
+    with FlushDaemon([w], interval=0.2):
+        for i in range(20):
+            w.insert_rows([{"dim0": i, "dim1": (i * 11) % 1024}])
+    assert w.writes == 0  # close() flushed the tail
+    assert rows(w.snapshot()) == [(i, (i * 11) % 1024) for i in range(20)]
