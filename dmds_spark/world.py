@@ -345,6 +345,25 @@ class World:
                 live = live.withColumn(d.name, F.lit(None).cast("long"))
         return live, touched
 
+    @staticmethod
+    def _align_to(df: DataFrame, ref: DataFrame) -> DataFrame:
+        """Project ``df`` to ``ref``'s columns/types for a union:
+        shared columns cast to ref's type, ref-only columns become
+        typed nulls, df-only columns (payload schema evolution — a
+        later batch introduced a new column) ride along at the end."""
+        rtypes = dict(ref.dtypes)
+        return df.select(
+            *[
+                (
+                    F.col(c).cast(rtypes[c])
+                    if c in df.columns
+                    else F.lit(None).cast(rtypes[c])
+                ).alias(c)
+                for c in ref.columns
+            ],
+            *[F.col(c) for c in df.columns if c not in rtypes],
+        )
+
     # -- read path (reference: §3A) -------------------------------------------
 
     def select(self, dim: int, bounds) -> Select:
@@ -376,12 +395,7 @@ class World:
         if base is None:
             return live
         base_kept = base.join(touched, on=id_col, how="left_anti")
-        live = live.select(
-            *[
-                F.col(c).cast(dict(base.dtypes)[c]) if c in dict(base.dtypes) else F.col(c)
-                for c in base.columns
-            ]
-        )
+        live = self._align_to(live, base)
         return base_kept.unionByName(live, allowMissingColumns=True)
 
     def read(self, sel: Select) -> DataFrame:
@@ -405,12 +419,7 @@ class World:
             if out is None:
                 out = live_sel
             else:
-                live_sel = live_sel.select(
-                    *[
-                        F.col(c).cast(dict(out.dtypes)[c]) if c in dict(out.dtypes) else F.col(c)
-                        for c in out.columns
-                    ]
-                )
+                live_sel = self._align_to(live_sel, out)
                 out = out.unionByName(live_sel, allowMissingColumns=True)
         if out is None:
             return self.snapshot().filter(value_pred)
@@ -556,18 +565,7 @@ class World:
             F.broadcast(dirty_df), on=self.partition_cols(), how="left_semi"
         ).drop(*self.partition_cols())
         kept = base_part.join(touched, on=id_col, how="left_anti")
-        btypes = dict(base_part.dtypes)
-        live_cast = live.select(
-            *[
-                (
-                    F.col(c).cast(btypes[c])
-                    if c in live.columns
-                    else F.lit(None).cast(btypes[c])
-                ).alias(c)
-                for c in base_part.columns
-            ],
-            *[F.col(c) for c in live.columns if c not in base_part.columns],
-        )
+        live_cast = self._align_to(live, base_part)
         merged = kept.unionByName(live_cast, allowMissingColumns=True)
         out = self._with_partition_cols(merged)
         # localCheckpoint: materialize BEFORE overwriting the files

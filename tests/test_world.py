@@ -283,3 +283,22 @@ def test_flush_daemon_concurrent_with_autoflush(spark, tmp_path):
             w.insert_rows([{"dim0": i, "dim1": (i * 11) % 1024}])
     assert w.writes == 0  # close() flushed the tail
     assert rows(w.snapshot()) == [(i, (i * 11) % 1024) for i in range(20)]
+
+
+def test_payload_schema_evolution(spark, tmp_path):
+    # a later batch may carry NEW payload columns: earlier rows read
+    # back with nulls there, earlier columns survive on new rows when
+    # absent (unionByName allowMissingColumns on both merge paths)
+    spec = WorldSpec(dims=(DimSpec("id", 0, 1023, 8), DimSpec("grp", 0, 1023, 16)))
+    w = World(spark, spec, str(tmp_path / "we2"), physical_factors=(8, 4))
+    w.upsert(spark.createDataFrame([{"id": 1, "grp": 2, "old_col": "a"}]))
+    w.flush()
+    w.upsert(spark.createDataFrame([{"id": 2, "grp": 3, "new_col": 7}]))
+    w.flush()
+    got = {r["id"]: (r["old_col"], r["new_col"])
+           for r in w.snapshot().select("id", "old_col", "new_col").collect()}
+    assert got == {1: ("a", None), 2: (None, 7)}
+    # and the buffered (pre-flush) view agrees
+    w.upsert(spark.createDataFrame([{"id": 3, "grp": 4, "new_col": 9}]))
+    got2 = {r["id"]: r["new_col"] for r in w.snapshot().select("id", "new_col").collect()}
+    assert got2 == {1: None, 2: 7, 3: 9}
