@@ -302,3 +302,30 @@ def test_payload_schema_evolution(spark, tmp_path):
     w.upsert(spark.createDataFrame([{"id": 3, "grp": 4, "new_col": 9}]))
     got2 = {r["id"]: r["new_col"] for r in w.snapshot().select("id", "new_col").collect()}
     assert got2 == {1: None, 2: 7, 3: 9}
+
+
+def test_delete_only_oplog_paths(spark, tmp_path, world):
+    # delete ops with no upserts: empty world and flushed world both
+    # resolve the delete-only buffer without schema errors
+    w = World(spark, spec_1024(), str(tmp_path / "wdel"), physical_factors=(1, 1))
+    w.delete_ids([5])
+    assert rows(w.snapshot()) == []
+    assert rows(w.read(w.select_all())) == []
+    world.insert_rows([{"dim0": 1, "dim1": 2}, {"dim0": 3, "dim1": 4}])
+    world.flush()
+    world.delete_ids([1])
+    assert rows(world.snapshot()) == [(3, 4)]
+    world.flush()
+    assert rows(world.snapshot()) == [(3, 4)]
+
+
+def test_one_dim_world(spark, tmp_path):
+    spec = WorldSpec(dims=(DimSpec("k", 0, 1023, 16),))
+    w = World(spark, spec, str(tmp_path / "w1"), physical_factors=(4,))
+    w.upsert(spark.createDataFrame([{"k": i, "v": i * i} for i in range(0, 50, 7)]))
+    w.flush()
+    got = sorted((r["k"], r["v"]) for r in w.read(w.select(0, (10, 40))).collect())
+    assert got == [(i, i * i) for i in range(0, 50, 7) if 10 <= i <= 40]
+    # 1-dim Morton key degenerates to the offset itself
+    z = {r["k"]: r["z"] for r in w.snapshot().select("k", w.zvalue().alias("z")).collect()}
+    assert all(z[k] == k for k in z)
