@@ -114,5 +114,6 @@ def _load():
     # unchecked set so they don't displace it from the driver's
     # 50-query correctness window (see _ordered_names)
     from dmds_spark.queries import llm_extra  # noqa: F401
+    from dmds_spark.queries import llm_extra2  # noqa: F401
 
     _LOADED = True

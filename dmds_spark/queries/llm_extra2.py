@@ -1,0 +1,276 @@
+"""Round-2 additions, part 2: the remaining training-data-pipeline
+stages a 100 TB corpus build runs between "raw crawl" and "tokenized
+batches" — benchmark-contamination detection, fixed-length sequence
+packing, Gopher-style repetition/quality rules, and leakage-free
+group-aware splitting. All integer/decimal-exact so the driver's hash
+compare cannot drift; all pure ``pyspark.sql.functions`` (no UDFs).
+
+Registered after ``llm_extra`` on purpose: the driver checks the first
+50 registered queries and round 2's window is reserved for the
+round-1-unchecked set (queries/__init__.py ordering) — these queue for
+round 3 alongside the llm_extra batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.functions.text import word_shingles, words
+from dmds_spark.operators.sampling import hash_bucket
+from dmds_spark.queries import register
+from dmds_spark.queries.llm_dedup import SHINGLES_SQL  # k=3 word shingles
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: which training docs share an exact word
+# shingle with the held-out eval set?
+
+EVAL_MOD = 50  # doc_id % 50 == 0 is the deterministic "benchmark" slice
+
+
+@register(
+    "text_contamination_ngram",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct({SHINGLES_SQL})) AS sh
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh JOIN ev USING (sh)
+    WHERE doc_id % {EVAL_MOD} <> 0
+    GROUP BY doc_id
+    """,
+)
+def text_contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination check — the decontamination stage every
+    serious pretraining pipeline runs: flag training documents sharing
+    an exact word n-gram with a held-out eval set (here the
+    deterministic ``doc_id % 50 == 0`` slice stands in for the
+    benchmark). Output: contaminated doc_id + how many distinct eval
+    shingles it contains.
+
+    Shape at scale: the eval side is benchmark-sized (MMLU et al. are
+    thousands of rows, not billions), so its distinct-shingle set is
+    broadcast — the training-corpus scan stays shuffle-free for the
+    probe and only the per-doc count aggregates (map-side partial).
+    Shingles are deduped per doc *before* the join so a doc repeating
+    one eval shingle 50 times doesn't inflate the probe.
+    """
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk documents into fixed-length
+# training sequences.
+
+SEQ_LEN = 512
+
+
+@register(
+    "tokens_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def tokens_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batching step: documents are laid end-to-end in a deterministic
+    order and cut into SEQ_LEN-token training sequences; each doc gets
+    the sequence id and offset where it starts. Streams are independent
+    per source, so the layout is stable when sources are added.
+
+    Shape at scale: one shuffle on ``source`` then a running-sum window
+    within each source — no global ordering anywhere (a single global
+    ORDER BY would serialize 100 TB through one task; per-source streams
+    keep every partition independent). Token counts are integers, so
+    seq_id/offset are exact and the same on any engine.
+    """
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", "source", F.size(words("text")).alias("n_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(cum_before / SEQ_LEN).cast("bigint").alias("seq_id"),
+        (cum_before % SEQ_LEN).cast("bigint").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality rules.
+
+GOPHER_STOPWORDS = ("the", "a")
+MIN_WORDS, MAX_WORDS = 10, 1_000
+MAX_DUP_PM = 600        # duplicate-word fraction, per-mille
+MIN_MWL_C, MAX_MWL_C = 300, 1_000  # mean word length, centi-chars
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(replace(text, ' ', '')) AS word_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             len(list_distinct(toks)) AS n_distinct,
+             word_chars,
+             len(list_filter(toks, x -> x IN {GOPHER_STOPWORDS!r})) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(1000 * (n_words - n_distinct) // n_words AS BIGINT) AS dup_pm,
+           CAST(100 * word_chars // n_words AS BIGINT) AS mean_wlen_c,
+           CAST(1000 * n_stop // n_words AS BIGINT) AS stop_pm,
+           CAST(
+             n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+             AND 1000 * (n_words - n_distinct) // n_words <= {MAX_DUP_PM}
+             AND 100 * word_chars // n_words
+                 BETWEEN {MIN_MWL_C} AND {MAX_MWL_C}
+             AND n_stop > 0
+           AS INTEGER) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1):
+    word count bounds, duplicate-word fraction, mean word length band,
+    and a must-contain-a-stopword check, combined into a keep flag.
+    Every ratio is integer per-mille / centi-units (floor division) so
+    the flag is bit-identical across engines — float ratios would
+    hash-drift on rounding.
+
+    Shape at scale: a pure per-row projection — no shuffle, no UDF; all
+    higher-order functions (size/array_distinct/filter) run inside
+    whole-stage codegen, and the keep flag composes with the scan
+    filter of a downstream curation query (predicate pushdown applies).
+    """
+    d = _docs(spark, sf_dir)
+    toks = words("text")
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(F.regexp_replace("text", " ", "")).alias("word_chars"),
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "word_chars",
+        F.size(F.filter("toks", lambda x: F.array_contains(sw, x))).alias(
+            "n_stop"
+        ),
+    )
+    dup_pm = (1000 * (F.col("n_words") - F.col("n_distinct"))) - F.pmod(
+        1000 * (F.col("n_words") - F.col("n_distinct")), F.col("n_words")
+    )
+    dup_pm = (dup_pm / F.col("n_words")).cast("bigint")
+    mwl_num = 100 * F.col("word_chars")
+    mwl = ((mwl_num - F.pmod(mwl_num, F.col("n_words"))) / F.col("n_words")).cast(
+        "bigint"
+    )
+    stop_num = 1000 * F.col("n_stop")
+    stop_pm = (
+        (stop_num - F.pmod(stop_num, F.col("n_words"))) / F.col("n_words")
+    ).cast("bigint")
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & (dup_pm <= MAX_DUP_PM)
+        & mwl.between(MIN_MWL_C, MAX_MWL_C)
+        & (F.col("n_stop") > 0)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        dup_pm.alias("dup_pm"),
+        mwl.alias("mean_wlen_c"),
+        stop_pm.alias("stop_pm"),
+        keep.cast("integer").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free splitting: group-aware train/val/test by source.
+
+_SRC_BUCKET_SQL = (
+    "(('0x' || substr(md5(source), 1, 15))::BIGINT % 10000)"
+)
+
+
+@register(
+    "sample_split_by_source",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_SRC_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_SRC_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_by_source(spark, sf_dir):
+    """Group-aware 80/10/10 split: the split key is the *source*, not
+    the document, so near-duplicate documents from one domain can never
+    straddle train and eval (the leakage mode a per-doc split allows).
+    Same content-hash bucketing as ``hash_split`` — deterministic
+    across runs, engines and partitionings, and adding new sources
+    never moves an existing source between splits.
+
+    Shape at scale: pure per-row expression over the scan — no shuffle,
+    no group-by; the md5 bucket is computed per row rather than via a
+    sources dimension join (cheaper than a join below ~hundreds of
+    bytes per row, and always deterministic).
+    """
+    d = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("source"))
+    split = (
+        F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))
