@@ -19,6 +19,8 @@ DuckDB plans, which keeps every pipeline built on them oracle-checkable.
 from __future__ import annotations
 
 import hashlib
+import json
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -73,6 +75,63 @@ def lsh_table_bucket(
     return F.concat(F.lit(f"{table}:"), *bits)
 
 
+@lru_cache(maxsize=None)
+def _hyperplane_matrix(tables: int, planes: int, dim: int) -> Column:
+    """All hyperplanes for a geometry as one constant-folded Column.
+    Half-unit component values round-trip JSON exactly, so the folded
+    doubles are bit-identical to direct literals."""
+    mat = [[hyperplane(t, h, dim) for h in range(planes)] for t in range(tables)]
+    return F.from_json(F.lit(json.dumps(mat)), "array<array<array<double>>>")
+
+
+def lsh_buckets(
+    vec_col: Column, tables: int, planes: int, dim: int = EMB_DIM
+) -> Column:
+    """All ``tables`` bucket strings as one array column — bit-identical
+    to ``array(lsh_table_bucket(t) for t)`` (same zip_with multiply and
+    left-fold add order, so the same doubles and the same sign bits).
+
+    The hyperplane matrix is ONE nested-array literal instead of
+    tables*planes*dim separate literal expression nodes: with the
+    per-table form, 12 tables x 6 planes x 64 dims put ~4,600 Literal
+    nodes through the optimizer and codegen, and the bucketing stage of
+    dedup_embedding_neardup spent ~5 s planning/compiling a job whose
+    actual data was 2,000 rows. The literal itself is built as
+    ``from_json`` of one JSON string — Catalyst constant-folds it to an
+    array literal at optimization time — because ``F.lit`` on the
+    nested Python list pays ~4 s of py4j element-by-element conversion
+    (measured), vs 0.4 s for the string. Memoized per geometry: the
+    Column is immutable and session-scoped, so repeat queries skip even
+    that."""
+    matrix = _hyperplane_matrix(tables, planes, dim)
+    return F.transform(
+        matrix,
+        lambda tmat, ti: F.concat(
+            ti.cast("string"),
+            F.lit(":"),
+            F.array_join(
+                F.transform(
+                    tmat,
+                    lambda plane: F.when(
+                        F.aggregate(
+                            F.zip_with(
+                                vec_col,
+                                plane,
+                                lambda x, y: x.cast("double") * y,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        > 0,
+                        "1",
+                    ).otherwise("0"),
+                ),
+                "",
+            ),
+        ),
+    )
+
+
 def lsh_bucket_sql(
     vec_expr: str, tables: int, planes: int, dim: int = EMB_DIM
 ) -> list[str]:
@@ -113,9 +172,7 @@ def lsh_blocked_pairs(
     so the self-join sides and both re-attach joins read computed
     results (the MinHash signatures barrier; a written intermediate in
     production)."""
-    buckets = F.array(
-        *[lsh_table_bucket(F.col(vec_col), t, planes, dim) for t in range(tables)]
-    )
+    buckets = lsh_buckets(F.col(vec_col), tables, planes, dim)
     b = df.select(F.col(id_col), F.explode(buckets).alias("__bucket"))
     vecs = df.select(
         F.col(id_col),
