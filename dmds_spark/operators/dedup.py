@@ -104,22 +104,27 @@ def minhash_lsh_candidates(
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
     rows = num_hashes // bands
+    # The band self-join and cross-band pair dedup carry ONLY
+    # (id, band_key) — the 16x32-char signatures re-attach by two
+    # equi-joins afterwards (same shape as similarity.lsh_blocked_pairs;
+    # carrying both signatures through the join+distinct multiplies the
+    # shuffle bytes by the signature width).
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(lsh_band_keys(F.col("signature"), bands, rows)).alias("band_key"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band_key"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band_key"
-    )
-    return (
+    a = banded.select(F.col(id_col).alias("id_a"), "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_key")
+    ids = (
         a.join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return ids.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", "sig_a", "sig_b"
     )
 
 
