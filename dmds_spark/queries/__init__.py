@@ -115,5 +115,6 @@ def _load():
     # 50-query correctness window (see _ordered_names)
     from dmds_spark.queries import llm_extra  # noqa: F401
     from dmds_spark.queries import llm_extra2  # noqa: F401
+    from dmds_spark.queries import events_q  # noqa: F401
 
     _LOADED = True
