@@ -116,5 +116,6 @@ def _load():
     from dmds_spark.queries import llm_extra  # noqa: F401
     from dmds_spark.queries import llm_extra2  # noqa: F401
     from dmds_spark.queries import events_q  # noqa: F401
+    from dmds_spark.queries import profiling_q  # noqa: F401
 
     _LOADED = True

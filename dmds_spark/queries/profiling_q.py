@@ -1,0 +1,113 @@
+"""Data-profiling queries: column statistics and fixed-bound
+histograms — the "what's in this table" pass every pipeline runs
+before trusting a new 100 TB drop. One scan each, oracle-checked.
+
+Registered after events_q — queued for a later driver window (see
+queries/__init__.py ordering); locally gated by tests/test_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+
+_PROF_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@register(
+    "profile_column_stats",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_str,
+           CAST(MAX(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_str
+    FROM lineitem
+    """
+        for c in _PROF_COLS
+    ),
+)
+def profile_column_stats(spark, sf_dir):
+    """Per-column profile (null count, distinct count, lexical
+    min/max) for a representative column set, in long format. Min/max
+    are compared as strings so one query shape covers numeric, string
+    and timestamp columns in both engines.
+
+    Scale shape: one scan per profiled column batch; each aggregate is
+    map-side partial, and COUNT(DISTINCT) expands to the standard
+    two-phase expand-aggregate plan. At 100 TB swap n_distinct for
+    approx_count_distinct (the exact form here keeps the oracle
+    bit-exact); nulls/min/max stay exact either way.
+
+    Note: timestamps stringify as '2024-01-01 00:00:00' in both Spark
+    (date_format) and DuckDB (CAST AS VARCHAR) for this data (whole
+    microseconds absent; see events loader for the ns handling).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def str_col(c):
+        # match DuckDB CAST(ts AS VARCHAR) for timestamps
+        dt = dict(li.dtypes)[c]
+        if dt == "timestamp":
+            return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        return F.col(c).cast("string")
+
+    parts = []
+    for c in _PROF_COLS:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
+                F.min(str_col(c)).alias("min_str"),
+                F.max(str_col(c)).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500_000.0, 20
+
+
+@register(
+    "profile_price_histogram",
+    f"""
+    SELECT CAST(FLOOR((o_totalprice - {HIST_LO}) /
+                      (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    WHERE o_totalprice >= {HIST_LO} AND o_totalprice < {HIST_HI}
+    GROUP BY 1
+    """,
+)
+def profile_price_histogram(spark, sf_dir):
+    """Fixed-bound 20-bucket histogram of order totals. Bounds are
+    literals (no two-pass min/max): both engines evaluate the same
+    IEEE-double bucket expression, so bucket assignment is
+    bit-identical even at boundaries.
+
+    Scale shape: single scan, map-side partial aggregate into at most
+    HIST_BUCKETS groups — the shuffle carries one row per bucket per
+    task. The range filter pushes into the parquet scan."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.floor((F.col("o_totalprice") - HIST_LO) / width).cast("bigint")
+    return (
+        o.filter(
+            (F.col("o_totalprice") >= HIST_LO) & (F.col("o_totalprice") < HIST_HI)
+        )
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
