@@ -61,6 +61,13 @@ def main() -> int:
         "sessionize_10m",
         "timeseries_gapfill",
         "pipeline_curation",
+        # round-2 additions: training-pipeline + event-analytics surface
+        "text_contamination_ngram",
+        "text_gopher_rules",
+        "tokens_pack_sequences",
+        "events_funnel_steps",
+        "events_retention_cohorts",
+        "profile_column_stats",
     ]
     headline = [h for h in headline if h in qs]
 

@@ -33,19 +33,19 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+def word_kgram_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, col: str = "__s"
 ) -> DataFrame:
-    """(id, signature) for docs with at least k words.
+    """(id, shingle) rows — one row per word k-gram, docs with < k
+    words contribute none. The shared tokenize stage for every
+    shingle-based operator (MinHash, contamination probe, Jaccard).
 
     Execution shape: tokenize with posexplode, form k-grams with
     window ``lead`` (small, codegen-stable expressions — array-lambda
     HOFs both run interpreted and emit huge generated methods the JIT
-    refuses to compile, measured 40x slower and unstable), hash into
-    ``num_hashes`` md5 columns, then groupBy(id).min each. The window
-    and the aggregation share the id partitioning, so the whole
-    pipeline pays ONE shuffle (plus map-side partial mins). Results
-    are identical to functions.text.minhash_signature."""
+    refuses to compile, measured 40x slower and unstable). One shuffle
+    on id, shared with any following per-id aggregation. Results match
+    ``functions.text.word_shingles`` exploded."""
     from dmds_spark.operators.parallel import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -54,15 +54,28 @@ def minhash_signatures(
     )
     win = Window.partitionBy(id_col).orderBy("__pos")
     lead_cols = [F.lead("__w", i).over(win) for i in range(1, k)]
-    sh = (
+    return (
         tok.select(
             id_col,
-            F.concat_ws(" ", F.col("__w"), *lead_cols).alias("__s"),
+            F.concat_ws(" ", F.col("__w"), *lead_cols).alias(col),
             lead_cols[-1].alias("__last"),
         )
         .filter(F.col("__last").isNotNull())
         .drop("__last")
     )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(id, signature) for docs with at least k words.
+
+    Execution shape: ``word_kgram_rows`` then hash into ``num_hashes``
+    md5 columns and groupBy(id).min each. The k-gram window and the
+    aggregation share the id partitioning, so the whole pipeline pays
+    ONE shuffle (plus map-side partial mins). Results are identical to
+    functions.text.minhash_signature."""
+    sh = word_kgram_rows(df, text_col, id_col, k)
     # ONE md5 per shingle; slot j is the digest rotated left j hex
     # chars — rotation ranks by independent digest positions, giving
     # num_hashes near-independent minima for a single digest pass

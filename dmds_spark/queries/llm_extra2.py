@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dmds_spark.functions.text import word_shingles, words
+from dmds_spark.functions.text import words
 from dmds_spark.operators.sampling import hash_bucket
 from dmds_spark.queries import register
 from dmds_spark.queries.llm_dedup import SHINGLES_SQL  # k=3 word shingles
@@ -63,11 +63,15 @@ def text_contamination_ngram(spark, sf_dir):
     Shingles are deduped per doc *before* the join so a doc repeating
     one eval shingle 50 times doesn't inflate the probe.
     """
+    from dmds_spark.operators.dedup import word_kgram_rows
+
     d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
-    )
+    # posexplode+lead k-grams (the codegen-stable shape shared with
+    # MinHash) — the array-HOF word_shingles form ran interpreted and
+    # was 10x this stage's cost at sf0.1
+    sh = word_kgram_rows(d, "text", "doc_id", 3, col="sh").select(
+        "doc_id", "sh"
+    ).distinct()
     ev = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select("sh")
