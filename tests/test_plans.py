@@ -205,3 +205,38 @@ def test_cluster_pairs_single_band_shuffle(spark):
     plan = physical_plan(cand)
     assert "CartesianProduct" not in plan
     assert "band_key" in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, qs):
+    """The benchmark shingle set must broadcast — the training-corpus
+    probe join must never shuffle the corpus on the shingle key."""
+    df = qs["text_contamination_ngram"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" not in physical_plan(df)
+
+
+def test_histogram_filter_reaches_scan(spark, qs):
+    """The histogram's range bounds must push into the parquet scan."""
+    df = qs["profile_price_histogram"](spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "o_totalprice" in pf
+
+
+def test_histogram_partial_aggregation(spark, qs):
+    plan = physical_plan(qs["profile_price_histogram"](spark, SF))
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_packing_single_shuffle(spark, qs):
+    """Sequence packing = one shuffle (the per-source window); a
+    global sort would add a range exchange."""
+    df = qs["tokens_pack_sequences"](spark, SF)
+    assert shuffle_count(df) <= 1
+    assert "rangepartitioning" not in physical_plan(df).lower()
+
+
+def test_funnel_no_window_over_stream(spark, qs):
+    """The funnel must be aggregate+join shaped — no Window exec over
+    the raw event stream."""
+    plan = physical_plan(qs["events_funnel_steps"](spark, SF))
+    assert "Window" not in plan
