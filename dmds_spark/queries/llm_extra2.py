@@ -278,3 +278,110 @@ def sample_split_by_source(spark, sf_dir):
         F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
     )
     return d.select("doc_id", "source", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: build a training corpus (quality -> decontaminate ->
+# group split -> sequence packing) as one composable plan.
+
+_GOPHER_KEEP_SQL = f"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             len(list_distinct(toks)) AS n_distinct,
+             word_chars,
+             len(list_filter(toks, x -> x IN {GOPHER_STOPWORDS!r})) AS n_stop
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               length(replace(text, ' ', '')) AS word_chars
+        FROM documents
+      )
+    )
+    WHERE n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+      AND 1000 * (n_words - n_distinct) // n_words <= {MAX_DUP_PM}
+      AND 100 * word_chars // n_words BETWEEN {MIN_MWL_C} AND {MAX_MWL_C}
+      AND n_stop > 0
+"""
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct({SHINGLES_SQL})) AS sh
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM sh JOIN ev USING (sh)
+      WHERE doc_id % {EVAL_MOD} <> 0
+    ), quality AS ({_GOPHER_KEEP_SQL}),
+    surv AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN quality q USING (doc_id)
+      WHERE d.doc_id % {EVAL_MOD} <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM surv
+    )
+    SELECT doc_id, source,
+           CASE WHEN {_SRC_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_SRC_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cb % {SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def pipeline_pretrain_corpus(spark, sf_dir):
+    """The full corpus build a pretraining run starts from, as ONE
+    declarative plan: Gopher quality gate -> benchmark decontamination
+    (drop eval docs AND any training doc sharing an eval n-gram) ->
+    leakage-free group split -> fixed-length sequence packing over the
+    survivors. Composes the stage queries above; Catalyst fuses the
+    per-row gates (quality, eval-slice, split) into the scan side of
+    the contamination anti-join.
+
+    Shape at scale: the eval shingle set broadcasts; the quality and
+    split gates are per-row scan expressions; the only wide stages are
+    the contamination semi/anti joins and the per-source packing
+    window — every shuffle key (shingle, doc_id, source) is the one
+    the next stage needs. Packing runs on survivors only, so sequence
+    ids are dense over the final corpus (what the batch loader wants).
+    """
+    from dmds_spark.operators.dedup import word_kgram_rows
+
+    d = _docs(spark, sf_dir)
+    quality = text_gopher_rules(spark, sf_dir).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    contaminated = text_contamination_ngram(spark, sf_dir).select("doc_id")
+    surv = (
+        d.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(quality, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", F.size(words("text")).alias("n_tokens"))
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    b = hash_bucket(F.col("source"))
+    split = F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+    return surv.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(cb / SEQ_LEN).cast("bigint").alias("seq_id"),
+        (cb % SEQ_LEN).cast("bigint").alias("seq_offset"),
+    )

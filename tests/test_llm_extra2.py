@@ -94,3 +94,28 @@ def test_group_split_has_no_source_straddle(spark):
     d = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
     assert total == d.count()
     assert out.filter(F.col("split") == "train").count() > 0
+
+
+def test_pretrain_corpus_excludes_eval_and_contaminated(spark):
+    from dmds_spark.queries.llm_extra2 import (
+        pipeline_pretrain_corpus,
+        text_contamination_ngram,
+        text_gopher_rules,
+    )
+
+    out = pipeline_pretrain_corpus(spark, SF_DIR_SMALL)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids, "some docs must survive"
+    assert not any(i % EVAL_MOD == 0 for i in ids)
+    cont = {
+        r.doc_id
+        for r in text_contamination_ngram(spark, SF_DIR_SMALL).collect()
+    }
+    assert not (ids & cont)
+    keep = {
+        r.doc_id
+        for r in text_gopher_rules(spark, SF_DIR_SMALL)
+        .filter("keep = 1")
+        .collect()
+    }
+    assert ids <= keep
