@@ -68,6 +68,7 @@ def main() -> int:
         "events_funnel_steps",
         "events_retention_cohorts",
         "profile_column_stats",
+        "pipeline_pretrain_corpus",
     ]
     headline = [h for h in headline if h in qs]
 
