@@ -59,6 +59,26 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "setop_intersect", "setop_except", "scalar_string", "scalar_date",
     "scalar_math", "scalar_conditional", "semi_json_extract",
     "semi_array_explode", "semi_array_ops", "q2_min_cost_supplier",
+    # round 2 (CORRECTNESS_r02.json): 50 queries, all green
+    "agg_percentiles", "agg_salted_sum", "dedup_cluster_assign",
+    "dedup_embedding_neardup", "dedup_exact", "dedup_exact_keep_first",
+    "dedup_jaccard_verify", "dedup_minhash_keep_first",
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dmds_crud_snapshot",
+    "join_bucketed_colocated", "join_salted_skew", "pipeline_curation",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_priority_lateness",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_bracket_revenue",
+    "q20_promotion_suppliers", "q21_late_suppliers", "q22_idle_customers",
+    "sample_bucket_distribution", "sample_hash_10pct",
+    "sample_referential", "sample_stratified_events",
+    "sample_train_val_test", "sample_weighted_quality", "sessionize_10m",
+    "similarity_ann_lsh_topk", "similarity_cosine_topk",
+    "similarity_ivf_topk", "similarity_pairs_threshold",
+    "text_bpe_token_count", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_rolling_fingerprint", "text_token_stats",
+    "timeseries_gapfill", "window_sliding_1h_30m", "window_tumbling_1h",
 })
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
