@@ -46,11 +46,23 @@ def word_kgram_rows(
     refuses to compile, measured 40x slower and unstable). One shuffle
     on id, shared with any following per-id aggregation. Results match
     ``functions.text.word_shingles`` exploded."""
+    tokenized = df.select(F.col(id_col), words(text_col).alias("__toks"))
+    return kgram_rows_from_tokens(tokenized, "__toks", id_col, k, col)
+
+
+def kgram_rows_from_tokens(
+    df: DataFrame, toks_col: str, id_col: str, k: int = 3, col: str = "__s"
+) -> DataFrame:
+    """``word_kgram_rows`` over a pre-tokenized array column — the
+    entry point for composite pipelines that tokenize ONCE and feed
+    the same array to several gates (quality metrics, contamination
+    shingles, token counts) instead of re-splitting the text per
+    consumer."""
     from dmds_spark.operators.parallel import ensure_parallelism
 
     df = ensure_parallelism(df)
     tok = df.select(
-        F.col(id_col), F.posexplode(words(text_col)).alias("__pos", "__w")
+        F.col(id_col), F.posexplode(F.col(toks_col)).alias("__pos", "__w")
     )
     win = Window.partitionBy(id_col).orderBy("__pos")
     lead_cols = [F.lead("__w", i).over(win) for i in range(1, k)]

@@ -155,6 +155,59 @@ def global_row_number(
     ).drop("__pid")
 
 
+def sharded_exclusive_cumsum(
+    df: DataFrame,
+    by: str,
+    order_cols: list,
+    value_col: str,
+    out: str = "cum_before",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` over
+    ``PARTITION BY by ORDER BY order_cols`` WITHOUT putting each ``by``
+    group through a single task (the low-cardinality-key window trap:
+    a 100 TB corpus with a handful of sources serializes its biggest
+    source through one executor thread).
+
+    The distributed shape (two even shuffles instead of one skewed):
+    range-repartition on (by, *order_cols) so every shard holds a
+    contiguous slice of each group's order; per-shard exclusive running
+    sums (window on (by, shard) — even keys); then add per-(by, shard)
+    offsets computed from shard totals — a tiny aggregate (#shards +
+    #groups rows, never data rows) broadcast back. Same output as the
+    single-key window for any total order (callers pass a tie-break
+    key, as everywhere in this engine)."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_ranges, F.col(by), *order_cols)
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    part = part.localCheckpoint(eager=True)  # pin shard ids for both consumers
+    totals = part.groupBy(by, "__pid").agg(F.sum(value_col).alias("__t"))
+    w_off = (
+        Window.partitionBy(by)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        by,
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy(by, "__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    return (
+        part.withColumn("__local", local)
+        .join(F.broadcast(offs), [by, "__pid"])
+        .withColumn(out, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
 def ntile_from_rn(rn, n_rows: int, k: int):
     """Exact NTILE(k) bucket from a global row number and the total row
     count: the first ``n_rows % k`` buckets get ``n_rows//k + 1`` rows,

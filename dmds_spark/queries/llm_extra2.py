@@ -13,7 +13,6 @@ round 3 alongside the llm_extra batch.
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dmds_spark.functions.text import words
@@ -121,21 +120,22 @@ def tokens_pack_sequences(spark, sf_dir):
     the sequence id and offset where it starts. Streams are independent
     per source, so the layout is stable when sources are added.
 
-    Shape at scale: one shuffle on ``source`` then a running-sum window
-    within each source — no global ordering anywhere (a single global
-    ORDER BY would serialize 100 TB through one task; per-source streams
-    keep every partition independent). Token counts are integers, so
-    seq_id/offset are exact and the same on any engine.
+    Shape at scale: two-level packing via ``sharded_exclusive_cumsum``
+    — range-shard on (source, doc_id), per-shard running sums, tiny
+    per-shard offsets broadcast back. A plain per-source window would
+    put each source through ONE task (the low-cardinality-key skew
+    killer: a 100 TB corpus with a handful of big sources serializes);
+    here every shard is even regardless of source sizes. Token counts
+    are integers, so seq_id/offset are exact and the same on any
+    engine and any shard geometry.
     """
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+
     d = _docs(spark, sf_dir)
     t = d.select("doc_id", "source", F.size(words("text")).alias("n_tokens"))
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
+    c = sharded_exclusive_cumsum(t, "source", ["doc_id"], "n_tokens", "cb")
+    cum_before = F.col("cb")
+    return c.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -151,6 +151,38 @@ GOPHER_STOPWORDS = ("the", "a")
 MIN_WORDS, MAX_WORDS = 10, 1_000
 MAX_DUP_PM = 600        # duplicate-word fraction, per-mille
 MIN_MWL_C, MAX_MWL_C = 300, 1_000  # mean word length, centi-chars
+
+
+def _int_div(num, den):
+    """Exact floor division as a codegen Column (both sides integral):
+    subtracting pmod makes the numerator an exact multiple, so the
+    double division is lossless at any bigint magnitude."""
+    return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+
+def _gopher_metric_cols():
+    """The per-doc count columns the Gopher gate needs, from a row with
+    a ``toks`` array column: n_words / n_distinct / n_stop."""
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    return (
+        F.size("toks"),
+        F.size(F.array_distinct("toks")),
+        F.size(F.filter("toks", lambda x: F.array_contains(sw, x))),
+    )
+
+
+def _gopher_keep(n_words, n_distinct, word_chars, n_stop):
+    """The combined Gopher keep flag over integer metric columns —
+    shared by the standalone query and the corpus composite so the two
+    can never drift."""
+    dup_pm = _int_div(1000 * (n_words - n_distinct), n_words)
+    mwl = _int_div(100 * word_chars, n_words)
+    return (
+        n_words.between(MIN_WORDS, MAX_WORDS)
+        & (dup_pm <= MAX_DUP_PM)
+        & mwl.between(MIN_MWL_C, MAX_MWL_C)
+        & (n_stop > 0)
+    )
 
 
 @register(
@@ -197,39 +229,27 @@ def text_gopher_rules(spark, sf_dir):
     filter of a downstream curation query (predicate pushdown applies).
     """
     d = _docs(spark, sf_dir)
-    toks = words("text")
     t = d.select(
         "doc_id",
-        toks.alias("toks"),
+        words("text").alias("toks"),
         F.length(F.regexp_replace("text", " ", "")).alias("word_chars"),
     )
-    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_words, n_distinct, n_stop = _gopher_metric_cols()
     m = t.select(
         "doc_id",
-        F.size("toks").alias("n_words"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
         "word_chars",
-        F.size(F.filter("toks", lambda x: F.array_contains(sw, x))).alias(
-            "n_stop"
-        ),
+        n_stop.alias("n_stop"),
     )
-    dup_pm = (1000 * (F.col("n_words") - F.col("n_distinct"))) - F.pmod(
+    dup_pm = _int_div(
         1000 * (F.col("n_words") - F.col("n_distinct")), F.col("n_words")
     )
-    dup_pm = (dup_pm / F.col("n_words")).cast("bigint")
-    mwl_num = 100 * F.col("word_chars")
-    mwl = ((mwl_num - F.pmod(mwl_num, F.col("n_words"))) / F.col("n_words")).cast(
-        "bigint"
-    )
-    stop_num = 1000 * F.col("n_stop")
-    stop_pm = (
-        (stop_num - F.pmod(stop_num, F.col("n_words"))) / F.col("n_words")
-    ).cast("bigint")
-    keep = (
-        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
-        & (dup_pm <= MAX_DUP_PM)
-        & mwl.between(MIN_MWL_C, MAX_MWL_C)
-        & (F.col("n_stop") > 0)
+    mwl = _int_div(100 * F.col("word_chars"), F.col("n_words"))
+    stop_pm = _int_div(1000 * F.col("n_stop"), F.col("n_words"))
+    keep = _gopher_keep(
+        F.col("n_words"), F.col("n_distinct"), F.col("word_chars"),
+        F.col("n_stop"),
     )
     return m.select(
         "doc_id",
@@ -349,35 +369,53 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     per-row gates (quality, eval-slice, split) into the scan side of
     the contamination anti-join.
 
-    Shape at scale: the eval shingle set broadcasts; the quality and
-    split gates are per-row scan expressions; the only wide stages are
-    the contamination semi/anti joins and the per-source packing
-    window — every shuffle key (shingle, doc_id, source) is the one
-    the next stage needs. Packing runs on survivors only, so sequence
-    ids are dense over the final corpus (what the batch loader wants).
+    Shape at scale: the corpus is tokenized ONCE into a shared ``toks``
+    projection feeding all three token consumers (quality metrics,
+    contamination shingles, n_tokens) — re-splitting the text per gate
+    tripled the scan-side CPU; the eval shingle set broadcasts; the
+    quality and split gates are per-row scan expressions; the only wide
+    stages are the contamination semi/anti joins and the two-level
+    packing cumsum (``sharded_exclusive_cumsum`` — even range shards,
+    never one task per source). Packing runs on survivors only, so
+    sequence ids are dense over the final corpus (what the batch
+    loader wants).
     """
-    from dmds_spark.operators.dedup import word_kgram_rows
+    from dmds_spark.operators.dedup import kgram_rows_from_tokens
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
 
     d = _docs(spark, sf_dir)
-    quality = text_gopher_rules(spark, sf_dir).filter(
-        F.col("keep") == 1
-    ).select("doc_id")
-    contaminated = text_contamination_ngram(spark, sf_dir).select("doc_id")
+    base = d.select(
+        "doc_id",
+        "source",
+        words("text").alias("toks"),
+        F.length(F.regexp_replace("text", " ", "")).alias("word_chars"),
+    )
+    # contamination probe over the shared token arrays
+    sh = (
+        kgram_rows_from_tokens(base, "toks", "doc_id", 3, col="sh")
+        .select("doc_id", "sh")
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(ev), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    # Gopher gate + token count from the same arrays
+    n_words, n_distinct, n_stop = _gopher_metric_cols()
     surv = (
-        d.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .join(quality, "doc_id")
+        base.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .filter(_gopher_keep(n_words, n_distinct, F.col("word_chars"), n_stop))
         .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "source", F.size(words("text")).alias("n_tokens"))
+        .select("doc_id", "source", n_words.alias("n_tokens"))
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cb = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = sharded_exclusive_cumsum(surv, "source", ["doc_id"], "n_tokens", "cb")
+    cb = F.col("cb")
     b = hash_bucket(F.col("source"))
     split = F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
-    return surv.select(
+    return packed.select(
         "doc_id",
         "source",
         split.alias("split"),

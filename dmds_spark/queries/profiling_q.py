@@ -35,40 +35,61 @@ def profile_column_stats(spark, sf_dir):
     are compared as strings so one query shape covers numeric, string
     and timestamp columns in both engines.
 
-    Scale shape: one scan per profiled column batch; each aggregate is
-    map-side partial, and COUNT(DISTINCT) expands to the standard
-    two-phase expand-aggregate plan. At 100 TB swap n_distinct for
-    approx_count_distinct (the exact form here keeps the oracle
-    bit-exact); nulls/min/max stay exact either way.
+    Scale shape: ONE scan for all profiled columns — every per-column
+    aggregate lives in a single ``agg`` (the one-row wide result is
+    then unpivoted to long format driver-free via explode of structs).
+    The previous shape (one unioned single-column aggregate per column)
+    paid #cols full passes over the table — at 100 TB that is the
+    whole profiling budget. The multi-column COUNT(DISTINCT)s expand
+    to the standard Expand + two-phase aggregate (row multiplication
+    before the shuffle, but still one scan and partial aggregation).
+    At 100 TB pass ``approx=True`` below: approx_count_distinct
+    (HyperLogLog++) collapses the Expand entirely; the exact form here
+    keeps the oracle bit-exact — nulls/min/max are exact either way.
 
     Note: timestamps stringify as '2024-01-01 00:00:00' in both Spark
     (date_format) and DuckDB (CAST AS VARCHAR) for this data (whole
     microseconds absent; see events loader for the ns handling).
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _profile_stats(li, _PROF_COLS)
+
+
+def _profile_stats(df, cols, approx: bool = False):
+    """Single-scan per-column profile over ``cols``. ``approx=True`` is
+    the 100 TB path: HyperLogLog++ distinct counts (no Expand, one
+    two-phase aggregate)."""
 
     def str_col(c):
         # match DuckDB CAST(ts AS VARCHAR) for timestamps
-        dt = dict(li.dtypes)[c]
+        dt = dict(df.dtypes)[c]
         if dt == "timestamp":
             return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
         return F.col(c).cast("string")
 
-    parts = []
-    for c in _PROF_COLS:
-        parts.append(
-            li.agg(
+    nd = F.approx_count_distinct if approx else F.count_distinct
+    agg_exprs = []
+    for c in cols:
+        agg_exprs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"__nn_{c}"),
+            nd(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(str_col(c)).alias(f"__mn_{c}"),
+            F.max(str_col(c)).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*agg_exprs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("col_name"),
-                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
-                F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
-                F.min(str_col(c)).alias("min_str"),
-                F.max(str_col(c)).alias("max_str"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("__s")).select("__s.*")
 
 
 HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500_000.0, 20

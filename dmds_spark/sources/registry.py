@@ -39,16 +39,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf, runtime-settable)
-    and truncate to microseconds — the same truncation DuckDB applies
-    when it coerces ns -> TIMESTAMP, so both engines see identical
-    microsecond values."""
+    """events.parquet has shipped with TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects) and with plain TIMESTAMP(MICROS) —
+    handle both. Nanos path: read as long (legacy conf,
+    runtime-settable) and truncate to microseconds — the same
+    truncation DuckDB applies when it coerces ns -> TIMESTAMP, so both
+    engines see identical microsecond values. Micros path: cast the
+    (NTZ) timestamp to the session type — identity under the engine's
+    UTC session timezone."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

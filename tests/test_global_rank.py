@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dmds_spark.operators.relational import global_row_number, ntile_from_rn
+from dmds_spark.operators.relational import (
+    global_row_number,
+    ntile_from_rn,
+    sharded_exclusive_cumsum,
+)
 
 
 def _df(spark, n=500):
@@ -57,3 +61,48 @@ def test_no_single_partition_window_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the only window partitions by __pid — never an empty PARTITION BY
     assert "windowspecdefinition(__pid" in plan
+
+
+def _skewed_groups(spark, n=600):
+    # one giant group + a few small ones: the shape that serializes a
+    # per-group window through a single task
+    rows = [
+        (i, "big" if i % 10 != 0 else f"s{i % 3}", (i * 7) % 13 + 1)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["id", "g", "val"])
+
+
+def test_sharded_cumsum_matches_group_window(spark):
+    df = _skewed_groups(spark)
+    for num_ranges in (1, 7, 64):
+        got = {
+            (r["g"], r["id"]): r["cb"]
+            for r in sharded_exclusive_cumsum(
+                df, "g", ["id"], "val", "cb", num_ranges=num_ranges
+            ).collect()
+        }
+        w = (
+            W.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        want = {
+            (r["g"], r["id"]): r["cb"]
+            for r in df.withColumn(
+                "cb", F.coalesce(F.sum("val").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want, num_ranges
+
+
+def test_sharded_cumsum_no_per_group_data_window(spark):
+    df = _skewed_groups(spark)
+    out = sharded_exclusive_cumsum(df, "g", ["id"], "val", "cb")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-side window must partition on (g, __pid) — a window
+    # partitioned by g alone (then ordered by id) is one task per group
+    assert "windowspecdefinition(g#" in plan
+    import re
+
+    assert not re.search(r"windowspecdefinition\(g#\d+, id#", plan)

@@ -215,6 +215,30 @@ def test_contamination_broadcasts_eval_side(spark, qs):
     assert "BroadcastNestedLoopJoin" not in physical_plan(df)
 
 
+def test_profile_stats_single_scan(spark, qs):
+    """All per-column profile aggregates share ONE scan of lineitem —
+    the unioned-aggregates shape paid #cols full passes."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["profile_column_stats"](spark, SF)
+    assert scan_count(df) == 1
+
+
+def test_profile_stats_approx_path(spark):
+    """The 100 TB path: approx distinct counts collapse the Expand and
+    still profile every column in one scan."""
+    from dmds_spark.plans import scan_count
+    from dmds_spark.queries.profiling_q import _PROF_COLS, _profile_stats
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = _profile_stats(li, _PROF_COLS, approx=True)
+    assert scan_count(df) == 1
+    assert "Expand" not in physical_plan(df)
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert set(rows) == set(_PROF_COLS)
+    assert all(r["n_distinct"] > 0 for r in rows.values())
+
+
 def test_histogram_filter_reaches_scan(spark, qs):
     """The histogram's range bounds must push into the parquet scan."""
     df = qs["profile_price_histogram"](spark, SF)
@@ -227,12 +251,33 @@ def test_histogram_partial_aggregation(spark, qs):
     assert "partial_count" in plan or "partial_min" in plan
 
 
-def test_packing_single_shuffle(spark, qs):
-    """Sequence packing = one shuffle (the per-source window); a
-    global sort would add a range exchange."""
+def test_packing_no_per_source_data_window(spark, qs):
+    """Sequence packing must be two-level (sharded_exclusive_cumsum):
+    the data-side running-sum window partitions on (source, shard) —
+    a window partitioned by source alone puts each source through ONE
+    task (the 100 TB skew killer). The per-shard offsets re-attach via
+    broadcast."""
+    import re
+
     df = qs["tokens_pack_sequences"](spark, SF)
-    assert shuffle_count(df) <= 1
-    assert "rangepartitioning" not in physical_plan(df).lower()
+    plan = physical_plan(df)
+    # data window keys are (source, __pid) ordered by doc_id
+    assert re.search(r"windowspecdefinition\(source#\d+, __pid#", plan)
+    # and never source-alone ordered by doc_id
+    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pretrain_corpus_no_per_source_data_window(spark, qs):
+    """The corpus composite inherits the two-level packing shape and
+    tokenizes the corpus at most twice (shared toks projection feeds
+    quality, contamination and n_tokens)."""
+    import re
+
+    df = qs["pipeline_pretrain_corpus"](spark, SF)
+    plan = physical_plan(df)
+    assert re.search(r"windowspecdefinition\(source#\d+, __pid#", plan)
+    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
 
 
 def test_funnel_no_window_over_stream(spark, qs):
