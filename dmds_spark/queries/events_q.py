@@ -55,33 +55,10 @@ def events_funnel_steps(spark, sf_dir):
     a per-user sort-window funnel at 100 TB would shuffle every event;
     this shape moves each event exactly once per step it can satisfy.
     """
+    from dmds_spark.operators.events import sequential_funnel
+
     e = load_events(spark, sf_dir)
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        e.join(s1, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.join(s2, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def n(df, step):
-        return df.agg(
-            F.lit(step).alias("step"), F.count(F.lit(1)).cast("bigint").alias("users")
-        )
-
-    return n(s1, 1).unionAll(n(s2, 2)).unionAll(n(s3, 3))
+    return sequential_funnel(e, ["view", "click", "purchase"])
 
 
 @register(

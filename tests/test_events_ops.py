@@ -1,0 +1,110 @@
+"""N-step funnel builder tests (operators/events.py): the fold must
+reproduce the hand-chained 3-step funnel exactly, and scale to step
+counts the hand-chained form never covered."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.events import funnel_step_times, sequential_funnel
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_five_step_funnel_strict_order(spark):
+    """5-step funnel over a hand-built stream: u1 completes all five in
+    order; u2 does steps 1-3 but has step 4 BEFORE step 3 (must not
+    count); u3 only step 1."""
+    steps = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i, s in enumerate(steps):
+        rows.append(("u1", s, _t(i)))
+    rows += [
+        ("u2", "d", _t(0)),  # too early: before u2's step c
+        ("u2", "a", _t(1)),
+        ("u2", "b", _t(2)),
+        ("u2", "c", _t(3)),
+        ("u3", "a", _t(0)),
+    ]
+    got = {
+        r["step"]: r["users"]
+        for r in sequential_funnel(_ev(spark, rows), steps).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    """Strict means strict: a step-2 event at exactly the step-1 time
+    does not advance the funnel."""
+    rows = [("u1", "a", _t(0)), ("u1", "b", _t(0)), ("u1", "b", _t(1))]
+    got = {
+        r["step"]: r["users"]
+        for r in sequential_funnel(_ev(spark, rows), ["a", "b"]).collect()
+    }
+    assert got == {1: 1, 2: 1}
+    rows2 = [("u1", "a", _t(0)), ("u1", "b", _t(0))]
+    got2 = {
+        r["step"]: r["users"]
+        for r in sequential_funnel(_ev(spark, rows2), ["a", "b"]).collect()
+    }
+    assert got2 == {1: 1, 2: 0}
+
+
+def test_funnel_predicate_steps(spark):
+    """Steps can be arbitrary predicates, not just type equality."""
+    rows = [
+        ("u1", "view_home", _t(0)),
+        ("u1", "view_item", _t(1)),
+        ("u1", "purchase", _t(2)),
+    ]
+    got = {
+        r["step"]: r["users"]
+        for r in sequential_funnel(
+            _ev(spark, rows),
+            [
+                F.col("event_type").startswith("view"),
+                F.col("event_type") == "purchase",
+            ],
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_funnel_matches_registered_query(spark):
+    """The registered 3-step query (driver-checked surface) is the
+    fold at steps=[view, click, purchase] — outputs must be equal."""
+    from dmds_spark.queries import all_queries
+    from dmds_spark.sources.registry import load_events
+
+    qs = all_queries()
+
+    e = load_events(spark, SF)
+    a = sorted(
+        (r["step"], r["users"])
+        for r in sequential_funnel(e, ["view", "click", "purchase"]).collect()
+    )
+    b = sorted(
+        (r["step"], r["users"])
+        for r in qs["events_funnel_steps"](spark, SF).collect()
+    )
+    assert a == b
+
+
+def test_funnel_step_times_completers_only(spark):
+    rows = [
+        ("u1", "a", _t(0)),
+        ("u1", "b", _t(1)),
+        ("u2", "a", _t(0)),
+    ]
+    got = funnel_step_times(_ev(spark, rows), ["a", "b"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == "u1" and r["t1"] == _t(0) and r["t2"] == _t(1)

@@ -59,3 +59,61 @@ def test_kmeans_deterministic_and_valid(spark):
     assert set(a) == {r["vec_id"] for r in e.select("vec_id").collect()}
     assert all(0 <= c < 4 for c in a.values())
     assert len(set(a.values())) > 1  # actually partitions the space
+
+
+# Recall pins run at sf0.01 (the driver's correctness SF): sf0.001's
+# embeddings have only 7 ground-truth pairs at the 0.45 threshold —
+# too few for a stable recall ratio (one borderline pair = 14 points).
+SF_RECALL = "/root/testdata/sf0.01"
+
+
+def _ground_truth_pairs(threshold: float) -> set[tuple[int, int]]:
+    """Exact all-pairs cosine ground truth via numpy (500 vectors —
+    125k pairs, trivial locally; the thing LSH exists to avoid at
+    scale)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.connect().execute(
+        f"select vec_id, embedding from '{SF_RECALL}/embeddings.parquet'"
+        " order by vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / np.outer(norms, norms)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = sims[ia, ib] >= threshold
+    return {
+        (ids[a], ids[b]) for a, b in zip(ia[keep], ib[keep])
+    }
+
+
+def _lsh_recall(spark, tables: int, planes: int, threshold: float) -> float:
+    truth = _ground_truth_pairs(threshold)
+    assert truth, "threshold leaves no ground-truth pairs to measure"
+    emb = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_blocked_pairs(
+            emb, "vec_id", "embedding", tables=tables, planes=planes
+        ).select("id_a", "id_b").collect()
+    }
+    return len(truth & cand) / len(truth)
+
+
+def test_lsh_recall_default_geometry(spark):
+    """Recall pin for the DEFAULT neardup geometry (12 tables x 6
+    planes) at the operative 0.45 threshold: measured 8/14 = 0.571 on
+    this data, matching sign-LSH theory 1-(1-p^6)^12 with
+    p = 1 - acos(0.45)/pi = 0.648 -> 0.603. Guards any future
+    hyperplane/geometry tweak from silently cratering recall."""
+    assert _lsh_recall(spark, 12, 6, 0.45) >= 0.5
+
+
+def test_lsh_recall_high_recall_geometry(spark):
+    """The recall knob works: 20 tables x 5 planes (theory
+    1-(1-0.648^5)^20 = 0.913; measured 13/14 here) clears 0.8 — the
+    geometry a 100 TB neardup run with a recall SLA would pick, at
+    ~2.8x the bucket entries of the default."""
+    assert _lsh_recall(spark, 20, 5, 0.45) >= 0.8
