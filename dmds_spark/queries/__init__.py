@@ -137,5 +137,8 @@ def _load():
     from dmds_spark.queries import llm_extra2  # noqa: F401
     from dmds_spark.queries import events_q  # noqa: F401
     from dmds_spark.queries import profiling_q  # noqa: F401
+    # round-4 additions: queue behind the round-3-unchecked set (the
+    # front + these + deferred still fit the driver's 50-query window)
+    from dmds_spark.queries import llm_extra3  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,299 @@
+"""Round-4 additions: corpus-analysis and loader-prep operators a
+training-data pipeline runs beside the curation/dedup core —
+vocabulary coverage (OOV rate), word co-occurrence counts, funnel
+conversion latency, sliding-window chunking with overlap, and
+class-balanced sampling. All integer/exact-interpolation arithmetic so
+the driver's hash compare cannot drift; all pure
+``pyspark.sql.functions``.
+
+Registered after ``profiling_q``: the driver checks the first 50
+registered queries; these join the round-3-unchecked set at the front
+of the window (queries/__init__.py ordering) without displacing it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.functions.text import words
+from dmds_spark.operators.sampling import hash_bucket
+from dmds_spark.queries import register
+from dmds_spark.queries.llm_extra2 import _int_div
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: build the top-N corpus vocabulary, report each
+# doc's out-of-vocabulary rate — the go/no-go metric when sizing a
+# tokenizer vocabulary against a corpus.
+
+VOCAB_N = 100
+
+_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+)
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {VOCAB_N}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((1000 * SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS oov_pm
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Per-doc OOV rate against the corpus top-``VOCAB_N`` vocabulary
+    (count-desc, word-asc tie-break, so the vocab set is deterministic
+    on any engine).
+
+    Scale shape: the vocabulary is a top-N aggregate (map-side partial
+    counts, TakeOrdered final — N rows on the driver side of the plan,
+    never the corpus) and joins back as a BROADCAST left join onto the
+    token stream; the only wide stage is the per-doc count shuffle on
+    doc_id. A vocab of 100k-1M (real tokenizer sizes) still broadcasts
+    in MBs."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(VOCAB_N)
+        .select("w", F.lit(1).alias("__v"))
+    )
+    n_oov = F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            n_oov.cast("bigint").alias("n_oov"),
+            _int_div(1000 * n_oov, F.count(F.lit(1))).alias("oov_pm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word co-occurrence: corpus-wide (a, b) counts for b within 2 positions
+# after a — the word2vec/PMI preprocessing shape.
+
+COOC_TOPK = 50
+
+
+@register(
+    "text_cooccurrence_topk",
+    f"""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), d1 AS (
+      SELECT UNNEST(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM t
+    ), d2 AS (
+      SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+2])) AS pair
+      FROM t
+    ), c AS (
+      SELECT pair, COUNT(*) AS n
+      FROM (SELECT pair FROM d1 UNION ALL SELECT pair FROM d2)
+      GROUP BY pair ORDER BY n DESC, pair LIMIT {COOC_TOPK}
+    )
+    SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    """,
+)
+def text_cooccurrence_topk(spark, sf_dir):
+    """Top-``COOC_TOPK`` co-occurring word pairs (b at distance 1 or 2
+    after a), ordered by count with a total tie-break.
+
+    Scale shape: pairs come from window ``lead`` over the posexploded
+    token stream — NO self-join of the token table on doc_id (the
+    naive co-occurrence plan; quadratic in hot docs) — then one count
+    shuffle on the pair and a TakeOrdered top-N. The tie-break string
+    'a b' sorts identically to the (a, b) tuple because the space
+    separator is below every token character."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.posexplode(words("text")).alias("pos", "w"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        F.col("w").alias("a"),
+        F.array(
+            F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("__bs"),
+    ).select("a", F.explode("__bs").alias("b")).filter(F.col("b").isNotNull())
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.concat_ws(" ", "a", "b").asc())
+        .limit(COOC_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency: how long from first view to the purchase
+# that completes the strict view->click->purchase funnel.
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+      SELECT e.user_id, s2.t1, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id, s2.t1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (
+             ORDER BY date_diff('second', t1, t3)) AS median_s,
+           PERCENTILE_CONT(0.9) WITHIN GROUP (
+             ORDER BY date_diff('second', t1, t3)) AS p90_s
+    FROM s3
+    """,
+)
+def events_conversion_latency(spark, sf_dir):
+    """Latency distribution (median/p90 seconds, exact interpolated
+    percentiles over INTEGER second counts — bit-stable doubles) from
+    first view to funnel-completing purchase, over strict-funnel
+    completers only.
+
+    Scale shape: ``funnel_step_times`` state is one row per surviving
+    user; the percentile is a single-row aggregate over completers
+    (sort-based exact here; swap approx_percentile at 100 TB user
+    counts, documented divergence)."""
+    from dmds_spark.operators.events import funnel_step_times
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    ft = funnel_step_times(e, ["view", "click", "purchase"])
+    lat = F.unix_timestamp("t3") - F.unix_timestamp("t1")
+    return ft.select(lat.alias("__lat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(__lat, 0.5)").alias("median_s"),
+        F.expr("percentile(__lat, 0.9)").alias("p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking: overlapping fixed-size token windows per doc
+# (RAG / long-context ingestion prep).
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96
+
+
+@register(
+    "tokens_chunk_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, n - s) AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, n, UNNEST(range(0, n, {CHUNK_STRIDE})) AS s FROM t)
+    """,
+)
+def tokens_chunk_overlap(spark, sf_dir):
+    """Overlapping chunk spans per document: windows of
+    ``CHUNK_TOKENS`` tokens every ``CHUNK_STRIDE`` (32-token overlap),
+    last chunk truncated. Emits (doc_id, chunk_id, start_tok,
+    chunk_len).
+
+    Scale shape: pure per-row explode of a computed integer sequence —
+    NO shuffle anywhere, chunk count per doc is ceil(n/stride) so the
+    fan-out is bounded by corpus token count / stride. The degenerate
+    single-partition hazard of packing does not apply: spans are
+    per-doc independent."""
+    d = _docs(spark, sf_dir)
+    n = F.size(words("text"))
+    t = d.select("doc_id", n.alias("n"))
+    s = F.explode(
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+    ).alias("s")
+    return t.select("doc_id", "n", s).select(
+        "doc_id",
+        _int_div(F.col("s"), F.lit(CHUNK_STRIDE)).alias("chunk_id"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(
+            F.lit(CHUNK_TOKENS), F.col("n") - F.col("s")
+        ).cast("bigint").alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced sampling: equalize per-language document counts at the
+# minority class size (deterministic hash-rank selection).
+
+
+@register(
+    "sample_balanced_by_lang",
+    f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MIN(n) AS m FROM c
+    ), r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_BUCKET_SQL.format(k='doc_id')}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r, m WHERE rn <= m.m
+    """,
+)
+def sample_balanced_by_lang(spark, sf_dir):
+    """Equalized per-language subset: every language keeps exactly
+    min-class-count docs, selected by content-hash rank (reproducible
+    across runs/engines/partitionings, like every sampler here).
+
+    Scale shape: the class-count aggregate is tiny (one row per lang)
+    and broadcasts; selection is rank-within-lang <= m — the same
+    WindowGroupLimit-eligible shape as sample_cap_per_source, with the
+    same documented two-level (hash-slice then rank) fix for a
+    low-cardinality lang column at 100 TB."""
+    d = _docs(spark, sf_dir)
+    m = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    w = W.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
