@@ -178,8 +178,14 @@ def dedup_minhash_keep_first(
     df: DataFrame, text_col: str, id_col: str, **kw
 ) -> DataFrame:
     """Drop every doc that near-duplicates a lower-id doc (single-link,
-    one LSH pass — the standard keep-canonical policy)."""
-    pairs = dedup_minhash(df, text_col, id_col, **kw).localCheckpoint(eager=True)
+    one LSH pass — the standard keep-canonical policy).
+
+    No extra barrier here: the pair stream has exactly one consumer
+    (the doomed-id distinct feeding the anti-join), so a checkpoint
+    would be a pure extra materialization job — the shared
+    intermediates that DO have multiple consumers (signatures) are
+    already snapshotted inside minhash_lsh_candidates."""
+    pairs = dedup_minhash(df, text_col, id_col, **kw)
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, on=id_col, how="left_anti")
 
