@@ -62,11 +62,15 @@ def bucketized_range_join(
     right_lo: str,
     right_hi: str,
     bucket_width: int,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Scale path for range joins: explode the right intervals into the
     fixed-width buckets they overlap, equi-join on bucket, re-filter the
     exact predicate. Turns O(n*m) nested-loop into a hash join.
-    """
+
+    ``by`` adds equi-key columns to the join (per-user interval joins,
+    attribution windows): the shuffle key becomes (*by, bucket), so a
+    hot bucket still spreads over the by-key space."""
     r = right.withColumn(
         "__bucket",
         F.explode(
@@ -77,7 +81,8 @@ def bucketized_range_join(
         ),
     )
     l = left.withColumn("__bucket", F.floor(F.col(left_val) / bucket_width))
-    out = l.join(r, "__bucket").filter(
+    keys = [*(by or []), "__bucket"]
+    out = l.join(r, keys).filter(
         (F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi))
     )
     return out.drop("__bucket")

@@ -297,3 +297,59 @@ def sample_balanced_by_lang(spark, sf_dir):
         .filter(F.col("rn") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window range join: views within 30 minutes before each
+# purchase, per user — the fact-fact interval join shape
+# (join_theta_range's broadcast-nested-loop plan is only right for a
+# TINY interval side; this exercises the bucketized scale path).
+
+ATTR_WINDOW_US = 1_800 * 1_000_000  # 30 min in exact integer micros
+
+
+@register(
+    "join_range_attribution",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - {ATTR_WINDOW_US}
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    GROUP BY p.event_id
+    """,
+)
+def join_range_attribution(spark, sf_dir):
+    """Views attributable to each purchase (same user, within the 30
+    minutes up to and including the purchase) — counted per purchase.
+
+    Scale shape: ``bucketized_range_join`` on (user_id, time-bucket) —
+    purchase windows explode into the <=2 half-hour buckets they
+    overlap, views bucket by their own timestamp, and the join is a
+    plain hash equi-join re-filtered by the exact interval predicate.
+    The naive plan (user_id equi-join + time theta) degenerates to a
+    per-user nested loop over all (view, purchase) pairs — quadratic
+    in a hot user's event count; bucketing bounds each probe to two
+    windows. All time arithmetic in exact integer microseconds, so
+    the boundary semantics hash-match any engine."""
+    from dmds_spark.operators.relational import bucketized_range_join
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("__v")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.unix_micros("ts") - ATTR_WINDOW_US).alias("__lo"),
+        F.unix_micros("ts").alias("__hi"),
+    )
+    joined = bucketized_range_join(
+        views, purch, "__v", "__lo", "__hi", ATTR_WINDOW_US, by=["user_id"]
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views")
+    )

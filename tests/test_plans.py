@@ -285,3 +285,26 @@ def test_funnel_no_window_over_stream(spark, qs):
     the raw event stream."""
     plan = physical_plan(qs["events_funnel_steps"](spark, SF))
     assert "Window" not in plan
+
+
+def test_range_attribution_hash_join(spark, qs):
+    """The attribution range join must be a (user, bucket) hash
+    equi-join with the exact interval re-filter — never a nested-loop
+    over per-user (view, purchase) pairs."""
+    plan = physical_plan(qs["join_range_attribution"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, qs):
+    """The top-N vocabulary must re-attach as a broadcast join; the
+    only wide stage is the per-doc aggregate."""
+    df = qs["text_vocab_coverage"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_chunk_overlap_no_shuffle(spark, qs):
+    """Chunk-span generation is a pure per-row explode — zero
+    exchanges anywhere in the plan."""
+    df = qs["tokens_chunk_overlap"](spark, SF)
+    assert shuffle_count(df) == 0
