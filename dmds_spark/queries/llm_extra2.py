@@ -390,11 +390,16 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         words("text").alias("toks"),
         F.length(F.regexp_replace("text", " ", "")).alias("word_chars"),
     )
-    # contamination probe over the shared token arrays
+    # contamination probe over the shared token arrays; the distinct
+    # per-doc shingle set feeds TWO consumers (the eval-slice build and
+    # the probe side), so it gets the fan-out barrier — without it the
+    # tokenize+kgram+distinct subtree executes once per consumer
+    # (shingling the corpus twice at 100 TB)
     sh = (
         kgram_rows_from_tokens(base, "toks", "doc_id", 3, col="sh")
         .select("doc_id", "sh")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
     contaminated = (
