@@ -37,3 +37,30 @@ def test_bucketized_is_hash_join(spark):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "__bucket" in plan
+
+
+def test_bucketized_by_keys_matches_naive(spark):
+    """With ``by`` equi-keys the result must equal the naive per-key
+    range join — across bucket boundaries, touching endpoints, and
+    keys with no intervals."""
+    pts = spark.createDataFrame(
+        [(i, i % 7, float(i * 3 % 500)) for i in range(1000)],
+        ["pid", "k", "v"],
+    )
+    ivs = spark.createDataFrame(
+        [(j, j % 5, float(j * 40), float(j * 40 + 55)) for j in range(12)],
+        ["iid", "k", "lo", "hi"],
+    )
+    naive = (
+        pts.join(ivs.withColumnRenamed("k", "k2"),
+                 (F.col("k") == F.col("k2"))
+                 & (F.col("v") >= F.col("lo"))
+                 & (F.col("v") <= F.col("hi")))
+        .select("pid", "iid")
+    )
+    fast = bucketized_range_join(
+        pts, ivs, "v", "lo", "hi", bucket_width=64, by=["k"]
+    ).select("pid", "iid")
+    key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
+    assert key(fast) == key(naive)
+    assert len(key(fast)) > 0
