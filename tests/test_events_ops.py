@@ -108,3 +108,60 @@ def test_funnel_step_times_completers_only(spark):
     assert len(got) == 1
     r = got[0]
     assert r["user_id"] == "u1" and r["t1"] == _t(0) and r["t2"] == _t(1)
+
+
+# --------------------------------------------------------------------------
+# Property: the distributed fold must match a trivial in-memory funnel
+# simulator on random event streams.
+
+
+def _model_funnel(rows, steps):
+    """Reference implementation: per user, walk steps greedily taking
+    the earliest matching event strictly after the previous step."""
+    by_user = {}
+    for u, typ, ts in rows:
+        by_user.setdefault(u, []).append((ts, typ))
+    counts = {i: 0 for i in range(1, len(steps) + 1)}
+    for evs in by_user.values():
+        evs.sort()
+        prev = None
+        for i, step in enumerate(steps, start=1):
+            cand = [t for t, typ in evs
+                    if typ == step and (prev is None or t > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    return counts
+
+
+def test_funnel_matches_model_random(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    steps = ["a", "b", "c"]
+    ROWS = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),        # user
+            st.sampled_from(["a", "b", "c", "x"]),        # type
+            st.integers(min_value=0, max_value=20),       # minute
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(rows=ROWS)
+    def check(rows):
+        df = _ev(spark, [(f"u{u}", typ, _t(m)) for u, typ, m in rows])
+        got = {
+            r["step"]: r["users"]
+            for r in sequential_funnel(df, steps, materialize=False).collect()
+        }
+        want = _model_funnel(
+            [(u, typ, m) for u, typ, m in rows], steps
+        )
+        assert got == want
+
+    check()
