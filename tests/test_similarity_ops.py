@@ -117,3 +117,51 @@ def test_lsh_recall_high_recall_geometry(spark):
     geometry a 100 TB neardup run with a recall SLA would pick, at
     ~2.8x the bucket entries of the default."""
     assert _lsh_recall(spark, 20, 5, 0.45) >= 0.8
+
+
+def test_arrow_buckets_match_jvm(spark):
+    """The Arrow/numpy bucketing fast path must produce the identical
+    (id, bucket) set as the JVM fold on both test corpora — sign bits
+    only differ if a dot lands within an ulp of zero (none do here;
+    the docstring documents the theoretical divergence)."""
+    from dmds_spark.operators.similarity import (
+        lsh_bucket_rows_arrow,
+        lsh_buckets,
+    )
+
+    for sf in (SF, SF_RECALL):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        jvm = {
+            (r["vec_id"], r["__bucket"])
+            for r in e.select(
+                "vec_id",
+                F.explode(
+                    lsh_buckets(F.col("embedding"), 12, 6)
+                ).alias("__bucket"),
+            ).collect()
+        }
+        arrow = {
+            (r["vec_id"], r["__bucket"])
+            for r in lsh_bucket_rows_arrow(
+                e, "vec_id", "embedding", 12, 6
+            ).collect()
+        }
+        assert arrow == jvm
+
+
+def test_arrow_blocked_pairs_match(spark):
+    """End-to-end: arrow=True candidate pairs == default pairs."""
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_blocked_pairs(
+            e, "vec_id", "embedding", tables=6, planes=5, arrow=True
+        ).select("id_a", "id_b").collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_blocked_pairs(
+            e, "vec_id", "embedding", tables=6, planes=5
+        ).select("id_a", "id_b").collect()
+    }
+    assert a == b
