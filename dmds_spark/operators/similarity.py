@@ -260,6 +260,37 @@ def pair_cosine() -> Column:
     return dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
 
 
+def pair_cosine_rows_arrow(pairs: DataFrame, out: str = "sim") -> DataFrame:
+    """lsh_blocked_pairs output + a ``out`` cosine column, computed as
+    one numpy batched dot per Arrow batch — the throughput path for
+    the verify stage (same cost model as lsh_bucket_rows_arrow: the
+    interpreted per-pair fold is ~1 µs/element; candidate sets at
+    corpus scale dwarf the bucketing input). Norms reuse the
+    precomputed __na/__nb. Not the oracle default: the last-ulp sum
+    order differs from the sequential fold, so a pair sitting exactly
+    on a threshold could flip; test pins max deviation and
+    threshold-set equality on the test corpora."""
+    import numpy as np
+
+    schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in pairs.dtypes
+    ) + f", {out} double"
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", va, vb)
+            pdf[out] = dots / (
+                pdf["__na"].to_numpy() * pdf["__nb"].to_numpy()
+            )
+            yield pdf
+
+    return pairs.mapInPandas(fn, schema)
+
+
 def centroids(
     df: DataFrame,
     group_col: str,

@@ -165,3 +165,30 @@ def test_arrow_blocked_pairs_match(spark):
         ).select("id_a", "id_b").collect()
     }
     assert a == b
+
+
+def test_arrow_pair_cosine_matches(spark):
+    """Arrow verify-stage cosine: within 1e-12 of the exact fold, and
+    the >= 0.45 threshold set is identical on this data."""
+    from dmds_spark.operators.similarity import pair_cosine_rows_arrow
+
+    e = spark.read.parquet(f"{SF_RECALL}/embeddings.parquet")
+    pairs = lsh_blocked_pairs(e, "vec_id", "embedding", tables=6, planes=5)
+    exact = {
+        (r["id_a"], r["id_b"]): r["s"]
+        for r in pairs.select(
+            "id_a", "id_b", pair_cosine().alias("s")
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in pair_cosine_rows_arrow(pairs)
+        .select("id_a", "id_b", "sim")
+        .collect()
+    }
+    assert set(exact) == set(arrow)
+    assert max(abs(exact[k] - arrow[k]) for k in exact) < 1e-12
+    thr = 0.45
+    assert {k for k, v in exact.items() if v >= thr} == {
+        k for k, v in arrow.items() if v >= thr
+    }
