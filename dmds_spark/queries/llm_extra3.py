@@ -353,3 +353,81 @@ def join_range_attribution(spark, sf_dir):
     return joined.groupBy("purchase_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_views")
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing spans: the gather list a batch loader actually materializes —
+# one row per (doc, sequence) span, covering docs that straddle
+# sequence boundaries (tokens_pack_sequences reports only where each
+# doc STARTS).
+
+PACK_SEQ_LEN = 512
+
+
+@register(
+    "tokens_pack_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(s AS BIGINT) AS seq_id,
+           CAST(GREATEST(cb, s * {PACK_SEQ_LEN}) - s * {PACK_SEQ_LEN}
+                AS BIGINT) AS seq_off,
+           CAST(GREATEST(cb, s * {PACK_SEQ_LEN}) - cb AS BIGINT) AS doc_off,
+           CAST(LEAST(cb + n_tokens, (s + 1) * {PACK_SEQ_LEN})
+                - GREATEST(cb, s * {PACK_SEQ_LEN}) AS BIGINT) AS span_len
+    FROM (
+      SELECT *, UNNEST(range(CAST(cb // {PACK_SEQ_LEN} AS BIGINT),
+                             CAST((cb + n_tokens - 1) // {PACK_SEQ_LEN} + 1
+                                  AS BIGINT))) AS s
+      FROM c
+      WHERE n_tokens > 0
+    )
+    """,
+)
+def tokens_pack_spans(spark, sf_dir):
+    """Per-(doc, sequence) gather spans for fixed-length packing: a doc
+    whose tokens run [cb, cb+n) under the per-source concat order
+    contributes one span to every sequence it touches — (seq_id,
+    seq_off, doc_off, span_len). This is the physical copy list the
+    batch loader executes; summing span_len per seq_id proves every
+    sequence is exactly PACK_SEQ_LEN tokens (except each source's
+    last).
+
+    Scale shape: the cumsum is the two-level sharded form (never one
+    task per source); the span fan-out is a per-row explode of
+    ceil(n/L)+1 elements — no further shuffle. All integer arithmetic."""
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", "source", F.size(words("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    c = sharded_exclusive_cumsum(t, "source", ["doc_id"], "n_tokens", "cb")
+    L = PACK_SEQ_LEN
+    s0 = _int_div(F.col("cb"), F.lit(L))
+    s1 = _int_div(F.col("cb") + F.col("n_tokens") - 1, F.lit(L))
+    sp = c.select(
+        "doc_id", "source", "cb", "n_tokens",
+        F.explode(F.sequence(s0, s1)).alias("s"),
+    )
+    start = F.greatest(F.col("cb"), F.col("s") * L)
+    end = F.least(F.col("cb") + F.col("n_tokens"), (F.col("s") + 1) * L)
+    return sp.select(
+        "doc_id",
+        "source",
+        F.col("s").cast("bigint").alias("seq_id"),
+        (start - F.col("s") * L).cast("bigint").alias("seq_off"),
+        (start - F.col("cb")).cast("bigint").alias("doc_off"),
+        (end - start).cast("bigint").alias("span_len"),
+    )

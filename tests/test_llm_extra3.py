@@ -96,3 +96,39 @@ def test_conversion_latency_consistent_with_funnel(spark):
     if lat["n_converted"] > 0:
         assert lat["median_s"] <= lat["p90_s"]
         assert lat["median_s"] >= 0
+
+
+def test_pack_spans_cover_and_fill(spark):
+    """Invariants: spans of one doc are contiguous and sum to
+    n_tokens; per (source, seq_id), span_lens sum to exactly SEQ_LEN
+    except each source's last sequence."""
+    from dmds_spark.queries.llm_extra3 import PACK_SEQ_LEN
+
+    rows = _qs()["tokens_pack_spans"](spark, SF).collect()
+    assert rows
+    by_doc, by_seq = {}, {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault((r["source"], r["seq_id"]), 0)
+        by_seq[(r["source"], r["seq_id"])] += r["span_len"]
+    pack = {r["doc_id"]: r for r in _qs()["tokens_pack_sequences"](spark, SF).collect()}
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["seq_id"])
+        assert spans[0]["doc_off"] == 0
+        total = sum(s["span_len"] for s in spans)
+        acc = 0
+        for s in spans:
+            assert s["doc_off"] == acc
+            acc += s["span_len"]
+        # first span agrees with tokens_pack_sequences' start position
+        assert spans[0]["seq_id"] == pack[doc]["seq_id"]
+        assert spans[0]["seq_off"] == pack[doc]["seq_offset"]
+        assert total == pack[doc]["n_tokens"]
+    last_seq = {}
+    for (src, sid) in by_seq:
+        last_seq[src] = max(last_seq.get(src, -1), sid)
+    for (src, sid), filled in by_seq.items():
+        if sid < last_seq[src]:
+            assert filled == PACK_SEQ_LEN, (src, sid, filled)
+        else:
+            assert 0 < filled <= PACK_SEQ_LEN
