@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from dmds_spark.functions.text import words
 from dmds_spark.operators.sampling import hash_bucket
 from dmds_spark.queries import register
-from dmds_spark.queries.llm_extra2 import _int_div
+from dmds_spark.queries.llm_extra import _BUCKET_SQL  # hash_bucket's SQL twin
+from dmds_spark.queries.llm_extra2 import SEQ_LEN, _int_div
 
 
 def _docs(spark, sf_dir):
@@ -32,10 +33,6 @@ def _docs(spark, sf_dir):
 # tokenizer vocabulary against a corpus.
 
 VOCAB_N = 100
-
-_BUCKET_SQL = (
-    "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 10000)"
-)
 
 
 @register(
@@ -361,7 +358,8 @@ def join_range_attribution(spark, sf_dir):
 # sequence boundaries (tokens_pack_sequences reports only where each
 # doc STARTS).
 
-PACK_SEQ_LEN = 512
+# the spans must describe tokens_pack_sequences' layout — same length
+PACK_SEQ_LEN = SEQ_LEN
 
 
 @register(

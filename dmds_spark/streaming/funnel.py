@@ -27,14 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-FUNNEL_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("step_reached", T.LongType()),
-        T.StructField("t_last_step", T.TimestampType()),
-    ]
-)
-
 FUNNEL_STATE_SCHEMA = T.StructType(
     [
         T.StructField("step", T.LongType()),
@@ -63,7 +55,7 @@ def _make_update(steps: list[str]):
         yield pd.DataFrame(
             [
                 {
-                    "user_id": int(user_id),
+                    "user_id": user_id,
                     "step_reached": int(step),
                     "t_last_step": t_prev,
                 }
@@ -76,15 +68,25 @@ def _make_update(steps: list[str]):
 def streaming_funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     """Per-user online funnel progress over a stream of
     (user_id, event_type, ts). Emits (user_id, step_reached,
-    t_last_step) snapshots for every user touched by each batch."""
+    t_last_step) snapshots for every user touched by each batch.
+    The user_id output type follows the input schema (string keys and
+    integer keys both work, matching the batch fold)."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    key_type = events.schema["user_id"].dataType
+    output_schema = T.StructType(
+        [
+            T.StructField("user_id", key_type),
+            T.StructField("step_reached", T.LongType()),
+            T.StructField("t_last_step", T.TimestampType()),
+        ]
+    )
     return (
         events.select("user_id", "event_type", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_update(steps),
-            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            outputStructType=output_schema,
             stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -282,9 +282,19 @@ def test_pretrain_corpus_no_per_source_data_window(spark, qs):
 
 def test_funnel_no_window_over_stream(spark, qs):
     """The funnel must be aggregate+join shaped — no Window exec over
-    the raw event stream."""
-    plan = physical_plan(qs["events_funnel_steps"](spark, SF))
-    assert "Window" not in plan
+    the raw event stream. Built with materialize=False: the registered
+    query's eager per-step checkpoints truncate lineage to Scan
+    ExistingRDD nodes, which would make this pin vacuous (the guarded
+    regression would execute at checkpoint time, invisible to the
+    final plan)."""
+    from dmds_spark.operators.events import sequential_funnel
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, SF)
+    df = sequential_funnel(
+        e, ["view", "click", "purchase"], materialize=False
+    )
+    assert "Window" not in physical_plan(df)
 
 
 def test_range_attribution_hash_join(spark, qs):
