@@ -329,3 +329,58 @@ def test_one_dim_world(spark, tmp_path):
     # 1-dim Morton key degenerates to the offset itself
     z = {r["k"]: r["z"] for r in w.snapshot().select("k", w.zvalue().alias("z")).collect()}
     assert all(z[k] == k for k in z)
+
+
+def test_three_dim_world_readme_example(spark, tmp_path):
+    """The reference readme's own example geometry (readme.md:9-15):
+    3 dimensions user_id / username_hash / username_length. CRUD,
+    box selection over secondary dims, relocation on a secondary-dim
+    mutation, and flush round-trip must all hold at DIMS=3."""
+    spec = WorldSpec(
+        dims=(
+            DimSpec("user_id", 0, 2**20 - 1, 4096),
+            DimSpec("username_hash", 0, 2**16 - 1, 1024),
+            DimSpec("username_length", 0, 255, 16),
+        )
+    )
+    w = World(spark, spec, str(tmp_path / "w3"))
+    rows = [
+        {"user_id": i, "username_hash": (i * 131) % 2**16,
+         "username_length": 3 + (i % 20)}
+        for i in range(0, 500, 7)
+    ]
+    w.upsert(spark.createDataFrame(rows))
+    w.flush()
+
+    # conjunction box over the two secondary dims
+    sel = w.select(1, slice(1000, 40000)).and_(2, slice(5, 9))
+    got = sorted(r["user_id"] for r in w.read(sel).collect())
+    # slice bounds are half-open (Rust a..b; core/dims.py:25-45)
+    want = sorted(
+        r["user_id"] for r in rows
+        if 1000 <= r["username_hash"] < 40000
+        and 5 <= r["username_length"] < 9
+    )
+    assert got == want
+
+    # union with an id hint
+    sel2 = w.select(2, slice(5, 9)).plus(2, slice(200, 255)).hints([0, 7])
+    got2 = sorted(r["user_id"] for r in w.read(sel2).collect())
+    want2 = sorted(
+        r["user_id"] for r in rows
+        if ((5 <= r["username_length"] < 9 or r["username_length"] >= 200)
+            and r["user_id"] in (0, 7))
+    )
+    assert got2 == want2
+
+    # relocation: renaming user 7 moves it to new hash/length chunks
+    w.upsert(spark.createDataFrame(
+        [{"user_id": 7, "username_hash": 60000, "username_length": 30}]
+    ))
+    w.flush()
+    w2 = World(spark, spec, w.path)
+    r7 = w2.get(7).collect()
+    assert len(r7) == 1
+    assert r7[0]["username_hash"] == 60000
+    assert r7[0]["username_length"] == 30
+    assert w2.read(w2.select(2, slice(5, 10)).hints([7])).count() == 0
