@@ -16,6 +16,60 @@ import sys
 import time
 
 
+# The 21-query COMPARABLE set (module-level so tests can pin that every
+# name still resolves — a renamed query silently dropping out of the
+# filter below would shrink "value" and masquerade as a speedup): BASELINE.md's recorded table and the
+    # round-over-round "value" metric. Measured FIRST, in its own
+    # warmup+measure phase, so its numbers come from the same JVM state
+    # round 1 measured in — widening the headline surface in later
+    # rounds inflated the comparable numbers ~1.25x purely through
+    # session state (codegen cache, block-manager churn, GC landing
+    # spots) accumulated by the 17 queries that ran before it.
+BASELINE_ORDER = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "agg_rollup",
+    "window_row_number",
+    "topk_per_group",
+    "dmds_select_plus",
+    "dedup_exact_keep_first",
+    "dedup_minhash_pairs",
+    "text_token_stats",
+    "text_lang_id",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh_topk",
+    "window_tumbling_1h",
+    "sessionize_10m",
+    "timeseries_gapfill",
+    "pipeline_curation",
+]
+# later-round additions: reported per-query and in value_full
+ADDITIONS = [
+    "dedup_simhash_pairs",
+    "dedup_embedding_neardup",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "similarity_ivf_topk",
+    "sample_hash_10pct",
+    "sample_train_val_test",
+    "agg_salted_sum",
+    "join_salted_skew",
+    "window_sliding_1h_30m",
+    "text_contamination_ngram",
+    "text_gopher_rules",
+    "tokens_pack_sequences",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "profile_column_stats",
+    "pipeline_pretrain_corpus",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -26,59 +80,13 @@ def main() -> int:
     spark = get_spark(app_name="dmds_spark_bench")
 
     qs = all_queries()
-
-    # The 21-query COMPARABLE set: BASELINE.md's recorded table and the
-    # round-over-round "value" metric. Measured FIRST, in its own
-    # warmup+measure phase, so its numbers come from the same JVM state
-    # round 1 measured in — widening the headline surface in later
-    # rounds inflated the comparable numbers ~1.25x purely through
-    # session state (codegen cache, block-manager churn, GC landing
-    # spots) accumulated by the 17 queries that ran before it.
-    baseline_order = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q10_returned_revenue",
-        "q9_product_profit",
-        "q18_large_volume_customer",
-        "agg_rollup",
-        "window_row_number",
-        "topk_per_group",
-        "dmds_select_plus",
-        "dedup_exact_keep_first",
-        "dedup_minhash_pairs",
-        "text_token_stats",
-        "text_lang_id",
-        "similarity_cosine_topk",
-        "similarity_ann_lsh_topk",
-        "window_tumbling_1h",
-        "sessionize_10m",
-        "timeseries_gapfill",
-        "pipeline_curation",
-    ]
-    # later-round additions: reported per-query and in value_full
-    additions = [
-        "dedup_simhash_pairs",
-        "dedup_embedding_neardup",
-        "text_bpe_token_count",
-        "text_fingerprint",
-        "similarity_ivf_topk",
-        "sample_hash_10pct",
-        "sample_train_val_test",
-        "agg_salted_sum",
-        "join_salted_skew",
-        "window_sliding_1h_30m",
-        "text_contamination_ngram",
-        "text_gopher_rules",
-        "tokens_pack_sequences",
-        "events_funnel_steps",
-        "events_retention_cohorts",
-        "profile_column_stats",
-        "pipeline_pretrain_corpus",
-    ]
-    baseline_order = [h for h in baseline_order if h in qs]
-    additions = [h for h in additions if h in qs]
+    missing = [h for h in BASELINE_ORDER + ADDITIONS if h not in qs]
+    if missing:
+        # comparability guard: never drop names silently (a shrunk set
+        # would read as a speedup); shout and keep the record honest
+        print(f"bench: MISSING QUERIES {missing}", file=sys.stderr)
+    baseline_order = [h for h in BASELINE_ORDER if h in qs]
+    additions = [h for h in ADDITIONS if h in qs]
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
@@ -128,6 +136,7 @@ def main() -> int:
                 "unit": "sec",
                 "value_full": round(sum(times.values()), 4),
                 "queries": times,
+                "missing": missing,
                 "sf": sf,
             }
         )
