@@ -92,3 +92,48 @@ def weighted_hash_sample(
     rate; raise ``denominator`` if sub-0.5e-4 weights matter."""
     thr = F.round(weight * denominator).cast("long")
     return df.filter(hash_bucket(key, denominator) < thr)
+
+
+def capped_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    slices: int = 64,
+    slice_col: Column | None = None,
+) -> DataFrame:
+    """At most ``k`` rows per group, selected by rank over
+    ``order_cols`` (callers pass a total order) — with the hot-group
+    window input BOUNDED.
+
+    The single-window form (rank within group <= k) puts every row of a
+    group through one task: a domain holding 10% of a 100 TB crawl
+    serializes. Two levels fix it with identical output: stage 1 ranks
+    within (group, hash-slice of the first order column) and keeps each
+    slice's top-k — a superset of the group's true top-k, because any
+    globally-kept row is also within its own slice's top-k; stage 2
+    ranks the survivors (<= slices*k rows per group, bounded regardless
+    of group size) within the group. Both windows are
+    WindowGroupLimit-eligible rank filters. ``slice_col`` picks the
+    hashed slice key (required when order_cols[0] is a sort-ordered
+    expression; any column that spreads evenly works — the tie-break
+    id is the natural choice)."""
+    if slice_col is None:
+        first = order_cols[0]
+        slice_col = F.col(first) if isinstance(first, str) else first
+    sl = F.pmod(F.xxhash64(slice_col), F.lit(slices))
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(group_col, "__slice").orderBy(*order_cols)
+    w2 = W.partitionBy(group_col).orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__slice", sl)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__slice")
+    )
+    return (
+        pruned.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= k)
+        .drop("__r2")
+    )

@@ -51,21 +51,26 @@ def sample_cap_per_source(spark, sf_dir):
     """Domain capping — "at most K documents per source" — the standard
     counter to a few domains dominating a crawl corpus. Selection is
     deterministic (rank by content-hash bucket, doc_id tie-break), so
-    re-runs and engine changes keep the identical subset. One shuffle
-    on source; at 100 TB source-hash partitioning with AQE skew-split
-    handles hot domains (and a two-level cap — hash-slice first, then
-    rank — bounds any single domain's window input)."""
-    from dmds_spark.operators.sampling import hash_bucket
+    re-runs and engine changes keep the identical subset.
+
+    Scale shape: the TWO-LEVEL cap (operators/sampling.
+    capped_per_group): rank within (source, hash-slice) keeps each
+    slice's top-K — a provable superset of the true per-source top-K —
+    then the survivor rank within source sees <= slices*K rows per
+    source regardless of domain size. The single-window form puts a
+    hot domain's entire crawl through one task; identical output,
+    bounded window input (pinned in test_plans.py)."""
+    from dmds_spark.operators.sampling import capped_per_group, hash_bucket
 
     d = _docs(spark, sf_dir)
-    w = W.partitionBy("source").orderBy(
-        hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    capped = capped_per_group(
+        d.select("doc_id", "source"),
+        "source",
+        [hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()],
+        CAP_PER_SOURCE,
+        slice_col=F.col("doc_id"),
     )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= CAP_PER_SOURCE)
-        .select("doc_id", "source")
-    )
+    return capped.select("doc_id", "source")
 
 
 TFIDF_TOPK = 3

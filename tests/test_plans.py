@@ -318,3 +318,15 @@ def test_chunk_overlap_no_shuffle(spark, qs):
     exchanges anywhere in the plan."""
     df = qs["tokens_chunk_overlap"](spark, SF)
     assert shuffle_count(df) == 0
+
+
+def test_cap_per_source_two_level_window(spark, qs):
+    """Domain capping must be the two-level shape: a sliced
+    (source, hash) pre-rank before the per-source rank, so no window
+    ever sees an unbounded hot domain."""
+    plan = physical_plan(qs["sample_cap_per_source"](spark, SF))
+    import re
+
+    # two Window execs: first partitioned by (source, slice-hash)
+    assert len(re.findall(r"\bWindow(?:GroupLimit)?\b", plan)) >= 2
+    assert "xxhash64" in plan.lower()

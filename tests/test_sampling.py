@@ -39,3 +39,28 @@ def test_cokeyed_referential_integrity(spark):
     # every sampled lineitem's order is in the sampled orders
     orphans = sl.join(so, sl.l_orderkey == so.o_orderkey, "left_anti")
     assert orphans.count() == 0
+
+
+def test_capped_per_group_matches_single_window(spark):
+    """Two-level cap == single-window rank <= k, including on a
+    heavily skewed group."""
+    from pyspark.sql import Window as W
+
+    from dmds_spark.operators.sampling import capped_per_group
+
+    rows = [(i, "hot" if i % 10 != 0 else f"g{i % 7}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    order = ["id"]
+    for k in (1, 7, 50):
+        naive = (
+            df.withColumn(
+                "rn", F.row_number().over(W.partitionBy("grp").orderBy(*order))
+            )
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        fast = capped_per_group(df, "grp", order, k, slices=8)
+        a = sorted((r["grp"], r["id"]) for r in fast.collect())
+        b = sorted((r["grp"], r["id"]) for r in naive.collect())
+        assert a == b
+        assert len(a) > 0
