@@ -121,6 +121,15 @@ def capped_per_group(
     if slice_col is None:
         first = order_cols[0]
         slice_col = F.col(first) if isinstance(first, str) else first
+    # a SortOrder (col.asc()/desc()) can't be hashed — fail with the
+    # actual fix instead of Spark's codegen internal error
+    rep = str(slice_col)
+    if rep.endswith(("NULLS FIRST'>", "NULLS LAST'>")):
+        raise ValueError(
+            "slice_col (or order_cols[0] used as its default) is a "
+            "sort-ordered expression; pass slice_col=<plain Column> "
+            "(the tie-break id is the natural choice)"
+        )
     sl = F.pmod(F.xxhash64(slice_col), F.lit(slices))
     from pyspark.sql import Window as W
 
