@@ -98,7 +98,7 @@ def capped_per_group(
     df: DataFrame,
     group_col: str,
     order_cols: list,
-    k: int,
+    k,
     slices: int = 64,
     slice_col: Column | None = None,
 ) -> DataFrame:
@@ -117,7 +117,12 @@ def capped_per_group(
     WindowGroupLimit-eligible rank filters. ``slice_col`` picks the
     hashed slice key (required when order_cols[0] is a sort-ordered
     expression; any column that spreads evenly works — the tie-break
-    id is the natural choice)."""
+    id is the natural choice).
+
+    ``k`` may be an int or a Column already attached to ``df`` (a
+    data-derived cap, e.g. the minority-class count for balanced
+    sampling) — the superset argument holds per group for any per-row
+    constant-within-group k."""
     if slice_col is None:
         first = order_cols[0]
         slice_col = F.col(first) if isinstance(first, str) else first

@@ -275,25 +275,27 @@ def sample_balanced_by_lang(spark, sf_dir):
     across runs/engines/partitionings, like every sampler here).
 
     Scale shape: the class-count aggregate is tiny (one row per lang)
-    and broadcasts; selection is rank-within-lang <= m — the same
-    WindowGroupLimit-eligible shape as sample_cap_per_source, with the
-    same documented two-level (hash-slice then rank) fix for a
-    low-cardinality lang column at 100 TB."""
+    and broadcasts; selection is the TWO-LEVEL ``capped_per_group``
+    (slice-local rank first, then the per-lang rank over <= slices*m
+    survivors) with the data-derived cap m as a column — a
+    low-cardinality lang column at 100 TB never puts a whole class
+    through one window task."""
+    from dmds_spark.operators.sampling import capped_per_group
+
     d = _docs(spark, sf_dir)
     m = (
         d.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.min("n").alias("m"))
     )
-    w = W.partitionBy("lang").orderBy(
-        hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    capped = capped_per_group(
+        d.select("doc_id", "lang").join(F.broadcast(m)),
+        "lang",
+        [hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc()],
+        F.col("m"),
+        slice_col=F.col("doc_id"),
     )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(m))
-        .filter(F.col("rn") <= F.col("m"))
-        .select("doc_id", "lang")
-    )
+    return capped.select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------
