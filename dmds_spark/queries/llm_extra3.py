@@ -431,3 +431,109 @@ def tokens_pack_spans(spark, sf_dir):
         (start - F.col("cb")).cast("bigint").alias("doc_off"),
         (end - start).cast("bigint").alias("span_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: fixed-point integer PageRank over the bipartite
+# supplier <-> customer purchase graph (who supplies whom, via
+# lineitem x orders). Complements the min-label connected components in
+# operators/dedup.py with the other classic iterative-graph shape.
+
+PR_SCALE = 1_000_000_000_000  # score fixed point: 1.0 == 1e12
+PR_ITERS = 3
+PR_TOPK = 20
+_PR_BASE = 3 * PR_SCALE // 20  # (1 - d) * SCALE with d = 17/20
+
+
+def _pr_sql() -> str:
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS u, o_custkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), und AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    s0 AS (
+      SELECT deg.u, CAST({scale} // nn.n AS BIGINT) AS sc
+      FROM deg CROSS JOIN nn
+    )""".format(scale=PR_SCALE)
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append("""
+    , i{i} AS (
+      SELECT und.v, SUM(s{p}.sc // deg.d) AS infl
+      FROM und JOIN s{p} ON und.u = s{p}.u JOIN deg ON und.u = deg.u
+      GROUP BY und.v
+    ), s{i} AS (
+      SELECT deg.u,
+             CAST({base} // nn.n
+                  + (17 * COALESCE(i{i}.infl, 0)) // 20 AS BIGINT) AS sc
+      FROM deg CROSS JOIN nn LEFT JOIN i{i} ON deg.u = i{i}.v
+    )""".format(i=i, p=i - 1, base=_PR_BASE))
+    tail = """
+    SELECT u AS node, sc AS score FROM s{last}
+    ORDER BY score DESC, node LIMIT {k}
+    """.format(last=PR_ITERS, k=PR_TOPK)
+    return head + "".join(steps) + tail
+
+
+@register("graph_pagerank", _pr_sql())
+def graph_pagerank(spark, sf_dir):
+    """Top-``PR_TOPK`` nodes by PageRank (damping 0.85, ``PR_ITERS``
+    synchronous iterations) over the undirected supplier<->customer
+    purchase graph. ALL arithmetic is integer fixed-point (scores in
+    1e-12 units, floor division everywhere), so every iteration is
+    bit-identical on any engine and the oracle hash-matches — the same
+    determinism discipline as the TF-IDF and Gopher scores (a float
+    PageRank would drift on summation order).
+
+    Scale shape: each iteration is one shuffle — contributions
+    (score // outdeg) flow along edges and SUM-aggregate on the
+    destination (map-side partial); the node table, degrees, and the
+    single-row node count broadcast. Iterations are a fixed unrolled
+    chain (no driver loop state); connected_components in
+    operators/dedup.py covers the until-convergence variant of this
+    family. Top-K is TakeOrderedAndProject."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("u"),
+            (F.col("o_custkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.localCheckpoint(eager=True)  # 2 consumers/iter x 3 iters
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg = deg.localCheckpoint(eager=True)
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    s = deg.crossJoin(F.broadcast(nn)).select(
+        "u", _int_div(F.lit(PR_SCALE), F.col("n")).alias("sc")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            und.join(s, "u")
+            .join(deg, "u")
+            .select("v", _int_div(F.col("sc"), F.col("d")).alias("c"))
+        )
+        infl = contrib.groupBy("v").agg(F.sum("c").alias("infl"))
+        s = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(infl, deg["u"] == infl["v"], "left")
+            .select(
+                "u",
+                (
+                    _int_div(F.lit(_PR_BASE), F.col("n"))
+                    + _int_div(17 * F.coalesce(F.col("infl"), F.lit(0)), F.lit(20))
+                ).cast("bigint").alias("sc"),
+            )
+        )
+    return (
+        s.select(F.col("u").alias("node"), F.col("sc").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("node"))
+        .limit(PR_TOPK)
+    )
