@@ -132,3 +132,20 @@ def test_pack_spans_cover_and_fill(spark):
             assert filled == PACK_SEQ_LEN, (src, sid, filled)
         else:
             assert 0 < filled <= PACK_SEQ_LEN
+
+
+def test_pagerank_deterministic_and_sane(spark):
+    """Integer PageRank: bit-identical re-runs, descending total-order
+    output, scores bounded by the fixed-point scale, and both node
+    classes (suppliers=even, customers=odd) ranked."""
+    from dmds_spark.queries.llm_extra3 import PR_SCALE, PR_TOPK
+
+    a = _qs()["graph_pagerank"](spark, SF).collect()
+    b = _qs()["graph_pagerank"](spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == PR_TOPK
+    key = [(-r["score"], r["node"]) for r in a]
+    assert key == sorted(key)
+    for r in a:
+        assert 0 < r["score"] < PR_SCALE  # no node absorbs everything
+    assert {r["node"] % 2 for r in a} <= {0, 1}
