@@ -321,3 +321,79 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_frame_features(
+    media: DataFrame,
+    sample_rate: int = 16_000,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """Per-frame audio features over a PCM16 little-endian payload:
+    overlapping frames of ``frame_ms`` every ``hop_ms`` (the standard
+    speech-feature framing), each reduced to integer-exact sum-of-
+    squares energy and zero-crossing count — the VAD / silence-trim /
+    segmentation primitives a speech-corpus pipeline runs before any
+    model. Unlike the image codec this needs NO external library: PCM
+    framing is array slicing, so the whole operator is real, not a
+    stub. Features are integers, so results are bit-identical on any
+    engine or partitioning.
+
+    Scale shape: one ``mapInPandas`` scan (Arrow batches, numpy
+    vectorized per row), fan-out = frames per clip, no shuffle. The
+    header (16 bytes, MEDIA_MAGIC layout) is skipped like every other
+    media operator; trailing bytes that don't complete a sample are
+    dropped."""
+    import numpy as np
+
+    frame_len = sample_rate * frame_ms // 1000
+    hop_len = sample_rate * hop_ms // 1000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)[16:]
+                usable = len(payload) - (len(payload) % 2)
+                pcm = np.frombuffer(payload[:usable], dtype="<i2").astype(
+                    np.int64
+                )
+                n = len(pcm)
+                if n >= frame_len:
+                    starts = range(0, n - frame_len + 1, hop_len)
+                else:
+                    starts = [0] if n else []  # short clip: one truncated frame
+                frame_no = 0
+                for start in starts:
+                    fr = pcm[start : start + frame_len]
+                    signs = np.sign(fr)
+                    nz = signs != 0
+                    zc = int(np.sum(np.abs(np.diff(signs[nz])) == 2))
+                    out.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_no": frame_no,
+                            "n_samples": len(fr),
+                            "energy": int(np.sum(fr * fr)),
+                            "zero_crossings": zc,
+                        }
+                    )
+                    frame_no += 1
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {k.name: [] for k in AUDIO_FRAME_SCHEMA}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_FRAME_SCHEMA
+    )

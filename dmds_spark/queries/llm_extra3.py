@@ -537,3 +537,25 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("score").desc(), F.col("node"))
         .limit(PR_TOPK)
     )
+
+
+@register("multimodal_audio_energy", None)  # binary plumbing: rows-only check
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio feature extraction end-to-end: documents -> fake media
+    payloads -> PCM16 framing (25ms/10ms) -> per-clip energy stats.
+    Unlike the image codec this path is fully real (PCM framing is
+    pure array math, operators/multimodal.audio_frame_features);
+    rows-only because the frame features are engine-side binary
+    plumbing, not SQL."""
+    from dmds_spark.operators.multimodal import (
+        audio_frame_features,
+        media_table_from_documents,
+    )
+
+    media = media_table_from_documents(_docs(spark, sf_dir))
+    frames = audio_frame_features(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
+        F.sum("zero_crossings").cast("bigint").alias("total_zc"),
+    )

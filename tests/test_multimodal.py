@@ -173,3 +173,64 @@ def test_resize_images_real_codec(spark):
     out = decode_images(resize_images(media, 20, 10, fake=False), fake=False).collect()
     assert len(out) == 4
     assert all(r["width"] == 20 and r["height"] == 10 for r in out)
+
+
+# --------------------------------------------------------------------------
+# Audio framing: real PCM math (no external libs), hand-computed truth.
+
+
+def test_audio_frame_features_hand_computed(spark):
+    import struct
+
+    from dmds_spark.operators.multimodal import (
+        AUDIO_FRAME_SCHEMA,
+        audio_frame_features,
+    )
+
+    # 16-byte header + PCM16LE: [100, -100, 200, -200, 0, 300]
+    samples = [100, -100, 200, -200, 0, 300]
+    content = b"\x00" * 16 + struct.pack("<6h", *samples)
+    media = spark.createDataFrame(
+        [(1, bytearray(content))], "media_id long, content binary"
+    )
+    # frame_len = 4 samples, hop = 2  (sample_rate=4000, 1ms units)
+    got = audio_frame_features(
+        media, sample_rate=4000, frame_ms=1, hop_ms=1
+    ).collect()
+    # frame_len = hop = 4 -> frames [0:4]; 6-4+1=3 starts 0..2 step 4 -> [0]
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_samples"] == 4
+    assert r["energy"] == 100**2 + 100**2 + 200**2 + 200**2
+    # signs: +,-,+,- -> 3 crossings
+    assert r["zero_crossings"] == 3
+
+    got2 = {
+        (r["frame_no"]): r
+        for r in audio_frame_features(
+            media, sample_rate=2000, frame_ms=1, hop_ms=1
+        ).collect()
+    }
+    # frame_len = hop = 2: frames [100,-100],[200,-200],[0,300]
+    assert len(got2) == 3
+    assert got2[0]["energy"] == 20000 and got2[0]["zero_crossings"] == 1
+    assert got2[1]["energy"] == 80000 and got2[1]["zero_crossings"] == 1
+    # zeros are skipped for ZCR (sign run [0, +] has no +/- flip)
+    assert got2[2]["energy"] == 90000 and got2[2]["zero_crossings"] == 0
+
+
+def test_audio_frame_features_short_and_empty(spark):
+    import struct
+
+    from dmds_spark.operators.multimodal import audio_frame_features
+
+    short = b"\x00" * 16 + struct.pack("<2h", 5, -5)
+    empty = b"\x00" * 16
+    media = spark.createDataFrame(
+        [(1, bytearray(short)), (2, bytearray(empty))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in audio_frame_features(media).collect()}
+    assert rows[1]["n_samples"] == 2  # truncated single frame
+    assert rows[1]["energy"] == 50
+    assert 2 not in rows  # empty payload emits nothing
