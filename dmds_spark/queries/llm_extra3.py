@@ -559,3 +559,58 @@ def multimodal_audio_energy(spark, sf_dir):
         F.sum("energy").cast("bigint").alias("total_energy"),
         F.sum("zero_crossings").cast("bigint").alias("total_zc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving median: an operator Spark has no native window function for —
+# composed exactly from collect_list over the frame.
+
+MED_FRAME = 2  # +-2 rows -> 5-row window
+
+
+@register(
+    "window_moving_median",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           median(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN {MED_FRAME} PRECEDING AND {MED_FRAME} FOLLOWING
+           ) AS med_qty
+    FROM lineitem
+    WHERE l_suppkey < 10
+    """,
+)
+def window_moving_median(spark, sf_dir):
+    """Exact moving median of quantity over a 5-row frame per supplier
+    — the robust-smoothing window Spark lacks as a built-in window
+    function, composed exactly: sort_array(collect_list) over the
+    frame, then the standard lower/upper-middle interpolation. The
+    inputs are integral doubles, so the even-count average is exact
+    and hash-matches DuckDB's quantile_cont(0.5) window.
+
+    Scale shape: one window shuffle on the partition key; the frame is
+    bounded (5 rows), so the per-row array is constant-size — this
+    composition is O(frame log frame) per row, fine for bounded
+    frames, and the documented wrong tool for unbounded ones (use
+    approx quantiles per partition instead)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_suppkey") < 10
+    )
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-MED_FRAME, MED_FRAME)
+    )
+    arr = F.sort_array(F.collect_list("l_quantity").over(w))
+    n = F.size(arr)
+    lower = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    upper = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lower).otherwise((lower + upper) / 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        med.cast("double").alias("med_qty"),
+    )
