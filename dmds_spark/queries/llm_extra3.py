@@ -614,3 +614,98 @@ def window_moving_median(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("qty"),
         med.cast("double").alias("med_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode + RFM segmentation (classic customer analytics).
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    SELECT o_orderpriority,
+           CAST(cnt AS BIGINT) AS n,
+           o_orderstatus AS mode_status
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY COUNT(*) DESC, o_orderstatus
+             ) AS rn
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Deterministic per-group mode (most frequent value, smallest
+    value on ties) — built-in ``mode()`` has engine-defined tie
+    behavior, so the portable form is count + rank, which also
+    two-phases: the count is map-side partial and the rank's window
+    input is one row per (group, value), never raw rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("cnt").cast("bigint").alias("n"),
+            F.col("o_orderstatus").alias("mode_status"),
+        )
+    )
+
+
+@register(
+    "customers_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey,
+           CAST(NTILE(4) OVER (ORDER BY last_order, custkey) AS BIGINT)
+             AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY freq, custkey) AS BIGINT) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m_q
+    FROM rfm
+    """,
+)
+def customers_rfm_segments(spark, sf_dir):
+    """RFM segmentation: every purchasing customer quartiled on
+    recency (last order date), frequency (order count) and monetary
+    (decimal-exact spend). The three global NTILEs are NOT global
+    windows (the single-partition trap): each comes from the
+    distributed global row number + the closed-form bucket allocation
+    (global_row_number + ntile_from_rn) — identical output to SQL
+    NTILE for the same total order, every stage parallel. Tie-breaks
+    on custkey make each order total, so quartile assignment is
+    deterministic on any engine."""
+    from dmds_spark.operators.relational import global_row_number, ntile_from_rn
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    rfm = rfm.localCheckpoint(eager=True)  # 3 ranking consumers
+    n_rows = rfm.count()
+    out = rfm
+    for name, order in (
+        ("r_q", [F.col("last_order").asc(), F.col("custkey").asc()]),
+        ("f_q", [F.col("freq").asc(), F.col("custkey").asc()]),
+        ("m_q", [F.col("monetary").asc(), F.col("custkey").asc()]),
+    ):
+        ranked = global_row_number(out, order, out="__rn")
+        out = ranked.withColumn(
+            name, ntile_from_rn(F.col("__rn"), n_rows, 4).cast("bigint")
+        ).drop("__rn")
+    return out.select("custkey", "r_q", "f_q", "m_q")
