@@ -67,6 +67,13 @@ ADDITIONS = [
     "events_retention_cohorts",
     "profile_column_stats",
     "pipeline_pretrain_corpus",
+    # round-4 additions
+    "text_vocab_coverage",
+    "join_range_attribution",
+    "tokens_pack_spans",
+    "events_conversion_latency",
+    "graph_pagerank",
+    "customers_rfm_segments",
 ]
 
 

@@ -510,14 +510,16 @@ def graph_pagerank(spark, sf_dir):
     und = und.localCheckpoint(eager=True)  # 2 consumers/iter x 3 iters
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     deg = deg.localCheckpoint(eager=True)
+    # degree is loop-invariant: attach it to the edge list ONCE instead
+    # of re-joining every iteration (3 joins saved at 3 iterations)
+    und_deg = und.join(deg, "u").localCheckpoint(eager=True)
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     s = deg.crossJoin(F.broadcast(nn)).select(
         "u", _int_div(F.lit(PR_SCALE), F.col("n")).alias("sc")
     )
     for _ in range(PR_ITERS):
         contrib = (
-            und.join(s, "u")
-            .join(deg, "u")
+            und_deg.join(s, "u")
             .select("v", _int_div(F.col("sc"), F.col("d")).alias("c"))
         )
         infl = contrib.groupBy("v").agg(F.sum("c").alias("infl"))
