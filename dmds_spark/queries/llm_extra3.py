@@ -711,3 +711,73 @@ def customers_rfm_segments(spark, sf_dir):
             name, ntile_from_rn(F.col("__rn"), n_rows, 4).cast("bigint")
         ).drop("__rn")
     return out.select("custkey", "r_q", "f_q", "m_q")
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware keep-BEST dedup: canonical selection by quality, not by
+# lowest id — the policy real curation pipelines want (keep the longest
+# / highest-quality member of each near-dup cluster).
+
+
+def _keep_best_sql() -> str:
+    from dmds_spark.queries.llm_dedup import _CLUSTER_SQL
+
+    # reuse the exact cluster-assignment CTE chain as a subquery
+    inner = _CLUSTER_SQL.strip()
+    return f"""
+    WITH clusters AS (
+      {inner}
+    ), q AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT clusters.doc_id, clusters.cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY clusters.cluster_id
+               ORDER BY q0.n_tokens DESC, clusters.doc_id
+             ) AS rn
+      FROM clusters JOIN q q0 ON clusters.doc_id = q0.doc_id
+    ) c JOIN q ON c.doc_id = q.doc_id
+    WHERE c.rn = 1
+    """
+
+
+@register("dedup_cluster_keep_best", _keep_best_sql())
+def dedup_cluster_keep_best(spark, sf_dir):
+    """One canonical doc per near-dup cluster, chosen by QUALITY
+    (token count, doc_id tie-break) instead of lowest id — the
+    canonical-selection policy curation pipelines actually want (the
+    longest member usually carries the least-truncated text). Composes
+    the MinHash pair graph -> connected components -> per-cluster
+    quality rank; singleton docs are their own cluster and survive.
+
+    Scale shape: clustering is the iterative min-label propagation
+    (one join+agg per round, lineage cut per round); the final rank's
+    window input is one row per doc with cluster ids — near-dup
+    clusters are small by construction, so no hot-group hazard."""
+    from dmds_spark.operators.dedup import connected_components
+    from dmds_spark.queries.llm_dedup import (
+        BANDS,
+        NUM_HASHES,
+        dedup_minhash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash(docs, "text", "doc_id", NUM_HASHES, BANDS, 0.5)
+    clusters = connected_components(
+        pairs, "id_a", "id_b", vertices=docs, id_col="doc_id"
+    )
+    q = docs.select("doc_id", F.size(words("text")).alias("n_tokens"))
+    joined = clusters.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "cluster_id", F.col("n_tokens").cast("bigint")
+        )
+    )
