@@ -330,3 +330,13 @@ def test_cap_per_source_two_level_window(spark, qs):
     # two Window execs: first partitioned by (source, slice-hash)
     assert len(re.findall(r"\bWindow(?:GroupLimit)?\b", plan)) >= 2
     assert "xxhash64" in plan.lower()
+
+
+def test_pack_spans_no_per_source_data_window(spark, qs):
+    """The gather-span variant must keep the two-level cumsum shape —
+    same guard as tokens_pack_sequences."""
+    import re
+
+    plan = physical_plan(qs["tokens_pack_spans"](spark, SF))
+    assert re.search(r"windowspecdefinition\(source#\d+, __pid#", plan)
+    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
