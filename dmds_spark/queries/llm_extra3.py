@@ -781,3 +781,68 @@ def dedup_cluster_keep_best(spark, sf_dir):
             "doc_id", "cluster_id", F.col("n_tokens").cast("bigint")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: days whose event count deviates > 3 sigma from the
+# per-type mean — with the z-test done in EXACT integer arithmetic.
+
+
+@register(
+    "events_daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT daily.event_type, strftime(daily.d, '%Y-%m-%d') AS day,
+           CAST(daily.c AS BIGINT) AS n_events,
+           CAST(CASE WHEN (st.n * daily.c - st.s) * (st.n * daily.c - st.s)
+                          > 9 * (st.n * st.q - st.s * st.s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM daily JOIN st ON daily.event_type = st.event_type
+    """,
+)
+def events_daily_anomalies(spark, sf_dir):
+    """Daily event-count anomalies per type: flag days with |z| > 3
+    against the type's own daily distribution — WITHOUT any floating
+    point. z^2 > 9 is algebraically (n*c - s)^2 > 9*(n*q - s^2) with
+    s = sum(c), q = sum(c^2) over n days: every operand is an integer,
+    so the flag is bit-identical on any engine (a float mean/stddev
+    would drift on summation order). Operands are kept in
+    decimal(38,0) so the squares cannot overflow a bigint at
+    planet-scale daily volumes.
+
+    Scale shape: the daily rollup is one map-side-partial count
+    shuffle; the per-type stats are a tiny second aggregate that
+    broadcasts back onto the daily rows."""
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    lhs = (dec(F.col("n") * F.col("c")) - dec(F.col("s")))
+    lhs = lhs * lhs
+    rhs = 9 * (
+        dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))
+    )
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").cast("bigint").alias("n_events"),
+            F.when(lhs > rhs, 1).otherwise(0).cast("bigint").alias("is_anomaly"),
+        )
+    )
