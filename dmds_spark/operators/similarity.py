@@ -291,6 +291,35 @@ def pair_cosine_rows_arrow(pairs: DataFrame, out: str = "sim") -> DataFrame:
     return pairs.mapInPandas(fn, schema)
 
 
+def centroids_long(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group centroid in LONG format: one (group_col, pos, m) row
+    per vector component, pos 0-based, m the component mean rounded to
+    6 decimals. Same exact-decimal-sum shape as ``centroids`` minus the
+    final array re-assembly — the natural registered-query /
+    SQL-oracle shape, since the driver canonicalizer cannot hash
+    array-typed cells (see queries/__init__.py docstring)."""
+    rows = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "__x"),
+    )
+    # exact decimal SUM (order-independent), then ONE deterministic
+    # IEEE double division by the exact count — never a float sum,
+    # never decimal division (whose result scale rules differ between
+    # engines)
+    agg = rows.groupBy(group_col, "pos").agg(
+        F.sum(F.col("__x").cast("double").cast(f"decimal(28,{scale})"))
+        .alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
+    return agg.select(group_col, "pos", mean.alias("m"))
+
+
 def centroids(
     df: DataFrame,
     group_col: str,
@@ -308,21 +337,9 @@ def centroids(
     decimal-sum shuffle (map-side partial), then array re-assembly
     ordered by pos. At 100 TB this is the k-means M-step / class-
     prototype aggregation."""
-    rows = df.select(
-        F.col(group_col),
-        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    pairs = centroids_long(df, group_col, vec_col, scale).select(
+        group_col, F.col("pos").alias("__pos"), F.col("m").alias("__m")
     )
-    # exact decimal SUM (order-independent), then ONE deterministic
-    # IEEE double division by the exact count — never a float sum,
-    # never decimal division (whose result scale rules differ between
-    # engines)
-    agg = rows.groupBy(group_col, "__pos").agg(
-        F.sum(F.col("__x").cast("double").cast(f"decimal(28,{scale})"))
-        .alias("__s"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    mean = F.round(F.col("__s").cast("double") / F.col("__n"), 6)
-    pairs = agg.select(group_col, "__pos", mean.alias("__m"))
     return (
         pairs.groupBy(group_col)
         .agg(

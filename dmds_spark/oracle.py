@@ -84,8 +84,31 @@ class OracleResult:
     detail: str = ""
 
 
+def scalar_schema_violations(df) -> list[str]:
+    """Driver contract: registered query output columns must be scalar.
+    The driver's canonicalizer (pandas ``sort_values``) crashes on
+    array/map cells with "unhashable type: 'list'" (CORRECTNESS_r04) —
+    our own `_canon_value` stringifies them, which would silently mask
+    that failure mode, so the local gate checks the schema explicitly."""
+    from pyspark.sql import types as st
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (st.ArrayType, st.MapType, st.StructType))
+    ]
+
+
 def compare_query(spark, con, name: str, query_fn, sql: str, sf_dir: str) -> OracleResult:
-    sdf = query_fn(spark, sf_dir).toPandas()
+    out = query_fn(spark, sf_dir)
+    bad = scalar_schema_violations(out)
+    if bad:
+        return OracleResult(
+            name, False, -1, -1,
+            f"non-scalar output columns {bad}: the driver canonicalizer "
+            "cannot hash array/map/struct cells (queries/__init__.py)",
+        )
+    sdf = out.toPandas()
     odf = con.execute(sql).df()
 
     s_cols, s_rows = _canon_frame(sdf)

@@ -47,7 +47,8 @@ def window_cume_percent(spark, sf_dir):
 @register(
     "agg_collect_sorted",
     """
-    SELECT user_id, list_sort(list(event_type)) AS types,
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS types,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events WHERE user_id < 100
     GROUP BY user_id
@@ -58,10 +59,13 @@ def agg_collect_sorted(spark, sf_dir):
     the \"gather a user's history into one row\" shape feature
     pipelines use before sequence modeling. Map-side partial collect,
     one shuffle on user_id; array_sort makes the nondeterministic
-    collection order comparable."""
+    collection order comparable. Output is the comma-joined string,
+    not the array itself: the driver canonicalizer cannot hash
+    array-typed cells (see queries/__init__.py docstring)."""
     ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("event_type")).alias("types"),
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",")
+        .alias("types"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dmds_spark.operators.similarity import centroids, cosine, kmeans_assign
+from dmds_spark.operators.similarity import centroids_long, cosine, kmeans_assign
 from dmds_spark.queries import register
 from dmds_spark.queries.relational import T  # noqa: F401 (sf table loader)
 
@@ -234,17 +234,14 @@ def stream_dedup_events(spark, sf_dir):
     """
     WITH r AS (
       SELECT label,
-             UNNEST([{'pos': i, 'x': embedding[i]}
+             UNNEST([{'pos': i - 1, 'x': embedding[i]}
                      for i in range(1, len(embedding) + 1)]) AS u
       FROM embeddings
-    ), s AS (
-      SELECT label, u.pos AS pos,
-             CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-               / COUNT(*) AS m
-      FROM r GROUP BY label, u.pos
     )
-    SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid
-    FROM s GROUP BY label
+    SELECT label, CAST(u.pos AS INT) AS pos,
+           ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS m
+    FROM r GROUP BY label, u.pos
     """,
 )
 def embedding_centroids(spark, sf_dir):
@@ -252,8 +249,12 @@ def embedding_centroids(spark, sf_dir):
     order-independent exactness: elements are summed in DECIMAL, then
     one deterministic double division per (label, pos) — a float sum
     would hash-drift with aggregation order, across engines AND across
-    partitionings of the same engine. One posexplode + one shuffle."""
-    return centroids(_emb(spark, sf_dir), "label", "embedding")
+    partitionings of the same engine. One posexplode + one shuffle.
+    Long format (label, pos, m) — one row per vector component — so
+    every output column is scalar (the driver canonicalizer cannot
+    hash array cells; queries/__init__.py). The array-assembling
+    ``centroids`` operator stays for engine use (k-means M-step)."""
+    return centroids_long(_emb(spark, sf_dir), "label", "embedding")
 
 
 @register("embedding_kmeans_assign", None)  # iterative: rows-only check

@@ -41,8 +41,13 @@ def test_oracle_match(spark, duck, name):
 
 def test_rows_only_queries_run(spark):
     """Queries without oracle SQL (engine-specific / multimodal) must at
-    least evaluate and return a stable schema at sf0.01."""
+    least evaluate, return a stable schema at sf0.01, and honor the
+    scalar-output driver contract (oracle-checked queries get the same
+    schema guard inside compare_query)."""
+    from dmds_spark.oracle import scalar_schema_violations
+
     for name in (set(_QUERIES) - set(_SQLS)):
         df = _QUERIES[name](spark, SF_DIR_MED)
         assert df.columns, name
+        assert not scalar_schema_violations(df), name
         assert df.count() >= 0, name
