@@ -16,15 +16,16 @@ import sys
 import time
 
 
-# The 21-query COMPARABLE set (module-level so tests can pin that every
-# name still resolves — a renamed query silently dropping out of the
-# filter below would shrink "value" and masquerade as a speedup): BASELINE.md's recorded table and the
-    # round-over-round "value" metric. Measured FIRST, in its own
-    # warmup+measure phase, so its numbers come from the same JVM state
-    # round 1 measured in — widening the headline surface in later
-    # rounds inflated the comparable numbers ~1.25x purely through
-    # session state (codegen cache, block-manager churn, GC landing
-    # spots) accumulated by the 17 queries that ran before it.
+# The 21-query COMPARABLE set: the queries behind BASELINE.md's
+# recorded table and the round-over-round "value" metric. Module-level
+# so tests can pin that every name still resolves — a renamed query
+# silently dropping out of the filter below would shrink "value" and
+# masquerade as a speedup. Measured FIRST, in its own warmup+measure
+# phase, so its numbers come from the same JVM state round 1 measured
+# in — widening the headline surface in later rounds inflated the
+# comparable numbers ~1.25x purely through session state (codegen
+# cache, block-manager churn, GC landing spots) accumulated by the
+# queries that ran before it.
 BASELINE_ORDER = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -125,14 +126,16 @@ def main() -> int:
                 release_materialized_state(spark)
                 print(f"measured {name} {dt:.2f}s", file=sys.stderr)
 
-    # The comparable set gets >= 4 measured passes regardless of the
-    # env override: this host shows minutes-scale CPU-steal windows
-    # from co-tenants (a whole 2-pass measurement can land inside one,
-    # inflating every min uniformly ~1.5x); the comparable queries are
-    # sub-second-to-3s when healthy, so extra passes are cheap
+    # BOTH phases get >= 4 measured passes regardless of the env
+    # override: this host shows minutes-scale CPU-steal windows from
+    # co-tenants (a whole 2-pass measurement can land inside one,
+    # inflating every min uniformly ~1.5x — r4's driver run recorded
+    # dedup_embedding_neardup at 12.7 s vs 4.6 s re-measured on a quiet
+    # box, purely because the additions phase only had 2 passes). All
+    # queries are sub-6 s when healthy, so extra passes are cheap
     # insurance that at least one pass lands in a quiet window.
     run_phase(baseline_order, min_passes=4)
-    run_phase(additions)
+    run_phase(additions, min_passes=4)
 
     total = round(sum(times[k] for k in baseline_order), 4)
     print(
