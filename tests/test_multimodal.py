@@ -234,3 +234,65 @@ def test_audio_frame_features_short_and_empty(spark):
     assert rows[1]["n_samples"] == 2  # truncated single frame
     assert rows[1]["energy"] == 50
     assert 2 not in rows  # empty payload emits nothing
+
+
+def test_audio_frame_features_matches_scalar_reference(spark):
+    """Differential pin for the vectorized framing: the whole-matrix
+    sliding_window_view + forward-filled-sign reduction must equal the
+    obvious per-frame scalar loop (the pre-round-5 implementation) on
+    zero-heavy random PCM — zeros skipped, flips between consecutive
+    nonzero samples only. Pure numpy, no Spark round trip needed beyond
+    one representative clip at the end."""
+    import struct
+
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import audio_frame_features
+
+    frame_len, hop_len = 8, 3
+
+    def scalar(pcm):
+        out = []
+        n = len(pcm)
+        starts = (
+            range(0, n - frame_len + 1, hop_len)
+            if n >= frame_len
+            else ([0] if n else [])
+        )
+        for start in starts:
+            fr = pcm[start : start + frame_len]
+            signs = np.sign(fr)
+            zc = int(np.sum(np.abs(np.diff(signs[signs != 0])) == 2))
+            out.append((len(fr), int(np.sum(fr * fr)), zc))
+        return out
+
+    rng = np.random.default_rng(42)
+    clips = []
+    for n in (0, 1, 5, 7, 8, 9, 40, 237):
+        pcm = rng.integers(-32768, 32768, size=n).astype(np.int64)
+        if n:
+            pcm[rng.random(n) < 0.4] = 0  # stress the skip-zeros path
+        clips.append(pcm)
+
+    media = spark.createDataFrame(
+        [
+            (i, bytearray(b"\x00" * 16 + struct.pack(f"<{len(p)}h", *p)))
+            for i, p in enumerate(clips)
+        ],
+        "media_id long, content binary",
+    )
+    # sample_rate=1000, frame_ms=8, hop_ms=3 -> frame_len=8, hop_len=3
+    got = {
+        (r["media_id"], r["frame_no"]): (
+            r["n_samples"], r["energy"], r["zero_crossings"]
+        )
+        for r in audio_frame_features(
+            media, sample_rate=1000, frame_ms=8, hop_ms=3
+        ).collect()
+    }
+    want = {
+        (i, fn): feat
+        for i, p in enumerate(clips)
+        for fn, feat in enumerate(scalar(p))
+    }
+    assert got == want
