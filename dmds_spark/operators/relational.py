@@ -167,6 +167,7 @@ def sharded_exclusive_cumsum(
     value_col: str,
     out: str = "cum_before",
     num_ranges: int | None = None,
+    small_input_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Exclusive running sum of ``value_col`` over
     ``PARTITION BY by ORDER BY order_cols`` WITHOUT putting each ``by``
@@ -181,9 +182,34 @@ def sharded_exclusive_cumsum(
     offsets computed from shard totals — a tiny aggregate (#shards +
     #groups rows, never data rows) broadcast back. Same output as the
     single-key window for any total order (callers pass a tie-break
-    key, as everywhere in this engine)."""
+    key, as everywhere in this engine).
+
+    Small-input fast path: when ``num_ranges`` is not forced and
+    Catalyst's plan-level size estimate (free — no job) says the whole
+    input fits ONE scan shard (``small_input_bytes``, default 128 MiB =
+    spark.sql.files.maxPartitionBytes' default), the two-level shape
+    buys nothing — a single task would hold every row of every group
+    anyway — so emit the plain per-group window and skip the checkpoint
+    + offsets join (identical output by construction; the estimate is
+    of the PRUNED projection, so a narrow (key, order, value) slice of
+    a wide table decides on the columns the window actually touches).
+    At scale the estimate exceeds the shard immediately and the
+    two-level shape engages. Pass ``num_ranges`` explicitly to force
+    the sharded shape regardless of size (as the plan pins do)."""
     spark = df.sparkSession
     if num_ranges is None:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est <= small_input_bytes:
+            w1 = (
+                Window.partitionBy(by)
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            return df.withColumn(
+                out, F.coalesce(F.sum(value_col).over(w1), F.lit(0))
+            )
         num_ranges = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_ranges, F.col(by), *order_cols)
     part = ranged.withColumn("__pid", F.spark_partition_id())

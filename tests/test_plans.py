@@ -251,15 +251,25 @@ def test_histogram_partial_aggregation(spark, qs):
     assert "partial_count" in plan or "partial_min" in plan
 
 
-def test_packing_no_per_source_data_window(spark, qs):
-    """Sequence packing must be two-level (sharded_exclusive_cumsum):
-    the data-side running-sum window partitions on (source, shard) —
-    a window partitioned by source alone puts each source through ONE
-    task (the 100 TB skew killer). The per-shard offsets re-attach via
-    broadcast."""
+def test_packing_two_level_cumsum_shape(spark):
+    """Sequence packing at size must be two-level
+    (sharded_exclusive_cumsum): the data-side running-sum window
+    partitions on (source, shard) — a window partitioned by source
+    alone puts each source through ONE task (the 100 TB skew killer).
+    The per-shard offsets re-attach via broadcast. Pinned at the
+    operator level with the sharded shape forced (num_ranges), because
+    at test scale the registered queries legitimately dispatch to the
+    small-input fast path (separate pin below)."""
     import re
 
-    df = qs["tokens_pack_sequences"](spark, SF)
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    df = sharded_exclusive_cumsum(
+        d, "source", ["doc_id"], "n_tokens", "cb", num_ranges=8
+    )
     plan = physical_plan(df)
     # data window keys are (source, __pid) ordered by doc_id
     assert re.search(r"windowspecdefinition\(source#\d+, __pid#", plan)
@@ -268,16 +278,49 @@ def test_packing_no_per_source_data_window(spark, qs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_packing_small_input_fast_path(spark, qs):
+    """At small scale the size-estimate dispatch must take the plain
+    per-group window — no checkpoint, no offsets join (the two-level
+    machinery costs ~0.6 s of fixed overhead that buys nothing when one
+    task holds the whole input). The sharded shape must still engage
+    when the estimate exceeds the shard budget: forced here via
+    small_input_bytes=0 on the identical input."""
+    import re
+
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+
+    df = qs["tokens_pack_sequences"](spark, SF)
+    plan = physical_plan(df)
+    assert re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
+    assert "__pid" not in plan
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sharded = sharded_exclusive_cumsum(
+        d, "source", ["doc_id"], "n_tokens", "cb", small_input_bytes=0
+    )
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, __pid#", physical_plan(sharded)
+    )
+
+
 def test_pretrain_corpus_no_per_source_data_window(spark, qs):
-    """The corpus composite inherits the two-level packing shape and
-    tokenizes the corpus at most twice (shared toks projection feeds
-    quality, contamination and n_tokens)."""
+    """The corpus composite must never run a window partitioned by
+    source alone over data-sized input UNLESS the input fits one shard
+    (the small-input dispatch): at test scale either the fast path
+    (source, doc_id ordering, tiny input) or the sharded (source,
+    __pid) window is acceptable, but the sharded machinery and the
+    skewed shape must not BOTH appear."""
     import re
 
     df = qs["pipeline_pretrain_corpus"](spark, SF)
     plan = physical_plan(df)
-    assert re.search(r"windowspecdefinition\(source#\d+, __pid#", plan)
-    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
+    two_level = bool(re.search(r"windowspecdefinition\(source#\d+, __pid#", plan))
+    skewed = bool(re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan))
+    assert two_level != skewed  # exactly one packing shape
+    if skewed:
+        assert "__pid" not in plan  # fast path: no sharding residue
 
 
 def test_funnel_no_window_over_stream(spark, qs):
@@ -333,10 +376,15 @@ def test_cap_per_source_two_level_window(spark, qs):
 
 
 def test_pack_spans_no_per_source_data_window(spark, qs):
-    """The gather-span variant must keep the two-level cumsum shape —
-    same guard as tokens_pack_sequences."""
+    """The gather-span variant inherits the cumsum dispatch — at test
+    scale the small-input fast path (plain per-source window, no
+    sharding residue), with the two-level shape covered by the forced
+    operator pin in test_packing_two_level_cumsum_shape."""
     import re
 
     plan = physical_plan(qs["tokens_pack_spans"](spark, SF))
-    assert re.search(r"windowspecdefinition\(source#\d+, __pid#", plan)
-    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan)
+    two_level = bool(re.search(r"windowspecdefinition\(source#\d+, __pid#", plan))
+    skewed = bool(re.search(r"windowspecdefinition\(source#\d+, doc_id#", plan))
+    assert two_level != skewed  # exactly one packing shape
+    if skewed:
+        assert "__pid" not in plan
