@@ -372,11 +372,22 @@ def kmeans_assign(
     ``centroids``; a cluster that loses all members keeps its previous
     center. Returns (id, cluster).
 
-    Per round: one scan with k literal-distance expressions + one
+    Per round: one scan with a k-way distance argmin + one
     posexplode/groupBy shuffle for the new centers (k rows to the
     driver — bounded by k, never data size) — the canonical
     distributed k-means shape. Iterative, so registered queries using
-    it take the rows-only correctness path (no single SQL oracle)."""
+    it take the rows-only correctness path (no single SQL oracle).
+
+    The k centers enter the plan as ONE ``from_json`` constant-folded
+    k x dim matrix (the `_hyperplane_matrix` pattern), not k x dim
+    separate Literal nodes per iteration: at k in the hundreds the
+    literal form pays seconds of optimizer/codegen time per round for
+    a plan whose data might be thousands of rows. json round-trips
+    doubles exactly (shortest-repr emit, correctly-rounded parse), and
+    the argmin is `array_min` over (distance, index) structs — the
+    same elementwise zip_with/left-fold arithmetic and the same
+    least-by-(d, c) tie-break as the unfolded expression, so
+    assignments are bit-identical."""
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -387,22 +398,32 @@ def kmeans_assign(
         (c, [float(v) for v in row[vec_col]]) for c, row in enumerate(seeds)
     ]
 
-    def sqdist_to(center_vals):
-        arr = F.array(*[F.lit(v) for v in center_vals])
-        diff = F.zip_with(
-            F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2
+    def nearest_center(center_rows: list) -> Column:
+        mat = F.from_json(
+            F.lit(json.dumps(center_rows)), "array<array<double>>"
         )
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        cand = F.transform(
+            mat,
+            lambda cvec, ci: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        cvec,
+                        lambda x, y: (x.cast("double") - y) ** 2,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                ci.cast("int").alias("c"),
+            ),
+        )
+        return F.array_min(cand)["c"]
 
     assigned = None
     for _ in range(iters):
-        best = None
-        for c, vals in centers:
-            d = sqdist_to(vals)
-            cur = F.struct(d.alias("d"), F.lit(c).alias("c"))
-            best = cur if best is None else F.least(best, cur)
+        best = nearest_center([vals for _, vals in centers])
         assigned = df.select(
-            F.col(id_col), F.col(vec_col), best["c"].alias("cluster")
+            F.col(id_col), F.col(vec_col), best.alias("cluster")
         )
         new_centers = {
             int(r["cluster"]): [float(v) for v in r["centroid"]]
