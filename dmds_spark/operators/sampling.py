@@ -127,9 +127,20 @@ def capped_per_group(
         first = order_cols[0]
         slice_col = F.col(first) if isinstance(first, str) else first
     # a SortOrder (col.asc()/desc()) can't be hashed — fail with the
-    # actual fix instead of Spark's codegen internal error
-    rep = str(slice_col)
-    if rep.endswith(("NULLS FIRST'>", "NULLS LAST'>")):
+    # actual fix instead of Spark's codegen internal error. Detect via
+    # the underlying expression node's class (stable API surface), with
+    # the Column repr suffix as a fallback for builds where the py4j
+    # node accessor differs — the repr text is version-dependent, so it
+    # is never the primary check.
+    try:
+        is_sort_order = (
+            slice_col._jc.node().getClass().getSimpleName() == "SortOrder"
+        )
+    except Exception:  # pragma: no cover - accessor shape varies
+        is_sort_order = str(slice_col).endswith(
+            ("NULLS FIRST'>", "NULLS LAST'>")
+        )
+    if is_sort_order:
         raise ValueError(
             "slice_col (or order_cols[0] used as its default) is a "
             "sort-ordered expression; pass slice_col=<plain Column> "

@@ -813,9 +813,14 @@ def events_daily_anomalies(spark, sf_dir):
     point. z^2 > 9 is algebraically (n*c - s)^2 > 9*(n*q - s^2) with
     s = sum(c), q = sum(c^2) over n days: every operand is an integer,
     so the flag is bit-identical on any engine (a float mean/stddev
-    would drift on summation order). Operands are kept in
-    decimal(38,0) so the squares cannot overflow a bigint at
-    planet-scale daily volumes.
+    would drift on summation order). Operands are cast to
+    decimal(38,0) before multiplying, which keeps the squares exact
+    well past bigint range — but decimal products are precision-capped
+    at 38 digits, so the shared safe bound is |operand| < ~1e19
+    (n*c - s and n*q - s^2 each below 19 digits). Beyond that Spark's
+    non-ANSI mode NULLs the product (flag silently 0) while DuckDB
+    widens to HUGEINT — the engines would diverge, so treat ~1e19 as
+    the operator's documented domain, not "cannot overflow".
 
     Scale shape: the daily rollup is one map-side-partial count
     shuffle; the per-type stats are a tiny second aggregate that
