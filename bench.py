@@ -75,6 +75,14 @@ ADDITIONS = [
     "events_conversion_latency",
     "graph_pagerank",
     "customers_rfm_segments",
+    # round-5 additions: the Arrow fast paths benched against their
+    # JVM-fold twins (dedup_embedding_neardup / similarity_pairs_
+    # threshold above), so the claimed vectorization win has a number
+    # of record
+    "dedup_embedding_neardup_arrow",
+    "similarity_pairs_threshold_arrow",
+    "tokens_domain_mixture",
+    "events_user_path_topk",
 ]
 
 

@@ -185,5 +185,7 @@ def _load():
     # round-4 additions: queue behind the round-3-unchecked set (the
     # front + these + deferred still fit the driver's 50-query window)
     from dmds_spark.queries import llm_extra3  # noqa: F401
+    # round-5 additions (arrow fast-path variants + corpus operations)
+    from dmds_spark.queries import llm_extra4  # noqa: F401
 
     _LOADED = True

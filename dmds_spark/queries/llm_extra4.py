@@ -1,0 +1,419 @@
+"""Round-5 additions: the Arrow-vectorized ANN fast paths as benched,
+oracle-checked queries (separate names — the interpreted JVM fold stays
+the default), plus corpus-operations coverage a training-data platform
+runs daily: domain-mixture reweighting, user-path mining, graph degree
+profiles, inter-arrival medians, and a field-completeness profile. All
+output columns scalar (driver canonicalizer contract) and all ranking
+arithmetic integer/decimal-exact so the hash compare cannot drift.
+
+Registered after ``llm_extra3``: unchecked names go to the front of the
+driver's 50-query window (queries/__init__.py ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.llm_ops import (
+    _PAIR_CAND_CTE,
+    LSH_PLANES,
+    LSH_TABLES,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Arrow fast-path variants of the ANN pipeline: same plans, same oracle
+# SQL (bit-equality of the numpy matmul path with the JVM fold is
+# pinned on these corpora in tests/test_similarity_ops.py), but the
+# bucketing scan and the pair-cosine verify run as one numpy
+# matmul/einsum per Arrow batch instead of the interpreted per-element
+# fold (~100x per element; at 1e11 vectors the difference between
+# 3,000 core-hours and 30). Registered as separate names so the bench
+# records the claimed win and the driver hash-checks the equivalence —
+# the fold stays the oracle default for the original names.
+
+
+@register(
+    "dedup_embedding_neardup_arrow",
+    _PAIR_CAND_CTE
+    + """
+    SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+      SELECT c.id_b FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.45
+    )
+    """,
+)
+def dedup_embedding_neardup_arrow(spark, sf_dir):
+    """dedup_embedding_neardup with BOTH Python-adjacent stages on the
+    Arrow path: numpy-matmul LSH bucketing (lsh_bucket_rows_arrow) and
+    batched-einsum pair cosine (pair_cosine_rows_arrow). Identical
+    candidate sets and survivors on this corpus (pinned); identical
+    oracle."""
+    from dmds_spark.operators.similarity import (
+        lsh_blocked_pairs,
+        pair_cosine_rows_arrow,
+    )
+
+    e = _emb(spark, sf_dir)
+    cand = lsh_blocked_pairs(
+        e, "vec_id", "embedding", LSH_TABLES, LSH_PLANES, arrow=True
+    )
+    doomed = (
+        pair_cosine_rows_arrow(cand, out="sim")
+        .filter(F.col("sim") > 0.45)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(doomed, "vec_id", "left_anti").select("vec_id")
+
+
+@register(
+    "similarity_pairs_threshold_arrow",
+    _PAIR_CAND_CTE
+    + """
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.20
+    """,
+)
+def similarity_pairs_threshold_arrow(spark, sf_dir):
+    """similarity_pairs_threshold on the Arrow path (see
+    dedup_embedding_neardup_arrow)."""
+    from dmds_spark.operators.similarity import (
+        lsh_blocked_pairs,
+        pair_cosine_rows_arrow,
+    )
+
+    e = _emb(spark, sf_dir)
+    cand = lsh_blocked_pairs(
+        e, "vec_id", "embedding", LSH_TABLES, LSH_PLANES, arrow=True
+    )
+    return (
+        pair_cosine_rows_arrow(cand, out="sim")
+        .filter(F.col("sim") > 0.20)
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture reweighting: per-source token share and the integer
+# resampling rate that moves the corpus toward a uniform token mixture
+# — the knob behind "upsample Wikipedia, downsample Common Crawl".
+
+MIX_PPM = 1_000_000
+
+
+@register(
+    "tokens_domain_mixture",
+    f"""
+    WITH per AS (
+      SELECT source,
+             SUM(len(string_split(text, ' '))) AS tok
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(tok) AS t, COUNT(*) AS k FROM per
+    )
+    SELECT per.source, CAST(per.tok AS BIGINT) AS tok_count,
+           CAST(CAST(per.tok AS HUGEINT) * {MIX_PPM} // tot.t AS BIGINT)
+             AS share_ppm,
+           CAST(CAST(tot.t AS HUGEINT) * {MIX_PPM} // (tot.k * per.tok)
+             AS BIGINT) AS weight_ppm
+    FROM per CROSS JOIN tot
+    """,
+)
+def tokens_domain_mixture(spark, sf_dir):
+    """Per-source token counts, corpus share (ppm), and the uniform-
+    mixture resampling weight (ppm): weight_ppm = floor(T * 1e6 /
+    (k * tok_s)) — sample each source at this rate and every source
+    contributes ~T/k tokens (>1e6 = upsample). All floor divisions are
+    decimal-exact (numerator made an exact multiple via pmod before the
+    decimal divide), so the weights are bit-identical at any corpus
+    size — T * 1e6 at 100 TB (~2.5e19) overflows bigint, hence
+    decimal(38,0) on the Spark side and HUGEINT in the oracle.
+
+    Scale shape: one map-side-partial sum shuffle to source grain
+    (sources are few: the aggregate is tiny), then a broadcast of the
+    single-row total."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tok")
+    )
+    tot = per.agg(
+        F.sum("tok").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+
+    def exact_div(num, den):
+        # floor(num/den) exactly at decimal(38) magnitudes: subtract
+        # pmod so the decimal division is of an exact multiple
+        num = num.cast("decimal(38,0)")
+        return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+    share = exact_div(F.col("tok") * MIX_PPM, F.col("t"))
+    weight = exact_div(F.col("t") * MIX_PPM, F.col("k") * F.col("tok"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("tok").cast("bigint").alias("tok_count"),
+            share.alias("share_ppm"),
+            weight.alias("weight_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-path mining: the top 3-step event sequences — the "what do
+# users actually do" query behind funnel design.
+
+PATH_TOPK = 20
+
+
+@register(
+    "events_user_path_topk",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+)
+def events_user_path_topk(spark, sf_dir):
+    """Top-{PATH_TOPK} 3-step user paths (event-type trigrams over each
+    user's time-ordered stream). One window partitioned by user_id
+    (high-cardinality key — never a skew hazard), one map-side-partial
+    count shuffle on the path string, TakeOrderedAndProject for the
+    top-k (never a global sort). Total order via (n desc, path)."""
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the purchase graph — the first thing anyone
+# plots before running PageRank/components on it.
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS u, o_custkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), und AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the undirected supplier<->customer purchase
+    graph (same edge set as graph_pagerank: disjoint node ids via
+    2k / 2k+1). Two map-side-partial aggregates — edges to degrees,
+    degrees to histogram rows; the histogram is degree-cardinality
+    sized, never node-sized."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("u"),
+            (F.col("o_custkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    und = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.col("d").cast("bigint").alias("degree"), "n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival medians: per event type, the lower median of the gap
+# between a user's consecutive events of that type — the session-gap /
+# polling-interval statistic, exact in integer microseconds.
+
+
+@register(
+    "events_inter_arrival_median",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ), g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY gap_us
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(gap_us AS BIGINT) AS median_gap_us
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def events_inter_arrival_median(spark, sf_dir):
+    """Lower median (the sorted element at position (n+1)//2 — an
+    ACTUAL observed gap, no interpolation, so the result is an exact
+    integer on any engine; an averaged even-count median would be a
+    float and drift) of per-user inter-arrival gaps, by event type.
+
+    The rank window partitions on event_type (few types): bounded here
+    by the gap rows per type at this corpus's type cardinality; the
+    RFM-style distributed global-rank (range-shard + offsets,
+    operators/relational.py) is the drop-in at 100 TB if type
+    cardinality stays tiny while rows grow. Ties share a gap value, so
+    WHICH tied row takes rank m doesn't change the reported median."""
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("event_type").orderBy("gap_us")
+    wn = W.partitionBy("event_type")
+    r = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.col("gap_us").cast("bigint").alias("median_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field-completeness profile: null / empty / distinct counts for every
+# column of documents in ONE scan — the data-QC gate before a corpus
+# enters the pipeline.
+
+
+@register(
+    "profile_field_completeness",
+    """
+    WITH s AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        COUNT(doc_id) AS nn_doc_id, COUNT(DISTINCT doc_id) AS nd_doc_id,
+        0 AS ne_doc_id,
+        COUNT(text) AS nn_text, COUNT(DISTINCT text) AS nd_text,
+        SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS ne_text,
+        COUNT(lang) AS nn_lang, COUNT(DISTINCT lang) AS nd_lang,
+        SUM(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS ne_lang,
+        COUNT(source) AS nn_source, COUNT(DISTINCT source) AS nd_source,
+        SUM(CASE WHEN source = '' THEN 1 ELSE 0 END) AS ne_source,
+        COUNT(n_chars) AS nn_n_chars, COUNT(DISTINCT n_chars) AS nd_n_chars,
+        0 AS ne_n_chars
+      FROM documents
+    )
+    SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_notnull AS BIGINT) AS n_notnull,
+           CAST(n_empty AS BIGINT) AS n_empty,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM (
+      SELECT 'doc_id' AS col, n_rows, nn_doc_id AS n_notnull,
+             ne_doc_id AS n_empty, nd_doc_id AS n_distinct FROM s
+      UNION ALL
+      SELECT 'text', n_rows, nn_text, ne_text, nd_text FROM s
+      UNION ALL
+      SELECT 'lang', n_rows, nn_lang, ne_lang, nd_lang FROM s
+      UNION ALL
+      SELECT 'source', n_rows, nn_source, ne_source, nd_source FROM s
+      UNION ALL
+      SELECT 'n_chars', n_rows, nn_n_chars, ne_n_chars, nd_n_chars FROM s
+    )
+    """,
+)
+def profile_field_completeness(spark, sf_dir):
+    """Per-column completeness profile of documents — row count,
+    non-null count, empty-string count, exact distinct count — as long
+    rows (col, n_rows, n_notnull, n_empty, n_distinct). ONE scan, one
+    aggregate (the single-pass discipline profiling_q pins); the
+    per-column long layout is a driver-side unpivot of a 1-row
+    aggregate, not extra scans. Exact COUNT(DISTINCT) here because the
+    oracle needs determinism; profile_column_stats carries the HLL
+    variant for the 100 TB path."""
+    d = _docs(spark, sf_dir)
+    string_cols = {"text", "lang", "source"}
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if c in string_cols:
+            aggs.append(
+                F.sum(F.when(F.col(c) == "", 1).otherwise(0)).alias(f"ne_{c}")
+            )
+    s = d.agg(*aggs)
+    parts = []
+    for c in cols:
+        ne = F.col(f"ne_{c}") if c in string_cols else F.lit(0)
+        parts.append(
+            s.select(
+                F.lit(c).alias("col"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col(f"nn_{c}").cast("bigint").alias("n_notnull"),
+                ne.cast("bigint").alias("n_empty"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -168,6 +168,23 @@ def test_pairs_threshold_no_all_pairs(spark, qs):
     assert "__bucket" in plan
 
 
+def test_arrow_variants_no_all_pairs_and_arrow_stages(spark, qs):
+    """The Arrow fast-path twins keep the exact blocking shape (equi-
+    join on __bucket, never nested-loop) and actually run their Python
+    stages as Arrow-batched MapInPandas — if a refactor silently
+    rewired them to the JVM fold, the benched 'vectorization win'
+    rows would be measuring nothing."""
+    for name in (
+        "dedup_embedding_neardup_arrow",
+        "similarity_pairs_threshold_arrow",
+    ):
+        plan = physical_plan(qs[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "__bucket" in plan, name
+        assert "MapInPandas" in plan, name
+
+
 def test_simhash_band_equijoin(spark, qs):
     """SimHash blocking must equi-join on the pigeonhole band key."""
     plan = physical_plan(qs["dedup_simhash_pairs"](spark, SF))
