@@ -178,19 +178,24 @@ def lsh_bucket_rows_arrow(
     ).reshape(tables * planes, dim)
     id_type = dict(df.dtypes)[id_col]
 
+    # per-table prefixes once; the bit block is rendered as bytes and
+    # viewed as fixed-width strings — no Python-level per-row loop
+    prefixes = np.array([f"{t}:".encode() for t in range(tables)], dtype="S8")
+
     def fn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (m @ mat.T) > 0
-            bits = bits.reshape(len(m), tables, planes)
+            n = len(m)
+            # (n*tables, planes) of b'0'/b'1' -> one S{planes} per row
+            chars = np.where(bits.reshape(-1, planes), b"1", b"0").astype("S1")
+            bit_strs = np.ascontiguousarray(chars).view(f"S{planes}").ravel()
+            buckets = np.char.add(
+                np.tile(prefixes, n), bit_strs
+            ).astype(str)
             ids = np.repeat(pdf[id_col].to_numpy(), tables)
-            buckets = [
-                f"{t}:" + "".join("1" if b else "0" for b in bits[r, t])
-                for r in range(len(m))
-                for t in range(tables)
-            ]
             yield pd.DataFrame({id_col: ids, "__bucket": buckets})
 
     return df.mapInPandas(fn, f"{id_col} {id_type}, __bucket string")
@@ -261,20 +266,26 @@ def pair_cosine() -> Column:
 
 
 def pair_cosine_rows_arrow(pairs: DataFrame, out: str = "sim") -> DataFrame:
-    """lsh_blocked_pairs output + a ``out`` cosine column, computed as
-    one numpy batched dot per Arrow batch — the throughput path for
-    the verify stage (same cost model as lsh_bucket_rows_arrow: the
-    interpreted per-pair fold is ~1 µs/element; candidate sets at
-    corpus scale dwarf the bucketing input). Norms reuse the
-    precomputed __na/__nb. Not the oracle default: the last-ulp sum
-    order differs from the sequential fold, so a pair sitting exactly
-    on a threshold could flip; test pins max deviation and
-    threshold-set equality on the test corpora."""
+    """(id_a, id_b, ``out``) cosine rows from lsh_blocked_pairs output,
+    computed as one numpy batched einsum per Arrow batch — the
+    throughput path for the verify stage (same cost model as
+    lsh_bucket_rows_arrow: the interpreted per-pair fold is
+    ~1 µs/element; candidate sets at corpus scale dwarf the bucketing
+    input). Norms reuse the precomputed __na/__nb. The vectors are
+    consumed inside the stage and deliberately NOT emitted: returning
+    va/vb would pay the Python->JVM Arrow transfer of every embedding a
+    second time for columns no consumer reads (measured ~2x the stage
+    cost at sf0.1). Not the oracle default: the last-ulp sum order
+    differs from the sequential fold, so a pair sitting exactly on a
+    threshold could flip; test pins max deviation and threshold-set
+    equality on the test corpora."""
     import numpy as np
+    import pandas as pd
 
-    schema = ", ".join(
-        f"{name} {dtype}" for name, dtype in pairs.dtypes
-    ) + f", {out} double"
+    id_types = dict(pairs.dtypes)
+    schema = (
+        f"id_a {id_types['id_a']}, id_b {id_types['id_b']}, {out} double"
+    )
 
     def fn(batches):
         for pdf in batches:
@@ -283,10 +294,14 @@ def pair_cosine_rows_arrow(pairs: DataFrame, out: str = "sim") -> DataFrame:
             va = np.stack(pdf["va"].to_numpy()).astype(np.float64)
             vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
             dots = np.einsum("ij,ij->i", va, vb)
-            pdf[out] = dots / (
-                pdf["__na"].to_numpy() * pdf["__nb"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    out: dots
+                    / (pdf["__na"].to_numpy() * pdf["__nb"].to_numpy()),
+                }
             )
-            yield pdf
 
     return pairs.mapInPandas(fn, schema)
 

@@ -417,3 +417,62 @@ def profile_field_completeness(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+# ---------------------------------------------------------------------------
+# Scalar quantization: per-dimension min/max int8-style codes — the
+# compression step an ANN index applies before building IVF/PQ lists.
+# Long format (vec_id, pos, code): one row per component, all scalar
+# columns (driver canonicalizer contract).
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH r AS (
+      SELECT vec_id,
+             UNNEST([{'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+                     for i in range(1, len(embedding) + 1)]) AS u
+      FROM embeddings
+    ), mm AS (
+      SELECT u.pos AS pos, MIN(u.x) AS lo, MAX(u.x) AS hi
+      FROM r GROUP BY u.pos
+    )
+    SELECT r.vec_id, CAST(r.u.pos AS INT) AS pos,
+           CAST(CASE WHEN mm.hi > mm.lo
+                     THEN FLOOR((r.u.x - mm.lo) * 255.0 / (mm.hi - mm.lo))
+                     ELSE 0 END AS BIGINT) AS code
+    FROM r JOIN mm ON r.u.pos = mm.pos
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-dimension min/max scalar quantization to 0..255 codes. The
+    arithmetic is pure IEEE double ((x-lo)*255/(hi-lo), floor) — every
+    step is a single correctly-rounded operation in both engines, so
+    codes are bit-identical with no decimal scaffolding needed.
+    Constant dimensions (hi == lo) code to 0.
+
+    Scale shape: posexplode to component rows, ONE map-side-partial
+    min/max aggregate at dimension grain (dim rows total), broadcast
+    back onto the component stream — never a second corpus shuffle.
+    The long layout is the natural parquet shape for a code matrix
+    consumed columnarly downstream."""
+    e = _emb(spark, sf_dir)
+    r = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "xf"),
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    mm = r.groupBy("pos").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor((F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo"))),
+    ).otherwise(0)
+    return (
+        r.join(F.broadcast(mm), "pos")
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            code.cast("bigint").alias("code"),
+        )
+    )
