@@ -83,6 +83,7 @@ ADDITIONS = [
     "similarity_pairs_threshold_arrow",
     "tokens_domain_mixture",
     "events_user_path_topk",
+    "dedup_containment_verify",
 ]
 
 

@@ -392,6 +392,56 @@ def minhash_shingle_rows(
     )
 
 
+def containment_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT verification of candidate pairs:
+    ``|A∩B| / min(|A|, |B|)`` — the asymmetric cousin of Jaccard that
+    catches quote-inclusion and subset duplication (a short doc embedded
+    verbatim in a long one scores near 1.0 here but low on Jaccard).
+
+    Same pure-join formulation as :func:`jaccard_verify_pairs` (no
+    array columns, candidate set broadcasts, shingle equi-join computes
+    the intersection), and the threshold compare is INTEGER math
+    (``inter * 100 >= threshold_pct * min``) so the oracle hash cannot
+    drift on a division boundary. Output: (id_a, id_b, inter_cnt,
+    min_cnt) — scalar columns only (driver canonicalizer contract)."""
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    sh = minhash_shingle_rows(df, text_col, id_col, k)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    p = pairs.select("id_a", "id_b")
+    a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
+    b_sh = sh.select(F.col(id_col).alias("id_b"), F.col("__s"))
+    inter_counts = (
+        F.broadcast(p)
+        .join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    min_cnt = F.least(F.col("__na"), F.col("__nb"))
+    return (
+        inter_counts.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("__inter") * 100 >= F.lit(threshold_pct) * min_cnt)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__inter").cast("long").alias("inter_cnt"),
+            min_cnt.cast("long").alias("min_cnt"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

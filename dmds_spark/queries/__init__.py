@@ -187,5 +187,6 @@ def _load():
     from dmds_spark.queries import llm_extra3  # noqa: F401
     # round-5 additions (arrow fast-path variants + corpus operations)
     from dmds_spark.queries import llm_extra4  # noqa: F401
+    from dmds_spark.queries import llm_extra5  # noqa: F401
 
     _LOADED = True

@@ -59,6 +59,34 @@ def test_jaccard_exact_column_form(spark):
     assert got[1] == 0.0
 
 
+def test_containment_verify_subset_doc(spark):
+    """A doc fully contained in a longer one scores containment 1.0
+    (inter == min size) even though its Jaccard is well below 0.5."""
+    from dmds_spark.operators.dedup import (
+        containment_verify_pairs,
+        jaccard_verify_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {
+        (r.id_a, r.id_b): (r.inter_cnt, r.min_cnt)
+        for r in containment_verify_pairs(
+            docs, pairs, "text", "doc_id", k=3, threshold_pct=70
+        ).collect()
+    }
+    # short has 3 distinct 3-shingles, all present in long; (1,3) shares none
+    assert got == {(1, 2): (3, 3)}
+    # the same pair fails a 0.5 Jaccard verify (union is much larger)
+    jac = jaccard_verify_pairs(docs, pairs, "text", "doc_id", 3, 0.5)
+    assert jac.count() == 0
+
+
 def test_optimized_plan_inspection(spark):
     from dmds_spark.plans import physical_plan
     from dmds_spark.plans.inspect import optimized_plan
