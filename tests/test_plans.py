@@ -405,3 +405,38 @@ def test_pack_spans_no_per_source_data_window(spark, qs):
     assert two_level != skewed  # exactly one packing shape
     if skewed:
         assert "__pid" not in plan
+
+
+def test_market_basket_equijoin_within_order(spark, qs):
+    """The basket self-join must key on the order id (bounded per-group
+    fan-out), never a nested-loop or cartesian pair enumeration."""
+    plan = physical_plan(qs["market_basket_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan  # top-25 never globally sorts
+
+
+def test_triangle_count_equijoins_only(spark, qs):
+    """Triangle enumeration is two equi-joins over the oriented edge
+    list — a nested-loop here is the all-wedges explosion."""
+    plan = physical_plan(qs["graph_triangle_count"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_user_sort(spark, qs):
+    """Both SCD2 window passes sort by (user_id; ts, event_id)-prefixed
+    orders, so the plan needs at most two hash exchanges total (one for
+    the event-grain windows + group, one for the interval-grain lead) —
+    a per-window exchange would make it four."""
+    df = qs["events_scd2_intervals"](spark, SF)
+    assert shuffle_count(df) <= 2
+
+
+def test_attribution_no_nested_loop(spark, qs):
+    """Last-touch attribution joins purchases to touches on user_id
+    (the time predicates are post-join filters) — an accidental range-
+    only join condition would plan as BroadcastNestedLoopJoin."""
+    plan = physical_plan(qs["events_attribution_last_touch"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
