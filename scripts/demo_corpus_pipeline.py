@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""End-to-end walkthrough: the reference's World data model + the
+training-corpus pipeline, in one runnable script.
+
+Usage: python scripts/demo_corpus_pipeline.py [sf_dir]
+Default sf_dir: /root/testdata/sf0.001 (runs in ~1 min on local[*]).
+
+Stages (each prints a one-line summary):
+  1. World CRUD  — build a 2-dim world (reference world.rs semantics:
+     dim 0 immutable id, chunk-grid partitioning), upsert, relocate,
+     range-select with chunk pruning.
+  2. Curation    — language ID -> quality gate -> exact dedup ->
+     MinHash near-dup keep-first (pipeline_curation).
+  3. Dedup audit — near-dup cluster sizes + containment-verified pairs.
+  4. Packing     — fixed-length sequence packing with the two-level
+     sharded cumsum (tokens_pack_sequences).
+  5. Mixture     — per-source token share + uniform-mixture weights.
+  6. Similarity  — LSH-bucketed ANN top-k neighbors of vec 0.
+
+This is a DEMO of the public API surface (same calls as USAGE.md), not
+a benchmark — bench.py is the measured path.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dmds_spark.core.dims import DimSpec, WorldSpec  # noqa: E402
+from dmds_spark.queries import all_queries  # noqa: E402
+from dmds_spark.session import get_spark  # noqa: E402
+from dmds_spark.world import World  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="dmds_spark_demo")
+    qs = all_queries()
+
+    # -- 1. World CRUD ------------------------------------------------
+    with tempfile.TemporaryDirectory() as root:
+        spec = WorldSpec(
+            dims=(
+                DimSpec("id", 0, 1023, 64),
+                DimSpec("score", 0, 1023, 64),
+            )
+        )
+        w = World(spark, spec, root)
+        w.insert_rows(
+            [{"id": i, "score": (i * 37) % 1024} for i in range(200)]
+        )
+        w.flush()
+        hits = w.read(w.select(1, slice(500, 600))).count()
+        w.upsert(
+            spark.createDataFrame([(7, 999)], ["id", "score"])
+        )  # relocates id 7's chunk
+        w.flush()
+        moved = w.read(w.select(1, slice(990, 1024))).count()
+        print(f"1. world: 200 rows, score in [500,600) -> {hits} hits; "
+              f"relocated row visible in new chunk -> {moved} hit(s)")
+
+    # -- 2. Curation --------------------------------------------------
+    kept = qs["pipeline_curation"](spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_kept = kept.count()
+    print(f"2. curation: {n_docs} docs -> {n_kept} kept "
+          f"(lang+quality+exact+near-dup gates)")
+
+    # -- 3. Dedup audit ----------------------------------------------
+    sizes = qs["dedup_cluster_size_dist"](spark, sf_dir).collect()
+    dup_docs = sum(r.cluster_size * r.n_clusters
+                   for r in sizes if r.cluster_size > 1)
+    pairs = qs["dedup_containment_verify"](spark, sf_dir).count()
+    print(f"3. dedup audit: {dup_docs} docs in size>=2 near-dup clusters; "
+          f"{pairs} containment-verified pairs (>=0.7)")
+
+    # -- 4. Packing ---------------------------------------------------
+    packs = qs["tokens_pack_sequences"](spark, sf_dir)
+    row = packs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")
+    ).collect()[0]
+    print(f"4. packing: {row['n']} doc->sequence assignments, "
+          f"{row['toks']} tokens packed into fixed-length sequences")
+
+    # -- 5. Mixture ---------------------------------------------------
+    mix = qs["tokens_domain_mixture"](spark, sf_dir).collect()
+    shares = {r.source: r.share_ppm for r in sorted(mix, key=lambda r: r.source)}
+    print(f"5. mixture: per-source token share (ppm) {shares}")
+
+    # -- 6. Similarity ------------------------------------------------
+    ann = qs["similarity_ann_lsh_topk"](spark, sf_dir).collect()
+    ids = [r.vec_id for r in ann]
+    print(f"6. similarity: ANN top-{len(ids)} neighbors of vec 0 -> {ids}")
+
+    print("demo: all stages ran")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
