@@ -76,9 +76,10 @@ ADDITIONS = [
     "graph_pagerank",
     "customers_rfm_segments",
     # round-5 additions: the Arrow fast paths benched against their
-    # JVM-fold twins (dedup_embedding_neardup / similarity_pairs_
-    # threshold above), so the claimed vectorization win has a number
-    # of record
+    # JVM-fold twins, so the claimed vectorization win has BOTH
+    # numbers of record (dedup_embedding_neardup was already benched;
+    # similarity_pairs_threshold joins here for its twin)
+    "similarity_pairs_threshold",
     "dedup_embedding_neardup_arrow",
     "similarity_pairs_threshold_arrow",
     "tokens_domain_mixture",

@@ -94,3 +94,92 @@ def test_optimized_plan_inspection(spark):
     df = spark.range(10).filter("id > 3")
     assert "id" in optimized_plan(df)
     assert "Range" in physical_plan(df)
+
+
+def test_containment_matches_bruteforce_random_corpus(spark):
+    """containment_verify_pairs == pure-Python shingle-set math on a
+    seeded random corpus, over ALL candidate pairs."""
+    import itertools
+    import random
+
+    from dmds_spark.operators.dedup import containment_verify_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(30)
+    ]
+    k, pct = 3, 50
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        inter, mn = len(sa & sb), min(len(sa), len(sb))
+        if inter * 100 >= pct * mn:
+            want[(ia, ib)] = (inter, mn)
+
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(a, b) for (a, _), (b, _) in itertools.combinations(docs, 2)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter_cnt, r.min_cnt)
+        for r in containment_verify_pairs(
+            ddf, pairs, "text", "doc_id", k=k, threshold_pct=pct
+        ).collect()
+    }
+    assert got == want
+
+
+def test_triangle_enumeration_matches_bruteforce(spark):
+    """The oriented two-join triangle shape (as used by
+    graph_triangle_count) finds each triangle exactly once on a seeded
+    random graph."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    nodes = list(range(20))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)}
+    )
+    eset = set(edges)
+    want_tris = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    }
+    want_counts = {}
+    for t in want_tris:
+        for v in t:
+            want_counts[v] = want_counts.get(v, 0) + 1
+
+    edf = spark.createDataFrame(edges, ["u", "v"])
+    e1 = edf.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edf.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edf.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = e1.join(e2, F.col("b") == F.col("b2")).join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    got_tris = {(r.a, r.b, r.c) for r in tri.collect()}
+    assert got_tris == want_tris
+    nodes_df = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    got_counts = {
+        r.n: r.cnt
+        for r in nodes_df.groupBy("n").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got_counts == want_counts
