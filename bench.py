@@ -85,6 +85,7 @@ ADDITIONS = [
     "tokens_domain_mixture",
     "events_user_path_topk",
     "dedup_containment_verify",
+    "dedup_fuzzy_fingerprint_pairs",
 ]
 
 

@@ -161,3 +161,71 @@ def dmds_select_empty_domain(spark, sf_dir):
     ``lit(False)`` to a LocalRelation: zero I/O."""
     sel = Select.dim(events_world_spec(), 1, (5000, 6000))
     return _events(spark, sf_dir).filter(sel.to_predicate()).select("event_id", "user_id")
+
+
+def events_world_spec_3d() -> WorldSpec:
+    """3-dim world over events: the reference is explicitly
+    N-dimensional (src/world.rs:198-250 lattice diagrams); this spec
+    adds day-of-month as a third secondary dimension (0..31, ipc 4 ->
+    8 chunks; divisibility invariant src/range.rs:24-30 holds)."""
+    return WorldSpec(
+        dims=(
+            DimSpec("event_id", 0, 2**20 - 1, 4096),
+            DimSpec("user_id", 0, 2047, 64),
+            DimSpec("day", 0, 31, 4),
+        )
+    )
+
+
+@register(
+    "dmds_select_3d",
+    """
+    SELECT event_id, user_id, CAST(date_part('day', ts) AS BIGINT) AS day
+    FROM events
+    WHERE (user_id >= 10 AND user_id <= 40
+           AND date_part('day', ts) >= 5 AND date_part('day', ts) <= 10
+           AND event_id >= 1000 AND event_id <= 200000)
+       OR (user_id >= 90 AND user_id <= 99)
+    """,
+)
+def dmds_select_3d(spark, sf_dir):
+    """``select(1, 10..=40).and(2, 5..=10).and(0, 1000..=200000)
+    .plus(1, 90..=99)`` on a 3-dim world — the box algebra in three
+    dimensions (reference lattice: src/world.rs:198-250; and/plus:
+    src/world.rs:595-614). ``plus`` appends a one-dim-restricted box
+    (all other dims full range), exactly the reference's seed-select
+    shape, so the union's second box constrains only user_id."""
+    sel = (
+        Select.dim(events_world_spec_3d(), 1, (10, 40))
+        .and_(2, (5, 10))
+        .and_(0, (1000, 200000))
+        .plus(1, (90, 99))
+    )
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.dayofmonth("ts").cast("long")
+    )
+    return ev.filter(sel.to_predicate()).select("event_id", "user_id", "day")
+
+
+@register(
+    "dmds_select_hinted_box",
+    """
+    SELECT event_id, user_id FROM events
+    WHERE (user_id >= 10 AND user_id <= 40)
+      AND event_id IN (3, 17, 1024, 2048, 4096, 123456)
+    """,
+)
+def dmds_select_hinted_box(spark, sf_dir):
+    """``select(1, 10..=40).hints([...])`` — id hints layered ON TOP of
+    a box selection (reference: hints accumulate in the Select and
+    restrict iteration, src/world.rs:616-636). Ours compiles to box
+    predicate AND id IN-list (the deterministic, buffer-independent
+    variant of the reference's mem-path hint semantics, SURVEY.md
+    §4.3.3); the IN-list also prunes parquet row-groups via dim-0
+    min/max stats."""
+    sel = Select.dim(events_world_spec(), 1, (10, 40)).hints(
+        [3, 17, 1024, 2048, 4096, 123456]
+    )
+    return _events(spark, sf_dir).filter(sel.to_predicate()).select(
+        "event_id", "user_id"
+    )

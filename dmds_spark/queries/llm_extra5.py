@@ -329,6 +329,74 @@ def _lineitem(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# record linkage: fingerprint blocking + exact edit-distance verify
+# ---------------------------------------------------------------------------
+
+_FP_NGRAM = 8  # same geometry as text_rolling_fingerprint
+_FP_SQL = (
+    f"CASE WHEN length(text) < {_FP_NGRAM} THEN NULL "
+    f"ELSE list_min([md5(substring(text, i, {_FP_NGRAM})) "
+    f"for i in range(1, length(text) - {_FP_NGRAM - 2})]) END"
+)
+_FUZZY_MAX_DIST = 50
+
+
+@register(
+    "dedup_fuzzy_fingerprint_pairs",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE levenshtein(da.text, db.text) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_fingerprint_pairs(spark, sf_dir):
+    """Record linkage: block on the rolling min-md5 fingerprint (the
+    same winnowing-flavor key as text_rolling_fingerprint — docs that
+    share any 8-char gram minimum, i.e. near-identical under small
+    edits), then verify with EXACT Levenshtein distance <= 50. Both
+    engines implement classic unit-cost edit distance, so the verify
+    column is integer-identical. Same pair hygiene as the LSH paths:
+    the blocking self-join carries ids + the 32-char key only; texts
+    re-attach by equi-join AFTER the candidate set exists — the
+    dominant shuffle never carries document bodies. The O(len^2) DP
+    runs only on blocked candidates, never all pairs."""
+    from dmds_spark.functions.text import rolling_fingerprint
+
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id", rolling_fingerprint("text", _FP_NGRAM).alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
 # market-basket co-purchase affinity
 # ---------------------------------------------------------------------------
 
