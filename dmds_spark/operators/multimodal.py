@@ -430,3 +430,66 @@ def audio_frame_features(
     return media.select("media_id", "content").mapInPandas(
         run, AUDIO_FRAME_SCHEMA
     )
+
+
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def audio_resample(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor PCM16 downsampling with a box anti-alias
+    prefilter: ``out[i] = floor(sum(pcm[i*f : (i+1)*f]) / f)`` — each
+    output sample is the floored mean of its ``factor`` input samples,
+    so aliasing energy above the new Nyquist is attenuated by the
+    box filter's sinc rolloff and a constant signal round-trips
+    exactly. Fully real (no codec library): trim to a multiple of
+    ``factor``, one reshape to (n_out, factor), one row-sum, one
+    floor-divide — all integer, so results are bit-identical on any
+    engine or partitioning. Output ``content`` is the raw resampled
+    little-endian PCM16 payload (no media header — it is a stream
+    payload, not a container).
+
+    Scale shape: one ``mapInPandas`` scan, no shuffle; per-clip Python
+    work is three whole-array numpy ops (O(clips) interpreter cost,
+    like audio_frame_features)."""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)[16:]
+                usable = len(payload) - (len(payload) % 2)
+                pcm = np.frombuffer(payload[:usable], dtype="<i2").astype(
+                    np.int64
+                )
+                n_in = len(pcm)
+                n_out = n_in // factor
+                trimmed = pcm[: n_out * factor]
+                res = trimmed.reshape(n_out, factor).sum(axis=1) // factor
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "n_in": n_in,
+                        "n_out": n_out,
+                        "content": res.astype("<i2").tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                out
+                if out
+                else {k.name: [] for k in AUDIO_RESAMPLE_SCHEMA}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_RESAMPLE_SCHEMA
+    )

@@ -581,6 +581,50 @@ def events_attribution_last_touch(spark, sf_dir):
     )
 
 
+@register("multimodal_audio_resample", None)  # binary plumbing: rows-only
+def multimodal_audio_resample(spark, sf_dir):
+    """PCM16 downsample-by-2 with box anti-alias prefilter, end to end:
+    documents -> fake media payloads -> decimation -> per-clip summary
+    (sample counts + integer energy of the resampled signal). The
+    resample itself is fully real pure-integer array math
+    (operators/multimodal.audio_resample); rows-only because the
+    binary payload is engine-side plumbing, not SQL. Output columns
+    are scalar (driver canonicalizer contract) — the energy reduction
+    replaces the binary column at the query boundary."""
+    from pyspark.sql import types as T
+
+    from dmds_spark.operators.multimodal import (
+        audio_resample,
+        media_table_from_documents,
+    )
+
+    media = media_table_from_documents(_docs(spark, sf_dir))
+    res = audio_resample(media, factor=2)
+
+    @F.pandas_udf(T.LongType())
+    def pcm_energy(content):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [
+                int(
+                    np.square(
+                        np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+                    ).sum()
+                )
+                for b in content
+            ]
+        )
+
+    return res.select(
+        "media_id",
+        "n_in",
+        "n_out",
+        pcm_energy("content").alias("out_energy"),
+    )
+
+
 @register(
     "dedup_cluster_size_dist",
     f"""

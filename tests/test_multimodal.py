@@ -296,3 +296,59 @@ def test_audio_frame_features_matches_scalar_reference(spark):
         for fn, feat in enumerate(scalar(p))
     }
     assert got == want
+
+
+def test_audio_resample_matches_numpy_reference(spark, media):
+    """Downsample-by-2 == floored pairwise mean of the PCM stream,
+    per clip, checked sample-for-sample against a numpy reference."""
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import audio_resample
+
+    sample = media.limit(5).collect()
+    got = {
+        r["media_id"]: (r["n_in"], r["n_out"], bytes(r["content"]))
+        for r in audio_resample(
+            spark.createDataFrame(sample, schema=media.schema), factor=2
+        ).collect()
+    }
+    assert len(got) == 5
+    for row in sample:
+        payload = bytes(row["content"])[16:]
+        usable = len(payload) - (len(payload) % 2)
+        pcm = np.frombuffer(payload[:usable], dtype="<i2").astype(np.int64)
+        n_out = len(pcm) // 2
+        want = pcm[: n_out * 2].reshape(n_out, 2).sum(axis=1) // 2
+        n_in_got, n_out_got, content = got[row["media_id"]]
+        assert (n_in_got, n_out_got) == (len(pcm), n_out)
+        res = np.frombuffer(content, dtype="<i2").astype(np.int64)
+        assert np.array_equal(res, want)
+
+
+def test_audio_resample_filter_semantics(spark):
+    """Constant signals round-trip exactly; a Nyquist-rate alternating
+    signal averages to (near) zero — the box prefilter is doing its
+    anti-aliasing job. Floor division ties to -inf (floored mean)."""
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import audio_resample
+
+    def clip(mid, samples):
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+        return (mid, b"\x00" * 16 + pcm)
+
+    df = spark.createDataFrame(
+        [
+            clip(1, [100] * 8),              # constant
+            clip(2, [1000, -1000] * 4),      # alternating at Nyquist
+            clip(3, [3, 4, -3, -4]),         # floored means: 3, -4
+        ],
+        ["media_id", "content"],
+    )
+    got = {
+        r["media_id"]: np.frombuffer(bytes(r["content"]), dtype="<i2").tolist()
+        for r in audio_resample(df, factor=2).collect()
+    }
+    assert got[1] == [100, 100, 100, 100]
+    assert got[2] == [0, 0, 0, 0]
+    assert got[3] == [3, -4]  # (3+4)//2 = 3; (-3 + -4)//2 = -4 (floor)
