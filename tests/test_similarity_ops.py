@@ -192,3 +192,37 @@ def test_arrow_pair_cosine_matches(spark):
     assert {k for k, v in exact.items() if v >= thr} == {
         k for k, v in arrow.items() if v >= thr
     }
+
+
+def test_quantized_rerank_equals_bruteforce_topk(spark):
+    """The two-stage quantized ANN (centered int8 code dot -> top-50
+    candidates -> exact cosine re-rank) returns EXACTLY the brute-force
+    cosine top-10 at sf0.001 — i.e. candidate recall is 10/10 on this
+    corpus (measured; the centered-code pin — uncentered codes score
+    0/10). Guards the centering and the candidate budget."""
+    import numpy as np
+    import pandas as pd
+
+    from dmds_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        r["vec_id"]
+        for r in all_queries()["similarity_quantized_rerank_topk"](
+            spark, sf
+        ).collect()
+    ]
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qv = mat[ids == 0][0]
+    sims = (mat @ qv) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)
+    )
+    order = sorted(
+        [(s, i) for s, i in zip(sims, ids) if i != 0],
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [i for _, i in order[:10]]
+    assert set(got) == set(want)
