@@ -86,6 +86,11 @@ ADDITIONS = [
     "events_user_path_topk",
     "dedup_containment_verify",
     "dedup_fuzzy_fingerprint_pairs",
+    # round-5 batch three
+    "profile_covariance",
+    "suppliers_pareto_class",
+    "events_concurrency_peak",
+    "graph_common_neighbors",
 ]
 
 

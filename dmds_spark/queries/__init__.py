@@ -188,5 +188,6 @@ def _load():
     # round-5 additions (arrow fast-path variants + corpus operations)
     from dmds_spark.queries import llm_extra4  # noqa: F401
     from dmds_spark.queries import llm_extra5  # noqa: F401
+    from dmds_spark.queries import llm_extra6  # noqa: F401
 
     _LOADED = True

@@ -440,3 +440,119 @@ def test_attribution_no_nested_loop(spark, qs):
     plan = physical_plan(qs["events_attribution_last_touch"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-5 batch-three pins (llm_extra6) ---------------------------------
+
+
+def test_covariance_single_scan_partial_agg(spark, qs):
+    """All three covariance pairs must come from ONE lineitem scan and
+    a two-phase aggregate (7 partial sums) — a per-pair scan or a
+    single-phase agg would triple/centralize the 100 TB read."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["profile_covariance"](spark, SF)
+    plan = physical_plan(df)
+    assert scan_count(df) == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_equidepth_bins_distributed_rank(spark, qs):
+    """The decile NTILE must be the two-level global rank (per-shard
+    window on __pid + offsets), never a single-partition ORDER BY
+    window over the whole table."""
+    import re
+
+    plan = physical_plan(qs["profile_equidepth_bins"](spark, SF))
+    assert re.search(r"windowspecdefinition\(__pid#", plan)
+
+
+def test_transition_counts_two_shuffles(spark, qs):
+    """Markov transition table = one window sort-shuffle (user_id) +
+    one count shuffle over <=|types|^2 groups; anything more means a
+    redundant exchange crept in."""
+    df = qs["events_transition_counts"](spark, SF)
+    assert shuffle_count(df) <= 2
+
+
+def test_twap_window_keys_include_user(spark, qs):
+    """The TWAP lead window must partition by (event_type, user_id) —
+    event_type alone drags each type's whole global stream through one
+    task at scale."""
+    import re
+
+    plan = physical_plan(qs["events_time_weighted_value"](spark, SF))
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, user_id#", plan
+    )
+    assert not re.search(r"windowspecdefinition\(event_type#\d+, ts#", plan)
+
+
+def test_pareto_distributed_rank_no_nested_loop(spark, qs):
+    """The ABC classification's global rank must be the sharded shape
+    (per-__pid window + offsets), with only equi-joins in the plan."""
+    import re
+
+    plan = physical_plan(qs["suppliers_pareto_class"](spark, SF))
+    assert re.search(r"windowspecdefinition\(__pid#", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_plan_single_scan_partial_agg(spark, qs):
+    """The 16-shard write plan is one scan + one small partial-combined
+    aggregate; the token counts must ride the same scan."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["tokens_shard_plan"](spark, SF)
+    plan = physical_plan(df)
+    assert scan_count(df) == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_concurrency_peak_sharded_at_size(spark):
+    """The sweep-line running sum over event_type (a handful of keys)
+    must take the two-level sharded shape when forced to size: window
+    keys (event_type, __pid), offsets re-attached by broadcast. The
+    registered query may dispatch to the small-input path at test
+    scale (same dispatch pin as packing)."""
+    import re
+
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+    from dmds_spark.sources.registry import load_events
+
+    ev = load_events(spark, SF).select(
+        "event_type", F.unix_micros("ts").alias("t"), F.lit(1).alias("d")
+    )
+    df = sharded_exclusive_cumsum(
+        ev, "event_type", [F.col("t").asc(), F.col("d").asc()], "d",
+        out="r", num_ranges=8,
+    )
+    plan = physical_plan(df)
+    assert re.search(r"windowspecdefinition\(event_type#\d+, __pid#", plan)
+    assert not re.search(r"windowspecdefinition\(event_type#\d+, t#", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_common_neighbors_equijoin_takeordered(spark, qs):
+    """Wedge enumeration must equi-join on the shared customer endpoint
+    (never nested-loop all supplier pairs), and the top-20 must be
+    TakeOrdered, not a global sort."""
+    plan = physical_plan(qs["graph_common_neighbors"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_cross_source_overlap_equijoins(spark, qs):
+    """The contamination matrix reuses the LSH band equi-join and adds
+    two doc_id equi-joins for the source lookups — no nested loops."""
+    plan = physical_plan(qs["dedup_cross_source_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_yoy_revenue_broadcasts_part(spark, qs):
+    """The part dimension must broadcast into the lineitem join."""
+    df = qs["parts_yoy_revenue"](spark, SF)
+    assert broadcast_join_count(df) >= 1
