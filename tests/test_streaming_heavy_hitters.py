@@ -160,3 +160,55 @@ def test_streaming_heavy_hitters_real_stream(spark, tmp_path):
         items, counts, n_seen, _d = st.get
         want[key] = set(zip(items, (int(c) for c in counts)))
     assert got == want
+
+
+def test_merge_guarantees_random_streams():
+    """Property: for ANY stream and ANY batch split, the merged summary
+    keeps every Misra-Gries guarantee — pure-Python fold, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        items=st.lists(
+            st.integers(min_value=0, max_value=12), min_size=1, max_size=200
+        ),
+        k=st.integers(min_value=1, max_value=6),
+        ncuts=st.integers(min_value=0, max_value=4),
+        data=st.data(),
+    )
+    def run(items, k, ncuts, data):
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(items)),
+                    min_size=ncuts,
+                    max_size=ncuts,
+                )
+            )
+        )
+        batches, prev = [], 0
+        for c in [*cuts, len(items)]:
+            batches.append([str(x) for x in items[prev:c]])
+            prev = c
+        counters, decr = {}, 0
+        for b in batches:
+            vc: dict[str, int] = {}
+            for x in b:
+                vc[x] = vc.get(x, 0) + 1
+            counters, removed = misra_gries_merge(counters, vc, k)
+            decr += removed
+        n = len(items)
+        true: dict[str, int] = {}
+        for x in items:
+            s = str(x)
+            true[s] = true.get(s, 0) + 1
+        assert len(counters) <= k
+        assert decr <= n // (k + 1)
+        for item, est in counters.items():
+            assert est <= true[item] <= est + decr
+        for item, t in true.items():
+            if t > n // (k + 1):
+                assert item in counters
+
+    run()
