@@ -41,3 +41,40 @@ def test_convert_to_parquet(spark, tmp_path):
     assert n == src.count()
     back = spark.read.parquet(pq_p)
     assert _canon(back) == _canon(src)
+
+
+class TestExportSharded:
+    def test_exact_file_count_and_manifest(self, spark, tmp_path):
+        from dmds_spark.sources.sinks import export_sharded
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "export")
+        manifest = export_sharded(d, path, 8, "doc_id")
+        import glob
+        import json
+
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert len(files) == 8
+        assert len(manifest) == 8
+        assert sum(e["rows"] for e in manifest) == d.count()
+        on_disk = json.load(open(f"{path}/_manifest.json"))
+        assert on_disk["files"] == manifest
+        assert on_disk["shard_key"] == "doc_id"
+        # round trip: nothing lost or duplicated
+        back = spark.read.parquet(path)
+        assert back.count() == d.count()
+        assert back.select("doc_id").distinct().count() == d.count()
+
+    def test_sort_within_files(self, spark, tmp_path):
+        from dmds_spark.sources.sinks import export_sharded
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "export_sorted")
+        export_sharded(d, path, 4, "source", sort_cols=["doc_id"])
+        import glob
+
+        import pandas as pd
+
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            ids = pd.read_parquet(f, columns=["doc_id"])["doc_id"]
+            assert ids.is_monotonic_increasing
