@@ -1,0 +1,110 @@
+"""Incremental rollup maintenance: each refresh must scan ONLY unseen
+files, the maintained partials must equal a full recompute after any
+number of appends, and a reader must never observe a half-written
+version (pointer flips last)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.rollup import IncrementalRollup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    """An append-only source dir seeded with a first batch of orders."""
+    d = str(tmp_path / "source")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    first = orders.filter(F.col("o_orderkey") % 3 == 0)
+    first.repartition(2).write.parquet(d)
+    return d, orders
+
+
+def _append(df, d, name):
+    import glob
+    import shutil
+
+    tmp = f"{d}__{name}"
+    df.coalesce(1).write.parquet(tmp)
+    for i, f in enumerate(glob.glob(f"{tmp}/part-*.parquet")):
+        shutil.move(f, f"{d}/append-{name}-{i}.parquet")
+    shutil.rmtree(tmp)
+
+
+def _full(spark, d):
+    return (
+        spark.read.parquet(d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("o_totalprice").alias("sum_o_totalprice"),
+            F.min("o_totalprice").alias("min_o_totalprice"),
+            F.max("o_totalprice").alias("max_o_totalprice"),
+        )
+    )
+
+
+def _rows(df):
+    return {
+        tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+        for r in df.collect()
+    }
+
+
+def test_refresh_matches_full_recompute_across_appends(spark, tmp_path, source):
+    d, orders = source
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup"), ["o_orderstatus"], ["o_totalprice"]
+    )
+    assert ru.read() is None
+    r1 = ru.refresh()
+    assert r1["version"] == 1 and r1["new_files"] == 2
+    assert _rows(ru.read()) == _rows(_full(spark, d))
+
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "b2")
+    r2 = ru.refresh()
+    assert r2["version"] == 2 and r2["new_files"] == 1
+    assert _rows(ru.read()) == _rows(_full(spark, d))
+
+    _append(orders.filter(F.col("o_orderkey") % 3 == 2), d, "b3")
+    ru.refresh()
+    assert _rows(ru.read()) == _rows(_full(spark, d))
+    # and now the rollup equals the aggregate of the ENTIRE orders table
+    assert _rows(ru.read()) == _rows(
+        _full(spark, f"{SF}/orders.parquet")
+    )
+
+
+def test_noop_refresh_scans_nothing(spark, tmp_path, source):
+    d, _ = source
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup"), ["o_orderstatus"], ["o_totalprice"]
+    )
+    ru.refresh()
+    r = ru.refresh()
+    assert r == {"new_files": 0, "version": 1}
+
+
+def test_pointer_flips_last_and_old_version_survives(spark, tmp_path, source):
+    d, orders = source
+    rdir = str(tmp_path / "rollup")
+    ru = IncrementalRollup(
+        spark, d, rdir, ["o_orderstatus"], ["o_totalprice"]
+    )
+    ru.refresh()
+    v1 = _rows(ru.read())
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "b2")
+    ru.refresh()
+    # both version directories exist; pointer names v2; v1 data intact
+    assert os.path.isdir(f"{rdir}/v1") and os.path.isdir(f"{rdir}/v2")
+    st = json.load(open(f"{rdir}/_current.json"))
+    assert st["version"] == 2
+    assert _rows(spark.read.parquet(f"{rdir}/v1")) == v1
