@@ -16,6 +16,7 @@ Stages (each prints a one-line summary):
      sharded cumsum (tokens_pack_sequences).
   5. Mixture     — per-source token share + uniform-mixture weights.
   6. Similarity  — LSH-bucketed ANN top-k neighbors of vec 0.
+  7. Export      — sharded manifest export + incremental rollup refresh.
 
 This is a DEMO of the public API surface (same calls as USAGE.md), not
 a benchmark — bench.py is the measured path.
@@ -95,6 +96,28 @@ def main() -> int:
     ann = qs["similarity_ann_lsh_topk"](spark, sf_dir).collect()
     ids = [r.vec_id for r in ann]
     print(f"6. similarity: ANN top-{len(ids)} neighbors of vec 0 -> {ids}")
+
+    # -- 7. Export + continuous aggregate -----------------------------
+    from dmds_spark.operators.rollup import IncrementalRollup
+    from dmds_spark.sources.sinks import export_sharded
+
+    with tempfile.TemporaryDirectory() as root:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        manifest = export_sharded(
+            docs, f"{root}/corpus", shards=8, shard_key="doc_id",
+            sort_cols=["doc_id"],
+        )
+        rows = [e["rows"] for e in manifest]
+        ru = IncrementalRollup(
+            spark, f"{root}/corpus", f"{root}/rollup",
+            ["source"], ["n_chars"],
+        )
+        st = ru.refresh()
+        groups = ru.read().count()
+        print(f"7. export: {len(manifest)} shard files "
+              f"(rows {min(rows)}..{max(rows)}, manifest written); "
+              f"rollup v{st['version']} folded {st['new_files']} files "
+              f"-> {groups} source groups")
 
     print("demo: all stages ran")
     return 0
