@@ -91,6 +91,7 @@ ADDITIONS = [
     "suppliers_pareto_class",
     "events_concurrency_peak",
     "graph_common_neighbors",
+    "events_late_arrivals",
 ]
 
 

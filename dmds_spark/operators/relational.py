@@ -239,6 +239,66 @@ def sharded_exclusive_cumsum(
     )
 
 
+def sharded_exclusive_running_max(
+    df: DataFrame,
+    by: str,
+    order_cols: list,
+    value_col: str,
+    out: str = "max_before",
+    num_ranges: int | None = None,
+    small_input_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Exclusive running MAX of ``value_col`` over
+    ``PARTITION BY by ORDER BY order_cols`` with the same two-level
+    sharded shape as ``sharded_exclusive_cumsum`` — max is associative,
+    so the construction carries over verbatim: per-shard window maxes
+    plus per-(by, shard) offset maxes combined with ``greatest``. NULL
+    where the prefix is empty (no zero element for max).
+
+    The motivating consumer is watermark accounting
+    (``events_late_arrivals``): "the max event-time seen so far" over a
+    whole stream partitioned only by a handful of types is exactly the
+    low-cardinality window trap the cumsum shape exists to avoid.
+    Same small-input dispatch: below one scan shard the plain window is
+    the same plan a single task would execute anyway."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est <= small_input_bytes:
+            w1 = (
+                Window.partitionBy(by)
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            return df.withColumn(out, F.max(value_col).over(w1))
+        num_ranges = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_ranges, F.col(by), *order_cols)
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    part = part.localCheckpoint(eager=True)  # pin shard ids for both consumers
+    totals = part.groupBy(by, "__pid").agg(F.max(value_col).alias("__t"))
+    w_off = (
+        Window.partitionBy(by)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        by, "__pid", F.max("__t").over(w_off).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy(by, "__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.withColumn("__local", F.max(value_col).over(w_in))
+        .join(F.broadcast(offs), [by, "__pid"])
+        .withColumn(out, F.greatest(F.col("__local"), F.col("__off")))
+        .drop("__pid", "__local", "__off")
+    )
+
+
 def ntile_from_rn(rn, n_rows: int, k: int):
     """Exact NTILE(k) bucket from a global row number and the total row
     count: the first ``n_rows % k`` buckets get ``n_rows//k + 1`` rows,

@@ -649,3 +649,56 @@ def graph_common_neighbors(spark, sf_dir):
         .orderBy(F.col("common_customers").desc(), "supp_a", "supp_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark accounting: late arrivals vs the running event-time max
+# ---------------------------------------------------------------------------
+
+_LATE_US = 600_000_000  # 10-minute allowed lateness
+
+
+@register(
+    "events_late_arrivals",
+    f"""
+    WITH m AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS wm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE wm - t > {_LATE_US}) AS BIGINT)
+             AS n_late,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM m GROUP BY event_type
+    """,
+)
+def events_late_arrivals(spark, sf_dir):
+    """Watermark accounting: per event type, how many events arrive
+    (arrival order = event_id) more than 10 minutes behind the maximum
+    event time already seen — exactly the rows a streaming watermark of
+    that lateness would drop, measured in batch BEFORE committing to
+    the policy. The running event-time max uses
+    ``sharded_exclusive_running_max``: event_type alone is a handful of
+    keys, so the naive per-type ORDER BY window would serialize each
+    type's full arrival log through one task; the two-level shape
+    range-shards the log evenly and combines per-shard maxes with
+    ``greatest`` (associativity makes the cumsum construction carry
+    over). All time arithmetic in integer microseconds."""
+    from dmds_spark.operators.relational import sharded_exclusive_running_max
+    from dmds_spark.sources.registry import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "event_id", F.unix_micros("ts").alias("t")
+    )
+    m = sharded_exclusive_running_max(
+        ev, "event_type", [F.col("event_id").asc()], "t", out="wm"
+    )
+    late = (F.col("wm") - F.col("t") > _LATE_US).cast("long")
+    return m.groupBy("event_type").agg(
+        F.sum(F.coalesce(late, F.lit(0))).cast("long").alias("n_late"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -106,3 +106,58 @@ def test_sharded_cumsum_no_per_group_data_window(spark):
     import re
 
     assert not re.search(r"windowspecdefinition\(g#\d+, id#", plan)
+
+
+def test_sharded_running_max_matches_group_window(spark):
+    """sharded_exclusive_running_max (forced two-level) must equal the
+    plain PARTITION BY ... ORDER BY exclusive-max window, nulls
+    included."""
+    from pyspark.sql import Window as W
+
+    from dmds_spark.operators.relational import sharded_exclusive_running_max
+    from dmds_spark.sources.registry import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("t")
+    )
+    got = sharded_exclusive_running_max(
+        ev, "event_type", [F.col("event_id").asc()], "t", out="wm",
+        num_ranges=8,
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    want = ev.withColumn("wm", F.max("t").over(w))
+    key = ["event_type", "event_id"]
+    assert (
+        got.select(*key, "wm").exceptAll(want.select(*key, "wm")).count() == 0
+    )
+    assert (
+        want.select(*key, "wm").exceptAll(got.select(*key, "wm")).count() == 0
+    )
+
+
+def test_sharded_running_max_no_per_group_data_window(spark):
+    """Forced two-level running max must window on (by, __pid), never
+    the bare low-cardinality group key over data rows."""
+    import re
+
+    from dmds_spark.operators.relational import sharded_exclusive_running_max
+    from dmds_spark.plans import physical_plan
+    from dmds_spark.sources.registry import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("t")
+    )
+    df = sharded_exclusive_running_max(
+        ev, "event_type", [F.col("event_id").asc()], "t", out="wm",
+        num_ranges=8,
+    )
+    plan = physical_plan(df)
+    assert re.search(r"windowspecdefinition\(event_type#\d+, __pid#", plan)
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, event_id#", plan
+    )
+    assert "BroadcastHashJoin" in plan
