@@ -61,8 +61,18 @@ def shuffle_count(df: DataFrame) -> int:
 
 def codegen_span_count(df: DataFrame) -> int:
     """Whole-stage-codegen regions (wider = more of the plan runs as
-    generated JVM loops rather than interpreted operators)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", physical_plan(df))))
+    generated JVM loops rather than interpreted operators). Spark's
+    simple plan string marks a span operator with a ``*(N)`` prefix
+    (the formatted/UI string spells it ``WholeStageCodegen (N)``);
+    count distinct span ids across both notations. NOTE: with AQE on,
+    the pre-execution plan is an AdaptiveSparkPlan with NO codegen
+    materialized yet — this counter is only meaningful with
+    ``spark.sql.adaptive.enabled=false`` (scripts/plan_audit.py) or on
+    an executed plan."""
+    plan = physical_plan(df)
+    spans = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    spans |= set(re.findall(r"\*\((\d+)\)", plan))
+    return len(spans)
 
 
 def scan_count(df: DataFrame) -> int:
