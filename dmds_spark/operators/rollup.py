@@ -141,12 +141,62 @@ class IncrementalRollup:
             self._version_path(next_version)
         )
         # flip the pointer LAST: readers never see a half-written version
-        with open(self._pointer, "w") as fh:
-            json.dump(
-                {
-                    "version": next_version,
-                    "seen_files": sorted(seen | set(new_files)),
-                },
-                fh,
-            )
+        self._flip(
+            {
+                "version": next_version,
+                "seen_files": sorted(seen | set(new_files)),
+                "last_batch_id": st.get("last_batch_id", -1),
+            }
+        )
         return {"new_files": len(new_files), "version": next_version}
+
+    def _flip(self, state: dict) -> None:
+        with open(self._pointer, "w") as fh:
+            json.dump(state, fh)
+
+    def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
+        """Fold a DataFrame of new rows directly into the rollup — the
+        streaming maintenance path (use via ``foreach_batch()``).
+        Idempotent under micro-batch REPLAY when ``batch_id`` is
+        given: foreachBatch delivers at-least-once, so a batch id at
+        or below the recorded high-water mark is skipped instead of
+        double-counted (the pointer flip commits data + batch id
+        atomically-enough: a crash between write and flip replays into
+        a fresh version directory, never into served data)."""
+        st = self._state()
+        last = st.get("last_batch_id", -1)
+        if batch_id is not None and batch_id <= last:
+            return {"skipped": True, "version": st["version"]}
+        fresh = _partial_agg(df, self.group_cols, self.value_cols)
+        cur = self.read()
+        merged = (
+            _merge_partials(
+                cur.unionByName(fresh), self.group_cols, self.value_cols
+            )
+            if cur is not None
+            else fresh
+        )
+        next_version = st["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            self._version_path(next_version)
+        )
+        self._flip(
+            {
+                "version": next_version,
+                "seen_files": st["seen_files"],
+                "last_batch_id": (
+                    batch_id if batch_id is not None else last
+                ),
+            }
+        )
+        return {"skipped": False, "version": next_version}
+
+    def foreach_batch(self):
+        """Sink function for ``writeStream.foreachBatch``: keeps this
+        rollup continuously maintained by the stream, one version per
+        micro-batch, replay-safe by batch id."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.fold_batch(batch_df, batch_id)
+
+        return _sink

@@ -108,3 +108,36 @@ def test_pointer_flips_last_and_old_version_survives(spark, tmp_path, source):
     st = json.load(open(f"{rdir}/_current.json"))
     assert st["version"] == 2
     assert _rows(spark.read.parquet(f"{rdir}/v1")) == v1
+
+
+def test_stream_foreach_batch_maintains_rollup(spark, tmp_path, source):
+    """Drive the rollup from a real micro-batched stream: the final
+    rollup must equal the batch aggregate of everything streamed, and
+    a replayed batch id must be a no-op (at-least-once safety)."""
+    d, _ = source
+    schema = spark.read.parquet(d).schema
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup_s"),
+        ["o_orderstatus"], ["o_totalprice"],
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/part-*.parquet")
+    )
+    q = (
+        sdf.writeStream.foreachBatch(ru.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rows(ru.read()) == _rows(_full(spark, d))
+    # replaying an already-folded batch id must not double-count
+    st_before = json.load(
+        open(f"{tmp_path}/rollup_s/_current.json")
+    )
+    out = ru.fold_batch(spark.read.parquet(d), batch_id=0)
+    assert out["skipped"] is True
+    assert out["version"] == st_before["version"]
+    assert _rows(ru.read()) == _rows(_full(spark, d))
