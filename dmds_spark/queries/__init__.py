@@ -9,6 +9,10 @@ sf0.01 (order-insensitive, columns sorted by name), so:
   bit-identical regardless of each engine's summation order (doubles
   summed in different orders are NOT, which would break hash-compare);
 - top-k queries always order by a total order (explicit tie-break keys);
+- exact integers that can exceed 2^53 are emitted as DIGIT STRINGS,
+  not doubles: DuckDB's HUGEINT->DOUBLE cast is not correctly rounded
+  past 2^53 while Spark's decimal->double is, so a wide double column
+  hash-drifts in its last bit (measured in parts_price_dispersion);
 - registered query output columns must be SCALAR (no array/map/struct):
   the driver's canonicalizer sorts the result with pandas, and list
   cells crash `sort_values`/`factorize` with "unhashable type: 'list'"

@@ -88,17 +88,17 @@ _COV_AGG_SQL = """
            CAST(n AS BIGINT) AS n_rows,
            CAST(sq AS DOUBLE) AS sum_x, CAST(sp AS DOUBLE) AS sum_y,
            CAST(sqp AS DOUBLE) AS sum_xy,
-           CAST(n * sqp - sq * sp AS DOUBLE) AS cov_num
+           CAST(n * sqp - sq * sp AS VARCHAR) AS cov_num
     FROM a
     UNION ALL
     SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
            CAST(sq AS DOUBLE), CAST(sd AS DOUBLE), CAST(sqd AS DOUBLE),
-           CAST(n * sqd - sq * sd AS DOUBLE)
+           CAST(n * sqd - sq * sd AS VARCHAR)
     FROM a
     UNION ALL
     SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
            CAST(sp AS DOUBLE), CAST(sd AS DOUBLE), CAST(spd AS DOUBLE),
-           CAST(n * spd - sp * sd AS DOUBLE)
+           CAST(n * spd - sp * sd AS VARCHAR)
     FROM a
     """,
 )
@@ -114,8 +114,11 @@ def profile_covariance(spark, sf_dir):
     sums decimal(38,0) (HUGEINT on the oracle side). The largest
     intermediate, n*sum_xy, is ~5e34 at a 10^12-row (100 TB) corpus —
     inside both engines' 38-digit exact range; cov_num = n*Sxy - Sx*Sy
-    is division-free so no rounding ever happens before the final
-    DOUBLE cast of exact integers."""
+    is division-free so no rounding ever happens. cov_num is emitted
+    as the exact DIGIT STRING because its values exceed 2^53 and
+    DuckDB's HUGEINT->DOUBLE cast is not correctly rounded there
+    (see parts_price_dispersion); the per-column sums stay DOUBLE —
+    they are below 2^53 at the oracle's sf0.01 so the cast is exact."""
     li = _li(spark, sf_dir)
     c = li.select(
         _cents("l_quantity").alias("q"),
@@ -138,13 +141,13 @@ def profile_covariance(spark, sf_dir):
         """stack(3,
              'l_quantity', 'l_extendedprice', CAST(n AS BIGINT),
              CAST(sq AS DOUBLE), CAST(sp AS DOUBLE), CAST(sqp AS DOUBLE),
-             CAST(n * sqp - sq * sp AS DOUBLE),
+             CAST(n * sqp - sq * sp AS STRING),
              'l_quantity', 'l_discount', CAST(n AS BIGINT),
              CAST(sq AS DOUBLE), CAST(sd AS DOUBLE), CAST(sqd AS DOUBLE),
-             CAST(n * sqd - sq * sd AS DOUBLE),
+             CAST(n * sqd - sq * sd AS STRING),
              'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
              CAST(sp AS DOUBLE), CAST(sd AS DOUBLE), CAST(spd AS DOUBLE),
-             CAST(n * spd - sp * sd AS DOUBLE)
+             CAST(n * spd - sp * sd AS STRING)
            ) AS (col_x, col_y, n_rows, sum_x, sum_y, sum_xy, cov_num)"""
     )
 
@@ -312,7 +315,7 @@ def events_transition_counts(spark, sf_dir):
       FROM events
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-           CAST(SUM(CAST(vm * w_us AS HUGEINT)) AS DOUBLE) AS num,
+           CAST(SUM(CAST(vm * w_us AS HUGEINT)) AS VARCHAR) AS num,
            CAST(SUM(CAST(w_us AS HUGEINT)) AS DOUBLE) AS den_us
     FROM s WHERE w_us IS NOT NULL
     GROUP BY event_type
@@ -330,7 +333,10 @@ def events_time_weighted_value(spark, sf_dir):
     weights are integer micros, and the weighted sums are
     decimal(38,0)/HUGEINT: bounded by ~5e5 (milli-value) * 1e13 us/week
     * 1e12 rows ~ 5e30 at the 100 TB framing — inside the exact range.
-    num/den are emitted separately (division would reintroduce
+    num is emitted as the exact digit string (its magnitude passes
+    2^53, where DuckDB's HUGEINT->DOUBLE cast stops being correctly
+    rounded — see parts_price_dispersion); den_us stays double (below
+    2^53 at the oracle scale). num/den are emitted separately (division would reintroduce
     engine-specific rounding)."""
     ev = _events(spark, sf_dir)
     w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
@@ -348,7 +354,7 @@ def events_time_weighted_value(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_intervals"),
             F.sum((F.col("vm") * F.col("w_us")).cast(dec))
-            .cast("double")
+            .cast("string")
             .alias("num"),
             F.sum(F.col("w_us").cast(dec)).cast("double").alias("den_us"),
         )
@@ -701,4 +707,108 @@ def events_late_arrivals(spark, sf_dir):
     return m.groupBy("event_type").agg(
         F.sum(F.coalesce(late, F.lit(0))).cast("long").alias("n_late"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity: hapax legomena ratio per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    """
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS token
+      FROM documents
+    ), c AS (
+      SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Lexical diversity per source: distinct tokens, hapax legomena
+    (tokens occurring exactly once), and total tokens — the
+    vocabulary-richness signal that separates template spam (few
+    hapaxes) from natural text, reported as integer counts so the
+    consumer picks its own ratio. Two count shuffles — (source, token)
+    then source — both map-side partial-combined; the explode never
+    leaves the first stage."""
+    from dmds_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    c = (
+        d.select("source", F.explode(words("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-brand price variance components (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parts_price_dispersion",
+    f"""
+    WITH c AS (
+      SELECT p.p_brand, {_CENTS_SQL.format(c='l.l_extendedprice')} AS pc
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(pc AS HUGEINT)) AS DOUBLE) AS sum_c,
+           CAST(COUNT(*) * SUM(CAST(pc * pc AS HUGEINT))
+                - SUM(CAST(pc AS HUGEINT)) * SUM(CAST(pc AS HUGEINT))
+                AS VARCHAR) AS var_num
+    FROM c GROUP BY p_brand
+    """,
+)
+def parts_price_dispersion(spark, sf_dir):
+    """Price dispersion per brand: n, sum, and the variance numerator
+    n*Sum(x^2) - Sum(x)^2 (= n^2 * variance) in exact integer cents —
+    the per-group twin of profile_covariance's global components, and
+    the dispersion input behind pricing-consistency monitoring.
+    Division-free: the consumer divides by n^2 (or n*(n-1)) itself, so
+    no engine-specific rounding exists to drift the hash. Magnitudes:
+    pc^2 ~ 1e14/row, group sums ~1e26 at the 100 TB framing, n*q ~1e38
+    at the extreme — at the documented decimal(38,0)/HUGEINT edge, so
+    the per-GROUP (not global) grain is the bound that keeps it exact.
+    One broadcast dim join + one partial-combined aggregate.
+
+    var_num is emitted as the exact DIGIT STRING, not a double: its
+    values exceed 2^53, and DuckDB's HUGEINT->DOUBLE cast is not
+    correctly rounded there (measured: ...783927 casts to ...478e19 vs
+    IEEE-nearest ...479e19 from Spark's BigDecimal path), so a double
+    column would hash-differ in the last bit. Digit strings are exact
+    at any magnitude on both engines."""
+    li = _li(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dec = "decimal(38,0)"
+    c = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", _cents("l_extendedprice").alias("pc")
+    )
+    a = c.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("pc").cast(dec)).alias("s"),
+        F.sum((F.col("pc") * F.col("pc")).cast(dec)).alias("q"),
+    )
+    return a.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("double").alias("sum_c"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("var_num"),
     )

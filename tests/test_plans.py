@@ -556,3 +556,19 @@ def test_yoy_revenue_broadcasts_part(spark, qs):
     """The part dimension must broadcast into the lineitem join."""
     df = qs["parts_yoy_revenue"](spark, SF)
     assert broadcast_join_count(df) >= 1
+
+
+def test_hapax_two_count_shuffles(spark, qs):
+    """Lexical diversity = (source, token) count then source rollup —
+    two partial-combined exchanges, explode never crosses a shuffle."""
+    df = qs["text_hapax_ratio"](spark, SF)
+    assert shuffle_count(df) <= 2
+    assert "partial_count" in physical_plan(df)
+
+
+def test_price_dispersion_broadcasts_part(spark, qs):
+    """The part dimension must broadcast; one aggregate does all three
+    dispersion components."""
+    df = qs["parts_price_dispersion"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 1
