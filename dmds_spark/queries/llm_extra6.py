@@ -655,6 +655,13 @@ def graph_common_neighbors(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # NO barrier, deliberately: the self-join re-derives the edge
+        # list for its second input, but the re-derivation is a cheap
+        # shuffle-reuse while an eager localCheckpoint costs a full
+        # materialization round-trip (measured 3.9 s vs 7.3 s at
+        # sf0.1). At 100 TB, where the fact join dwarfs the exchange,
+        # the balance flips — write the edge list once,
+        # hash-partitioned on c (triangle-count pattern).
     )
     # every t2 column renamed (triangle-count pattern): the self-join
     # condition then resolves purely by distinct names — no shared-
