@@ -831,3 +831,70 @@ def parts_price_dispersion(spark, sf_dir):
         .cast("string")
         .alias("var_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_incremental_orders",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM({_CENTS_SQL.format(c='o_totalprice')}) AS BIGINT)
+             AS sum_c,
+           CAST(MIN({_CENTS_SQL.format(c='o_totalprice')}) AS BIGINT)
+             AS min_c,
+           CAST(MAX({_CENTS_SQL.format(c='o_totalprice')}) AS BIGINT)
+             AS max_c
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rollup_incremental_orders(spark, sf_dir):
+    """Incremental rollup maintenance proven against the oracle: seed
+    an append-only source with half of orders, refresh, append the
+    other half as new files, refresh again — and return the maintained
+    rollup. The oracle states the FULL aggregate declaratively, so the
+    driver's hash-compare certifies that two incremental refreshes
+    (unseen-files-only scans + partial merges, operators/rollup.py)
+    equal one full recompute — the continuous-aggregate correctness
+    claim, checked end to end. Value column is integer cents, so the
+    maintained sums are order-independent exact integers.
+
+    Same scratch-dir discipline as dmds_crud_snapshot: per-invocation
+    directory under .scratch/ (gitignored), never shared between
+    concurrent evaluations."""
+    import os
+    import uuid
+
+    from dmds_spark.operators.rollup import IncrementalRollup
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch", "rollup",
+        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
+    )
+    src = f"{root}/src"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("vc")
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(src)
+    ru = IncrementalRollup(
+        spark, src, f"{root}/rollup", ["o_orderstatus"], ["vc"]
+    )
+    ru.refresh()
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(
+        src
+    )
+    ru.refresh()
+    return ru.read().select(
+        "o_orderstatus",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_vc").cast("long").alias("sum_c"),
+        F.col("min_vc").cast("long").alias("min_c"),
+        F.col("max_vc").cast("long").alias("max_c"),
+    )
