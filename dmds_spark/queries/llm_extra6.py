@@ -3,8 +3,11 @@ reports that close out the daily-ops surface — exact covariance
 components, equi-depth price bins, cross-source near-dup contamination,
 event-transition counts, dwell-time-weighted values, Pareto/ABC
 supplier classes, year-over-year brand revenue, output-shard write
-planning, interval-concurrency peaks, and common-neighbor link
-prediction over the near-dup graph.
+planning, interval-concurrency peaks, common-neighbor link prediction
+over the purchase graph, watermark late-arrival accounting (sharded
+running max), hapax-legomena lexical diversity, per-brand price
+dispersion, and the oracle-checked incremental-rollup maintenance
+proof.
 
 House rules (queries/__init__.py): every output column scalar, every
 computed column aliased identically on both sides, every ranking and
