@@ -92,6 +92,10 @@ ADDITIONS = [
     "events_concurrency_peak",
     "graph_common_neighbors",
     "events_late_arrivals",
+    # round-5 batch four
+    "agg_weighted_median",
+    "text_trigram_novelty",
+    "suppliers_winsorized_balance",
 ]
 
 

@@ -193,5 +193,6 @@ def _load():
     from dmds_spark.queries import llm_extra4  # noqa: F401
     from dmds_spark.queries import llm_extra5  # noqa: F401
     from dmds_spark.queries import llm_extra6  # noqa: F401
+    from dmds_spark.queries import llm_extra7  # noqa: F401
 
     _LOADED = True

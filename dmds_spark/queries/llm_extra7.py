@@ -1,0 +1,400 @@
+"""Round-5 additions, batch four: robust statistics and corpus-novelty
+analytics — the exact weighted median (sharded cumulative weights, no
+single-task window), per-group winsorized means whose per-group ranks
+come from the SAME sharded-cumsum machinery (a running count IS a
+running sum of ones), MAD-based robust daily anomaly flags (two exact
+lower-median passes, division-free integer test), and first-occurrence
+trigram novelty per source (the memorization/freshness metric of a
+corpus drop).
+
+House rules (queries/__init__.py): every output column scalar, every
+computed column aliased identically on both sides, every threshold
+comparison in exact integer/decimal math so the driver's
+order-insensitive value hash cannot drift between Spark and DuckDB.
+Money lives in integer cents; the only doubles emitted are ratios of
+two sub-2^53 integers, where IEEE division is correctly rounded on
+both engines (documented per query).
+
+Registered after ``llm_extra6``: unchecked names join the front of the
+driver's 50-query correctness window (queries/__init__.py ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.relational import sharded_exclusive_cumsum
+from dmds_spark.queries import register
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _cents(col, prec="decimal(12,2)"):
+    return (F.col(col).cast(prec) * 100).cast("long")
+
+
+_CENTS_SQL = "CAST(CAST({c} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median via sharded cumulative weight
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    f"""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             {_CENTS_SQL.format(c='l_extendedprice')} AS pc,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), g AS (SELECT flag, pc, SUM(w) AS w FROM v GROUP BY 1, 2),
+    c AS (
+      SELECT flag, pc, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY pc) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM g
+    )
+    SELECT flag AS l_returnflag, CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(pc) AS BIGINT) AS wmedian_price_cents
+    FROM c WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted (lower) median price per return flag, weighted by
+    quantity: the smallest price whose INCLUSIVE cumulative weight
+    reaches half the group's total. Pure integers end to end (cents x
+    unit quantities), so the reported median is an actual observed
+    price — no interpolation, no float drift.
+
+    Distributed shape: values are pre-aggregated by (flag, price) —
+    collapsing ties ALSO makes the cumulative frame unambiguous (the
+    oracle's RANGE frame and a ROWS frame agree once keys are unique)
+    — then the running weight comes from ``sharded_exclusive_cumsum``
+    (operators/relational.py): range-shard on (flag, price), per-shard
+    window, broadcast shard offsets. A flag has ~3 values, so a naive
+    ``PARTITION BY flag ORDER BY price`` window would drag a third of
+    a 100 TB scan through ONE task; the sharded shape keeps both
+    shuffles even. Group totals ride a broadcast join (3 rows).
+    total_weight tops out ~5e14 at a 10^13-row corpus — bigint-safe."""
+    li = _li(spark, sf_dir)
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        _cents("l_extendedprice").alias("pc"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = v.groupBy("flag", "pc").agg(F.sum("w").alias("w"))
+    c = sharded_exclusive_cumsum(
+        g, by="flag", order_cols=["pc"], value_col="w", out="cb"
+    )
+    tw = g.groupBy("flag").agg(F.sum("w").alias("tw"))
+    j = c.join(F.broadcast(tw), "flag").filter(
+        2 * (F.col("cb") + F.col("w")) >= F.col("tw")
+    )
+    return j.groupBy("flag").agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min("pc").cast("bigint").alias("wmedian_price_cents"),
+    ).select(
+        F.col("flag").alias("l_returnflag"),
+        "total_weight",
+        "wmedian_price_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorized mean account balance per nation (P5/P95 clamp)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "suppliers_winsorized_balance",
+    f"""
+    WITH v AS (
+      SELECT s_nationkey AS nk,
+             {_CENTS_SQL.format(c='s_acctbal')} AS bc,
+             s_suppkey AS sk
+      FROM supplier
+    ), r AS (
+      SELECT nk, bc,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY bc, sk) AS rn,
+             COUNT(*) OVER (PARTITION BY nk) AS n
+      FROM v
+    ), b AS (
+      SELECT nk,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN bc END) AS lo,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN bc END) AS hi,
+             MIN(n) AS n
+      FROM r GROUP BY nk
+    ), w AS (
+      SELECT v.nk, LEAST(GREATEST(v.bc, b.lo), b.hi) AS wb, b.lo, b.hi, b.n
+      FROM v JOIN b ON v.nk = b.nk
+    )
+    SELECT nk AS nationkey, CAST(MIN(n) AS BIGINT) AS n_suppliers,
+           CAST(MIN(lo) AS BIGINT) AS lo_cents,
+           CAST(MIN(hi) AS BIGINT) AS hi_cents,
+           CAST(SUM(wb) AS BIGINT) AS wins_sum_cents,
+           CAST(CAST(SUM(wb) AS DOUBLE) / MIN(n) AS DOUBLE)
+             AS wins_mean_cents
+    FROM w GROUP BY nk
+    """,
+)
+def suppliers_winsorized_balance(spark, sf_dir):
+    """Winsorized (5%/95%) mean account balance per nation — the
+    robust-mean report that survives ledger outliers. The clamp bounds
+    are the EXACT order statistics at ranks ceil(n*0.05) and
+    ceil(n*0.95) (integer ceiling division, no interpolation), applied
+    with LEAST/GREATEST, summed in integer cents.
+
+    Distributed shape: the per-nation rank is a sharded running COUNT —
+    literally ``sharded_exclusive_cumsum`` of ones over (nation,
+    balance, suppkey), +1 — because a running count IS a running sum;
+    25 nations over 100 TB through per-nation windows would serialize
+    each nation through one task, while the range-shard keeps every
+    shard even. Group sizes and clamp bounds are tiny per-group rows
+    (#nations) and ride broadcast joins back onto the data.
+
+    Exactness: wins_sum_cents stays under 2^53 up to ~9e7 suppliers
+    per nation at max |balance| (document scale: beyond that, emit the
+    digit string as in parts_price_dispersion); wins_mean_cents is one
+    IEEE division of two sub-2^53 integers — correctly rounded and
+    bit-identical on both engines."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    v = s.select(
+        F.col("s_nationkey").alias("nk"),
+        _cents("s_acctbal").alias("bc"),
+        F.col("s_suppkey").alias("sk"),
+    )
+    r = sharded_exclusive_cumsum(
+        v.withColumn("one", F.lit(1)),
+        by="nk",
+        order_cols=["bc", "sk"],
+        value_col="one",
+        out="cb",
+    ).withColumn("rn", F.col("cb") + 1)
+    n = v.groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+    r = r.join(F.broadcast(n), "nk")
+    lo_rank = F.expr("(n * 5 + 99) div 100")
+    hi_rank = F.expr("(n * 95 + 99) div 100")
+    b = r.groupBy("nk").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("bc"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("bc"))).alias("hi"),
+        F.min("n").alias("n"),
+    )
+    w = v.join(F.broadcast(b), "nk").select(
+        "nk",
+        F.least(F.greatest(F.col("bc"), F.col("lo")), F.col("hi")).alias("wb"),
+        "lo",
+        "hi",
+        "n",
+    )
+    return w.groupBy("nk").agg(
+        F.min("n").cast("bigint").alias("n_suppliers"),
+        F.min("lo").cast("bigint").alias("lo_cents"),
+        F.min("hi").cast("bigint").alias("hi_cents"),
+        F.sum("wb").cast("bigint").alias("wins_sum_cents"),
+        (F.sum("wb").cast("double") / F.min("n").cast("double")).alias(
+            "wins_mean_cents"
+        ),
+    ).select(
+        F.col("nk").alias("nationkey"),
+        "n_suppliers",
+        "lo_cents",
+        "hi_cents",
+        "wins_sum_cents",
+        "wins_mean_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# first-occurrence trigram novelty per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_trigram_novelty",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents
+    ), tg AS (
+      SELECT DISTINCT doc_id, source,
+             UNNEST([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                     for i in range(1, len(toks) - 1)]) AS tri
+      FROM t WHERE len(toks) >= 3
+    ), f AS (
+      SELECT doc_id, source, tri,
+             MIN(doc_id) OVER (PARTITION BY tri) AS first_doc
+      FROM tg
+    )
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS total_trigrams,
+           CAST(CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS novelty_ratio
+    FROM f GROUP BY source
+    """,
+)
+def text_trigram_novelty(spark, sf_dir):
+    """Per-source trigram novelty: of each source's distinct (doc,
+    trigram) pairs, the fraction whose trigram FIRST appears in that
+    doc (first occurrence = lowest doc_id corpus-wide — ingestion
+    order). The freshness/memorization metric of a new corpus drop: a
+    source full of already-seen n-grams contributes little signal and
+    much duplication to a pretraining mix.
+
+    Shape at scale: trigrams are built per row with
+    transform(sequence(...)) — no window, no UDF, stays in codegen —
+    then one distinct shuffle on (doc, trigram), one window over the
+    HIGH-cardinality trigram key (min doc_id; even partitions by
+    construction), one agg on source. The novelty_ratio is one IEEE
+    division of two sub-2^53 integers — correctly rounded on both
+    engines; the integer numerator/denominator are also emitted so the
+    hash pins the exact values."""
+    from dmds_spark.functions.text import words
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", words("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    tg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+            )
+        ).alias("tri"),
+    ).distinct()
+    f = tg.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("tri")))
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    )
+    return f.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        novel.cast("bigint").alias("novel_trigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("total_trigrams"),
+        (
+            novel.cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust daily anomaly summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_anomalies_mad",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), r1 AS (
+      SELECT event_type, day, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ), med AS (
+      SELECT event_type, MIN(cnt) AS med
+      FROM r1 WHERE rn = (n + 1) // 2 GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.cnt, ABS(d.cnt - m.med) AS adev, m.med
+      FROM d JOIN med m ON d.event_type = m.event_type
+    ), r2 AS (
+      SELECT event_type, adev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY adev) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, MIN(adev) AS mad
+      FROM r2 WHERE rn = (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(dev.med) AS BIGINT) AS median_cnt,
+           CAST(MIN(mad.mad) AS BIGINT) AS mad_cnt,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def events_daily_anomalies_mad(spark, sf_dir):
+    """Robust (median/MAD) companion to the 3-sigma z-test in
+    ``events_daily_anomalies``: per event type, the lower median of
+    daily counts, the lower median of absolute deviations from it, and
+    how many days deviate by more than 3 MAD. Median-based detection
+    doesn't let the outliers inflate their own threshold — the reason
+    ops dashboards prefer it over sigma on bursty streams. No
+    consistency constant (1.4826) is applied: the test is the pure
+    integer ``adev > 3 * mad``, division-free, so the flags are
+    bit-identical across engines (a MAD of 0 flags every non-median
+    day — the degenerate case is deterministic too).
+
+    Scale: the daily table is (types x days) — bounded by the calendar,
+    thousands of rows off a 100 TB scan — so per-type windows over it
+    are trivially small; the heavy lifting is the ONE partial-agg
+    groupBy producing it. Both medians are the sorted element at rank
+    (n+1)//2 (an observed value, no interpolation), per the engine-wide
+    exact-median idiom (events_inter_arrival_median)."""
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wr1 = W.partitionBy("event_type").orderBy("cnt", "day")
+    wn = W.partitionBy("event_type")
+    r1 = d.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(wr1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r1.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("med"))
+    )
+    dev = d.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cnt",
+        F.abs(F.col("cnt") - F.col("med")).alias("adev"),
+        "med",
+    )
+    wr2 = W.partitionBy("event_type").orderBy("adev")
+    r2 = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wr2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = (
+        r2.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.min("adev").alias("mad"))
+    )
+    return dev.join(F.broadcast(mad), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min("med").cast("bigint").alias("median_cnt"),
+        F.min("mad").cast("bigint").alias("mad_cnt"),
+        F.sum(
+            F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+        ).cast("bigint").alias("n_flagged"),
+    )

@@ -572,3 +572,59 @@ def test_price_dispersion_broadcasts_part(spark, qs):
     df = qs["parts_price_dispersion"](spark, SF)
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 1
+
+
+def test_weighted_median_broadcast_totals(spark, qs):
+    """Group totals (3 rows) must ride a broadcast join onto the
+    cumulative-weight side; the heavy lifting is partial-combined."""
+    df = qs["agg_weighted_median"](spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_rank_is_sharded_cumsum(spark):
+    """The per-nation rank must come from the sharded running count —
+    window keys (nk, __pid), never nk alone over the data rows — when
+    the sharded shape is forced (at size the dispatch engages it)."""
+    import re
+
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_acctbal").alias("bc"),
+        F.col("s_suppkey").alias("sk"),
+        F.lit(1).alias("one"),
+    )
+    df = sharded_exclusive_cumsum(
+        s, "nk", ["bc", "sk"], "one", "cb", num_ranges=8
+    )
+    plan = physical_plan(df)
+    assert re.search(r"windowspecdefinition\(nk#\d+, __pid#", plan)
+    assert not re.search(r"windowspecdefinition\(nk#\d+, bc#", plan)
+
+
+def test_winsorized_bounds_broadcast(spark, qs):
+    """Clamp bounds and group sizes are #nations-sized — they must
+    broadcast back onto the supplier rows, never shuffle them."""
+    df = qs["suppliers_winsorized_balance"](spark, SF)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_trigram_novelty_stays_jvm_side(spark, qs):
+    """Trigram construction is transform(sequence(...)) inside codegen:
+    no Python UDF, no nested-loop join anywhere in the plan."""
+    plan = physical_plan(qs["text_trigram_novelty"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_anomalies_broadcasts_medians(spark, qs):
+    """Both median tables (types-sized) must broadcast back onto the
+    bounded daily table."""
+    df = qs["events_daily_anomalies_mad"](spark, SF)
+    assert broadcast_join_count(df) >= 2
