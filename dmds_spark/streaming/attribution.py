@@ -1,0 +1,107 @@
+"""Online last-touch attribution via a STREAM-STREAM interval join —
+the remaining Structured Streaming feature class in the engine's
+streaming surface (windows, session state, dedup, heavy hitters,
+anomaly, rollup are covered elsewhere).
+
+Two event-time streams derived from the same event feed — purchases
+and touches (click/view) — join on user with the 7-day lookback range
+``tts BETWEEN pts - lookback AND pts``. Both sides carry watermarks,
+and BOTH range bounds are present, which is what lets Spark bound the
+join state: a buffered touch can only match purchases with
+``pts <= tts + lookback``, so touch state is dropped once the
+watermark passes ``tts + lookback``; a buffered purchase only matches
+touches with ``tts <= pts``, so purchase state drops once the
+watermark passes ``pts``. State tracks the lookback window's worth of
+events per side, never the stream history — the property that keeps a
+100 TB/day feed joinable on a cluster.
+
+The operator emits attribution CANDIDATES (every in-window pair,
+append mode — exactly the rows the batch join in
+``events_attribution_last_touch`` produces before its rank). The
+last-touch reduction (one row per purchase) is a deterministic
+per-purchase min-gap pick that downstream consumers run per
+micro-batch via ``foreachBatch`` or over the candidate table — kept
+out of the streaming graph because chaining a stateful aggregation
+behind a stream-stream join restricts output modes; the candidate set
+is the exactly-once contract, pinned batch-equivalent in
+tests/test_streaming_attribution.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LOOKBACK = "7 days"
+
+
+def split_touch_streams(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    delay: str = "0 seconds",
+) -> tuple[DataFrame, DataFrame]:
+    """Split one event feed into watermarked purchase / touch streams
+    with disjoint column names (stream-stream joins need both sides'
+    event-time columns live in the output)."""
+    p = (
+        events.filter(F.col("event_type") == purchase_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", delay)
+    )
+    t = (
+        events.filter(F.col("event_type").isin(*touch_types))
+        .select(
+            F.col("event_id").alias("touch_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("tts"),
+            F.col("event_type").alias("touch_type"),
+        )
+        .withWatermark("tts", delay)
+    )
+    return p, t
+
+
+def attribution_candidates(
+    purchases: DataFrame,
+    touches: DataFrame,
+    lookback: str = DEFAULT_LOOKBACK,
+) -> DataFrame:
+    """Stream-stream (or batch-batch: same plan) interval join emitting
+    every touch within ``lookback`` before its user's purchase.
+
+    Output: (purchase_id, touch_id, touch_type, gap_us) — gap in exact
+    integer microseconds, the same columns the batch attribution query
+    ranks. Works unchanged on batch inputs, which is how the
+    equivalence test pins it."""
+    cond = F.expr(
+        f"p_user = t_user AND tts <= pts"
+        f" AND tts >= pts - INTERVAL {lookback}"
+    )
+    return purchases.join(touches, cond, "inner").select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        (F.unix_micros("pts") - F.unix_micros("tts")).alias("gap_us"),
+    )
+
+
+def last_touch(candidates: DataFrame) -> DataFrame:
+    """Deterministic last-touch reduction over a (micro-)batch of
+    candidates: smallest gap wins, ties broken by touch_id descending —
+    identical to the batch query's ``ORDER BY tts DESC, touch_id
+    DESC`` rank because gap is monotone in -tts per purchase."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("gap_us").asc(), F.col("touch_id").desc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

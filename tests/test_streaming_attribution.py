@@ -1,0 +1,120 @@
+"""Stream-stream interval join attribution: the watermarked
+purchase x touch join must emit exactly the candidate pairs the batch
+attribution join produces, and the last-touch reduction over them must
+equal the registered ``events_attribution_last_touch`` query."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from dmds_spark.sources.registry import load_events
+from dmds_spark.streaming.attribution import (
+    attribution_candidates,
+    last_touch,
+    split_touch_streams,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_candidates(spark, e):
+    p, t = split_touch_streams(e)  # batch frames pass through unchanged
+    return attribution_candidates(p, t)
+
+
+def test_batch_equivalence_with_registered_query(spark):
+    """Same builder on batch inputs + last_touch == the registered
+    batch query (identical plan semantics, different composition)."""
+    from dmds_spark.queries import all_queries
+
+    e = load_events(spark, SF)
+    got = {
+        tuple(r)
+        for r in last_touch(_batch_candidates(spark, e))
+        .select("purchase_id", "touch_id", "touch_type", "gap_us")
+        .collect()
+    }
+    ref = {
+        tuple(r)
+        for r in all_queries()["events_attribution_last_touch"](
+            spark, SF
+        ).collect()
+    }
+    assert got == ref
+    assert len(got) > 0
+
+
+def test_stream_candidates_match_batch(spark, tmp_path):
+    """Real stream: two parquet files split at the median timestamp,
+    one per micro-batch (availableNow). The stream-stream join's
+    append output must equal the batch candidate set — including pairs
+    that SPAN the file boundary (touch in batch 1, purchase in batch
+    2), which is exactly the state the watermark bounds retain."""
+    e = (
+        load_events(spark, SF)
+        .filter(F.col("user_id") < 60)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    mid = e.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    early, late = f"{d}/part0.parquet", f"{d}/part1.parquet"
+    e.filter(F.col("ts") <= mid).coalesce(1).write.parquet(f"{d}/__e")
+    e.filter(F.col("ts") > mid).coalesce(1).write.parquet(f"{d}/__l")
+    shutil.move(glob.glob(f"{d}/__e/part-*.parquet")[0], early)
+    shutil.move(glob.glob(f"{d}/__l/part-*.parquet")[0], late)
+    shutil.rmtree(f"{d}/__e")
+    shutil.rmtree(f"{d}/__l")
+    now = 1_700_000_000
+    os.utime(early, (now - 100, now - 100))
+    os.utime(late, (now, now))
+
+    schema = spark.read.parquet(early).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/part*.parquet")
+    )
+    p, t = split_touch_streams(sdf)
+    q = (
+        attribution_candidates(p, t)
+        .writeStream.format("memory")
+        .queryName("attr_candidates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in spark.table("attr_candidates")
+        .select("purchase_id", "touch_id", "touch_type", "gap_us")
+        .collect()
+    }
+
+    ref = {tuple(r) for r in _batch_candidates(spark, e).collect()}
+    assert got == ref
+    assert len(got) > 0
+    # the state-retention property actually exercised: some pairs span
+    # the file boundary (purchase after mid, touch at/before mid)
+    batch_e = spark.read.parquet(early)
+    early_touch_ids = {
+        r["event_id"]
+        for r in batch_e.filter(
+            F.col("event_type").isin("click", "view")
+        ).collect()
+    }
+    late_purchase_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(late)
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    spanning = [
+        (pid, tid)
+        for (pid, tid, _, _) in got
+        if pid in late_purchase_ids and tid in early_touch_ids
+    ]
+    assert spanning, "no cross-batch pairs: the split exercised nothing"
