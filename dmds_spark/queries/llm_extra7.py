@@ -398,3 +398,305 @@ def events_daily_anomalies_mad(spark, sf_dir):
             F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
         ).cast("bigint").alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling active users (DAU / WAU / MAU)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_active_users_rolling",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    c7 AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    ), c30 AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day
+      GROUP BY d.day
+    ), c1 AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+    SELECT strftime(c1.day, '%Y-%m-%d') AS day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
+    FROM c1 JOIN c7 ON c1.day = c7.day JOIN c30 ON c1.day = c30.day
+    """,
+)
+def events_active_users_rolling(spark, sf_dir):
+    """DAU / WAU / MAU per observed day: distinct users active that
+    day, in the trailing 7 days, and the trailing 30 days — the
+    product-health triple every event pipeline reports.
+
+    Distributed shape: activity first collapses to DISTINCT (user,
+    day) — bounding everything downstream by users x days, not raw
+    events — then each activity day EXPLODES into the trailing windows
+    it covers (a fixed 7x / 30x fan-out on the already-collapsed
+    table; sequence() stays in codegen) and a count-distinct per
+    covered day. That is shuffle-even by construction — no per-day
+    range join against the raw stream, no window over a single
+    partition. The observed-days semi-join (broadcast, calendar-sized)
+    drops covered days beyond the data's horizon so both engines
+    evaluate the same day set."""
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+
+    def rolling(k, name):
+        return (
+            ud.select(
+                "user_id",
+                F.explode(
+                    F.expr(f"sequence(day, date_add(day, {k - 1}))")
+                ).alias("day"),
+            )
+            .join(F.broadcast(days), "day", "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer cohort LTV curves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    f"""
+    WITH fo AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT f.cm,
+             (EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate))
+             - (EXTRACT(year FROM f.cm) * 12
+                + EXTRACT(month FROM f.cm)) AS age,
+             {_CENTS_SQL.format(c='o.o_totalprice')} AS cents
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+    ), g AS (
+      SELECT cm, age, SUM(cents) AS rev, COUNT(*) AS n_orders
+      FROM r GROUP BY 1, 2
+    )
+    SELECT strftime(cm, '%Y-%m') AS cohort_month,
+           CAST(age AS BIGINT) AS age_months,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS BIGINT) AS rev_cents,
+           CAST(SUM(rev) OVER (PARTITION BY cm ORDER BY age)
+                AS BIGINT) AS cum_rev_cents
+    FROM g
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by order age in months — the retention
+    economics table behind every LTV model. Exact integer cents
+    (bigint stays exact in BOTH engines' hashes — the 2^53 emission
+    contract applies to doubles, not int64).
+
+    Shape at scale: the first-order month is one partial-combined agg
+    on custkey; attaching it is a co-partitioned equi-join on the same
+    key (both sides shuffle-partition on custkey — no broadcast of a
+    per-customer table); the cumulative sum runs over the (cohort x
+    age) grid, calendar-bounded (hundreds of rows per cohort), where a
+    plain per-cohort window is legitimately small forever."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cm")
+    )
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    mc = F.year("cm") * 12 + F.month("cm")
+    r = o.join(fo, "o_custkey").select(
+        "cm",
+        (mo - mc).alias("age"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = r.groupBy("cm", "age").agg(
+        F.sum("cents").alias("rev"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        W.partitionBy("cm")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        F.col("age").cast("bigint").alias("age_months"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev").cast("bigint").alias("rev_cents"),
+        F.sum("rev").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixture weights (alpha = 0.5, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_temperature_mixture",
+    """
+    WITH s AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS toks
+      FROM documents GROUP BY 1
+    ), i AS (
+      SELECT source, toks,
+             CAST(FLOOR(SQRT(CAST(toks AS DOUBLE))) AS BIGINT) AS s0
+      FROM s
+    ), adj AS (
+      SELECT source, toks,
+             s0 - CASE WHEN s0 * s0 > toks THEN 1 ELSE 0 END
+                + CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN 1 ELSE 0 END
+               AS isq
+      FROM i
+    ), t AS (SELECT SUM(isq) AS tot FROM adj)
+    SELECT source, CAST(toks AS BIGINT) AS n_tokens,
+           CAST(isq AS BIGINT) AS sqrt_tokens,
+           CAST(1000000 * isq // tot AS BIGINT) AS weight_ppm
+    FROM adj, t
+    """,
+)
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source sampling weights at alpha = 0.5 (the
+    multilingual/multi-source rebalancing rule: w_s proportional to
+    p_s^alpha, upweighting tail sources): with alpha = 1/2 the weights
+    are sqrt(tokens_s) / sum(sqrt(tokens_k)) — and the engine computes
+    the INTEGER square root so every emitted number is exact. IEEE
+    sqrt is correctly rounded, but floor(sqrt(x)) can still land off
+    by one exactly at perfect-square boundaries, so the +-1 integer
+    correction re-anchors it: s*s <= x < (s+1)*(s+1) holds by
+    construction on both engines. Weights are floor ppm of exact
+    integers. (A general alpha needs pow(), which is NOT correctly
+    rounded and WOULD hash-drift across engines — why this query pins
+    the sqrt case; arbitrary alpha belongs engine-side.)
+
+    Shape: one token-count agg per source (partial-combined), then a
+    ~#sources-row table; the total rides a 1-row cross join."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    s0 = F.floor(F.sqrt(F.col("toks").cast("double"))).cast("long")
+    adj = s.withColumn("s0", s0).withColumn(
+        "isq",
+        F.col("s0")
+        - F.when(F.col("s0") * F.col("s0") > F.col("toks"), 1).otherwise(0)
+        + F.when(
+            (F.col("s0") + 1) * (F.col("s0") + 1) <= F.col("toks"), 1
+        ).otherwise(0),
+    )
+    tot = adj.agg(F.sum("isq").alias("tot"))
+    return adj.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("toks").cast("bigint").alias("n_tokens"),
+        F.col("isq").cast("bigint").alias("sqrt_tokens"),
+        F.expr("1000000 * isq div tot").cast("bigint").alias("weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift per source vs the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_ks_drift",
+    """
+    WITH sc AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ), vals AS (SELECT DISTINCT v FROM sc),
+    srcs AS (SELECT DISTINCT source FROM sc),
+    grid AS (SELECT srcs.source, vals.v FROM srcs, vals),
+    scum AS (
+      SELECT g.source, g.v,
+             SUM(COALESCE(sc.c, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.v) AS cs
+      FROM grid g LEFT JOIN sc ON sc.source = g.source AND sc.v = g.v
+    ), gcum AS (
+      SELECT v, SUM(cs) AS gc FROM scum GROUP BY v
+    ), ns AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY source),
+    n AS (SELECT SUM(c) AS N FROM sc)
+    SELECT scum.source, CAST(MIN(ns.ns) AS BIGINT) AS n_source,
+           CAST(MIN(n.N) AS BIGINT) AS n_corpus,
+           CAST(MAX(ABS(scum.cs * n.N - gcum.gc * ns.ns)) AS BIGINT)
+             AS ks_num,
+           CAST(CAST(MAX(ABS(scum.cs * n.N - gcum.gc * ns.ns)) AS DOUBLE)
+                / (MIN(ns.ns) * MIN(n.N)) AS DOUBLE) AS ks_stat
+    FROM scum JOIN gcum ON scum.v = gcum.v
+              JOIN ns ON ns.source = scum.source, n
+    GROUP BY scum.source
+    """,
+)
+def profile_ks_drift(spark, sf_dir):
+    """Exact Kolmogorov-Smirnov distance between each source's doc-
+    length distribution and the whole corpus — the drift gate run on
+    every new corpus drop before it joins the training mix. The step
+    ECDFs are compared at EVERY distinct observed length (where the sup
+    of a step-function difference lives), with the difference kept in
+    cross-multiplied integers: |cs*N - gc*ns| — division-free, so the
+    max is exact; ks_stat is one IEEE division at the end.
+
+    Shape at scale: raw docs collapse to (source, length) counts
+    first (the only data-sized agg); everything after runs on the
+    sources x lengths grid, bounded by the length domain (~1e5) times
+    #sources, not by rows. Per-source cumulative counts window over
+    source (even, grid-sized partitions); the corpus cumulative is
+    recovered as the SUM of per-source cumulatives at each length —
+    partitioned by the high-cardinality length key, so no
+    single-partition global window anywhere."""
+    d = _docs(spark, sf_dir)
+    sc = d.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    vals = sc.select("v").distinct()
+    srcs = sc.select("source").distinct()
+    grid = srcs.crossJoin(F.broadcast(vals))
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scum = (
+        grid.join(sc, ["source", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn("cs", F.sum("c").over(wcum))
+    )
+    gcum = scum.groupBy("v").agg(F.sum("cs").alias("gc"))
+    ns = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    n = sc.agg(F.sum("c").alias("N"))
+    j = (
+        scum.join(gcum, "v")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    diff = F.abs(F.col("cs") * F.col("N") - F.col("gc") * F.col("ns"))
+    return j.groupBy("source").agg(
+        F.min("ns").cast("bigint").alias("n_source"),
+        F.min("N").cast("bigint").alias("n_corpus"),
+        F.max(diff).cast("bigint").alias("ks_num"),
+        (
+            F.max(diff).cast("double")
+            / (F.min("ns") * F.min("N")).cast("double")
+        ).alias("ks_stat"),
+    )

@@ -628,3 +628,37 @@ def test_mad_anomalies_broadcasts_medians(spark, qs):
     bounded daily table."""
     df = qs["events_daily_anomalies_mad"](spark, SF)
     assert broadcast_join_count(df) >= 2
+
+
+def test_active_users_explode_not_range_join(spark, qs):
+    """DAU/WAU/MAU: trailing windows come from the bounded explode of
+    the collapsed (user, day) table — never a per-day range join
+    against raw events (no nested-loop join in the plan)."""
+    plan = physical_plan(qs["events_active_users_rolling"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_cohort_ltv_partial_aggs(spark, qs):
+    plan = physical_plan(qs["orders_cohort_ltv"](spark, SF))
+    assert "partial_min" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mixture_single_scan(spark, qs):
+    """One token-count agg; the 1-row total broadcasts back."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["sample_temperature_mixture"](spark, SF)
+    plan = physical_plan(df)
+    assert scan_count(df) <= 2  # source agg + its own total re-agg
+    assert "BroadcastExchange" in plan
+
+
+def test_ks_drift_no_cartesian_on_data(spark, qs):
+    """The only nested-loop join allowed is the broadcast grid build
+    (sources x lengths, domain-bounded) — raw doc rows never cross
+    join; data-sized stages are hash-partitioned aggregations."""
+    plan = physical_plan(qs["profile_ks_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
