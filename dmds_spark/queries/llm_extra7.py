@@ -700,3 +700,184 @@ def profile_ks_drift(spark, sf_dir):
             / (F.min("ns") * F.min("N")).cast("double")
         ).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pairwise source vocabulary overlap (Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_source_vocab_jaccard",
+    """
+    WITH st AS (
+      SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ), n AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY 1),
+    i AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(na.nv AS BIGINT) AS vocab_a,
+           CAST(nb.nv AS BIGINT) AS vocab_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(CAST(inter AS DOUBLE) / (na.nv + nb.nv - inter) AS DOUBLE)
+             AS jaccard
+    FROM i JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+    """,
+)
+def text_source_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary Jaccard similarity between sources — the
+    corpus-comparison matrix (which crawls/sources cover the same
+    lexical ground, which bring genuinely new vocabulary to the mix).
+
+    Shape at scale: documents collapse to DISTINCT (source, token)
+    first — bounded by vocabulary x #sources, not rows — then the
+    token self-join has per-key fan-out bounded by #SOURCES (each
+    token appears once per source after the distinct), so the pair
+    count is at most vocab x sources^2 / 2: never an all-pairs blowup.
+    Union sizes come from inclusion-exclusion (|A|+|B|-inter, exact
+    integers); jaccard is the one IEEE division at the end."""
+    from dmds_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    st = d.select(
+        "source", F.explode(words("text")).alias("tok")
+    ).distinct()
+    n = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("nv").alias("vocab_a"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("nv").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# trailing 7-day revenue over the day grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    f"""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             SUM({_CENTS_SQL.format(c='o_totalprice')}) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev AS BIGINT) AS rev_cents,
+           CAST(SUM(rev) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rev_7d_cents
+    FROM d
+    """,
+)
+def orders_rolling_7d_revenue(spark, sf_dir):
+    """Daily revenue with a trailing 7-day rolling total — the
+    smoothed topline metric. The rolling frame is a RANGE frame over
+    epoch days (gaps in the calendar shrink the window, exactly as the
+    oracle's INTERVAL frame does — a ROWS frame would silently bridge
+    gaps and diverge).
+
+    Shape: ONE partial-combined aggregate collapses the scan to the
+    day grid (calendar-bounded: a few thousand rows off any corpus
+    size), and only that grid passes through the unpartitioned range
+    window — the standard and correct trade for a global rolling
+    metric (the window input is bounded by the CALENDAR, not the
+    data). Exact integer cents throughout."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(_cents("o_totalprice")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        W.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, W.currentRow)
+    )
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rev").cast("bigint").alias("rev_cents"),
+        F.sum("rev").over(w).cast("bigint").alias("rev_7d_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding health stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH r AS (
+      SELECT UNNEST([{'pos': i - 1, 'x': embedding[i]}
+                     for i in range(1, len(embedding) + 1)]) AS u
+      FROM embeddings
+    )
+    SELECT CAST(u.pos AS INT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_v,
+           CAST(MIN(CAST(u.x AS DOUBLE)) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(u.x AS DOUBLE)) AS DOUBLE) AS max_v,
+           CAST(SUM(CASE WHEN u.x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+    FROM r GROUP BY u.pos
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health profile: mean (decimal-exact sum,
+    one IEEE division — the centroids idiom), min/max (float compares
+    are exact, and float->double widening is lossless on both
+    engines), and the dead-dimension zero count. The check run before
+    trusting a new embedding model drop: collapsed or saturated
+    dimensions show up as degenerate rows here.
+
+    One posexplode + one shuffle on the (dim) key — #dims partitions
+    of n rows each; at billions of vectors the partial aggregation
+    combines map-side so the shuffle carries #dims rows per task, not
+    elements."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = e.select(F.posexplode("embedding").alias("pos", "x"))
+    xd = F.col("x").cast("double")
+    return rows.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(xd.cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v"),
+        F.min(xd).alias("min_v"),
+        F.max(xd).alias("max_v"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )

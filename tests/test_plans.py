@@ -662,3 +662,26 @@ def test_ks_drift_no_cartesian_on_data(spark, qs):
     plan = physical_plan(qs["profile_ks_drift"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_vocab_jaccard_distinct_before_selfjoin(spark, qs):
+    """The token self-join must run on the DISTINCT (source, token)
+    table (fan-out bounded by #sources) — partial aggregation present,
+    never a nested-loop join."""
+    plan = physical_plan(qs["text_source_vocab_jaccard"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_revenue_grid_first(spark, qs):
+    """Only the calendar-bounded day grid reaches the global range
+    window: the day aggregate (partial-combined) precedes it."""
+    plan = physical_plan(qs["orders_rolling_7d_revenue"](spark, SF))
+    assert "partial_sum" in plan
+    assert "RangeFrame" in plan
+
+
+def test_dim_stats_single_shuffle(spark, qs):
+    df = qs["embedding_dim_stats"](spark, SF)
+    assert shuffle_count(df) <= 1
+    assert "partial_count" in physical_plan(df)
