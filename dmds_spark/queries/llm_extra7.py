@@ -171,7 +171,9 @@ def suppliers_winsorized_balance(spark, sf_dir):
         F.col("s_nationkey").alias("nk"),
         _cents("s_acctbal").alias("bc"),
         F.col("s_suppkey").alias("sk"),
-    )
+        # three consumers (rank stream, group sizes, clamp pass):
+        # materialize the 3-column projection once, scan once
+    ).localCheckpoint(eager=True)
     r = sharded_exclusive_cumsum(
         v.withColumn("one", F.lit(1)),
         by="nk",
@@ -525,12 +527,16 @@ def orders_cohort_ltv(spark, sf_dir):
     age) grid, calendar-bounded (hundreds of rows per cohort), where a
     plain per-cohort window is legitimately small forever."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    fo = o.groupBy("o_custkey").agg(
-        F.min(F.trunc("o_orderdate", "month")).alias("cm")
+    # first-order month via a window over the HIGH-cardinality custkey
+    # (even partitions): one scan + one shuffle, vs the agg + self-join
+    # shape's two scans and two shuffles of the same table
+    wc = W.partitionBy("o_custkey")
+    withcm = o.withColumn(
+        "cm", F.min(F.trunc("o_orderdate", "month")).over(wc)
     )
     mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
     mc = F.year("cm") * 12 + F.month("cm")
-    r = o.join(fo, "o_custkey").select(
+    r = withcm.select(
         "cm",
         (mo - mc).alias("age"),
         _cents("o_totalprice").alias("cents"),
