@@ -686,6 +686,58 @@ class World:
             )
             return n_frag
 
+    def stats(self) -> DataFrame:
+        """ANALYZE-style storage profile: one row per physical
+        partition with row count, file count, approximate bytes, and
+        the id min/max — the report behind ``compact()``/zorder
+        decisions (which partitions are fragmented, how skewed chunk
+        sizes are) and the parity for the reference's maintenance
+        loop inspecting its chunk map (src/world.rs ``chunks``).
+
+        Fully distributed: file identity and block lengths come from
+        the scan itself (``input_file_name`` /
+        ``input_file_block_*``), never a driver-side directory walk,
+        and only O(partitions) rows ever reach the caller. Bytes are
+        the sum of distinct block lengths actually carrying rows —
+        exact for row-bearing blocks, which is what scan cost tracks.
+        Reports the ON-DISK state only; pending buffered ops are
+        ``chunk_states()``'s job."""
+        pcols = self.partition_cols()
+        id_col = self.spec.id_dim.name
+        base = self._base()
+        if base is None:
+            schema = T.StructType(
+                [T.StructField(c, T.LongType()) for c in pcols]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("n_files", T.LongType()),
+                    T.StructField("approx_bytes", T.LongType()),
+                    T.StructField("min_id", T.LongType()),
+                    T.StructField("max_id", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        blk = base.select(
+            *pcols,
+            F.col(id_col),
+            F.input_file_name().alias("__f"),
+            F.input_file_block_start().alias("__bs"),
+            F.input_file_block_length().alias("__bl"),
+        )
+        per_block = blk.groupBy(*pcols, "__f", "__bs").agg(
+            F.first("__bl").alias("__bl"),
+            F.count(F.lit(1)).alias("__rows"),
+            F.min(id_col).alias("__min_id"),
+            F.max(id_col).alias("__max_id"),
+        )
+        return per_block.groupBy(*pcols).agg(
+            F.sum("__rows").cast("long").alias("n_rows"),
+            F.countDistinct("__f").cast("long").alias("n_files"),
+            F.sum("__bl").cast("long").alias("approx_bytes"),
+            F.min("__min_id").cast("long").alias("min_id"),
+            F.max("__max_id").cast("long").alias("max_id"),
+        )
+
 
 class FlushDaemon:
     """Periodic flush loop (reference ``daemon`` + ``ShutdownHandle``,

@@ -384,3 +384,35 @@ def test_three_dim_world_readme_example(spark, tmp_path):
     assert r7[0]["username_hash"] == 60000
     assert r7[0]["username_length"] == 30
     assert w2.read(w2.select(2, slice(5, 10)).hints([7])).count() == 0
+
+
+def test_stats_empty_world(world):
+    st = world.stats()
+    assert st.count() == 0
+    assert "n_files" in st.columns
+
+
+def test_stats_counts_rows_files_and_id_bounds(spark, tmp_path):
+    w = World(spark, spec_1024(), str(tmp_path / "ws"),
+              physical_factors=(1, 1))
+    w.insert_rows([{"dim0": i, "dim1": i} for i in range(0, 16)])
+    w.flush()
+    # second flush writes additional files into the same partitions
+    w.insert_rows([{"dim0": i, "dim1": 1023 - i} for i in range(16, 24)])
+    w.flush()
+    st = {tuple(r[:2]): r for r in w.stats().collect()}
+    total_rows = sum(r["n_rows"] for r in st.values())
+    assert total_rows == 24
+    # ids 0..7 live in chunk (0, ...) of dim0 (items_per_chunk=8)
+    first = [r for k, r in st.items() if k[0] == 0]
+    assert first and all(r["approx_bytes"] > 0 for r in st.values())
+    allr = list(st.values())
+    assert min(r["min_id"] for r in allr) == 0
+    assert max(r["max_id"] for r in allr) == 23
+    # fragmentation is visible: compact() brings every partition to 1
+    frag_before = [r["n_files"] for r in allr]
+    w.compact()
+    st2 = list(w.stats().collect())
+    assert all(r["n_files"] == 1 for r in st2)
+    assert sum(r["n_rows"] for r in st2) == 24
+    assert max(frag_before) >= 1
