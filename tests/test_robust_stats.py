@@ -133,3 +133,71 @@ def test_mad_zero_flags_every_deviating_day(spark):
     assert r["median_cnt"] == 2
     assert r["mad_cnt"] == 0
     assert r["n_flagged"] == 1  # only the cnt=5 day deviates
+
+
+def _model_weighted_median(pairs):
+    """Reference model: smallest value whose inclusive cumulative
+    weight doubles to at least the total."""
+    agg = {}
+    for v, w in pairs:
+        agg[v] = agg.get(v, 0) + w
+    total = sum(agg.values())
+    cum = 0
+    for v in sorted(agg):
+        cum += agg[v]
+        if 2 * cum >= total:
+            return v
+    raise AssertionError("unreachable for non-empty input")
+
+
+def test_weighted_median_matches_model_random(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    PAIRS = st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # value
+            st.integers(min_value=1, max_value=9),      # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(pairs=PAIRS)
+    def check(pairs):
+        got = _wmedian_rows(
+            spark, [("g", v, w) for v, w in pairs]
+        )["g"]
+        assert got == _model_weighted_median(pairs)
+
+    check()
+
+
+def test_weighted_median_sharded_equals_fast_path(spark):
+    """Forcing the two-level sharded cumsum must not change the
+    median (the shape the plan pin requires at size)."""
+    from pyspark.sql import functions as FF
+
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+
+    pairs = [("g", v % 37 - 18, (v * 7) % 5 + 1) for v in range(200)]
+    df = spark.createDataFrame(pairs, "flag string, pc long, w long")
+    g = df.groupBy("flag", "pc").agg(FF.sum("w").alias("w"))
+
+    def median_with(num_ranges):
+        c = sharded_exclusive_cumsum(
+            g, by="flag", order_cols=["pc"], value_col="w", out="cb",
+            num_ranges=num_ranges,
+        )
+        tw = g.groupBy("flag").agg(FF.sum("w").alias("tw"))
+        j = c.join(FF.broadcast(tw), "flag").filter(
+            2 * (FF.col("cb") + FF.col("w")) >= FF.col("tw")
+        )
+        return {
+            r["flag"]: r["m"]
+            for r in j.groupBy("flag").agg(FF.min("pc").alias("m")).collect()
+        }
+
+    assert median_with(None) == median_with(8)
