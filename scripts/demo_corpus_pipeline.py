@@ -119,6 +119,15 @@ def main() -> int:
               f"rollup v{st['version']} folded {st['new_files']} files "
               f"-> {groups} source groups")
 
+    # -- 8. Corpus health: drift + novelty + robust stats -------------
+    ks = {r["source"]: r["ks_stat"]
+          for r in qs["profile_ks_drift"](spark, sf_dir).collect()}
+    worst = max(ks, key=ks.get)
+    med = qs["agg_weighted_median"](spark, sf_dir).collect()
+    wm = {r["l_returnflag"]: r["wmedian_price_cents"] for r in med}
+    print(f"8. health: max KS drift {worst}={ks[worst]:.3f}; "
+          f"weighted median price (cents) by flag {wm}")
+
     print("demo: all stages ran")
     return 0
 
