@@ -96,6 +96,12 @@ ADDITIONS = [
     "agg_weighted_median",
     "text_trigram_novelty",
     "suppliers_winsorized_balance",
+    # round-5 batches five/six
+    "events_active_users_rolling",
+    "profile_ks_drift",
+    "text_source_vocab_jaccard",
+    "orders_cohort_ltv",
+    "embedding_dim_stats",
 ]
 
 
