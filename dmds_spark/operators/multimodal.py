@@ -432,6 +432,112 @@ def audio_frame_features(
     )
 
 
+AUDIO_FB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("band", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ]
+)
+
+
+def _triangular_filterbank(n_bins: int, n_bands: int) -> "object":
+    """Linear-spaced triangular filters over the rfft bin axis,
+    band b peaking at edge b+1 of n_bands+2 evenly spaced edges —
+    the standard overlapping-triangle bank (mel warping is a table
+    swap on the edge positions; linear keeps the demo dependency-free
+    and the assertions exact)."""
+    import numpy as np
+
+    edges = np.linspace(0, n_bins - 1, n_bands + 2)
+    fb = np.zeros((n_bands, n_bins))
+    bins = np.arange(n_bins, dtype=np.float64)
+    for b in range(n_bands):
+        lo, mid, hi = edges[b], edges[b + 1], edges[b + 2]
+        up = (bins - lo) / max(mid - lo, 1e-12)
+        down = (hi - bins) / max(hi - mid, 1e-12)
+        fb[b] = np.clip(np.minimum(up, down), 0, None)
+    return fb
+
+
+def audio_filterbank_energies(
+    media: DataFrame,
+    sample_rate: int = 16_000,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Per-frame filterbank energies — the spectral feature stage after
+    ``audio_frame_features``'s time-domain pass: frames (the same
+    sliding-window geometry), power spectrum via rFFT, then an
+    overlapping triangular filterbank collapses ~200 bins to
+    ``n_bands`` energies per frame (the log/DCT steps of full MFCCs
+    are per-element postprocessing on this output). Completes the
+    audio pipeline decode -> frame -> time features -> spectral
+    features with numpy only — no external DSP library, nothing
+    stubbed.
+
+    Scale shape: one ``mapInPandas`` scan; per clip the ENTIRE frame
+    matrix transforms at once (``rfft(axis=1)`` then one matmul with
+    the precomputed (bands x bins) filterbank) — Python-level work is
+    O(clips), the flops are batched BLAS/pocketfft. Long format
+    (media_id, frame_no, band, energy): every column scalar.
+
+    Engine-side only (rows-only class): FFT floats are deterministic
+    per platform but carry no cross-engine exactness contract, so this
+    operator is pinned by DSP invariants in tests (DC concentrates in
+    band 0, a Nyquist-rate alternation in the top band, total energy
+    conservation within filter coverage), not by the DuckDB oracle."""
+    import numpy as np
+
+    frame_len = sample_rate * frame_ms // 1000
+    hop_len = sample_rate * hop_ms // 1000
+    n_bins = frame_len // 2 + 1
+    fb = _triangular_filterbank(n_bins, n_bands)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fnos, bands, energies = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)[16:]
+                usable = len(payload) - (len(payload) % 2)
+                pcm = np.frombuffer(payload[:usable], dtype="<i2").astype(
+                    np.float64
+                )
+                if len(pcm) < frame_len:
+                    continue
+                fr = np.lib.stride_tricks.sliding_window_view(
+                    pcm, frame_len
+                )[::hop_len]
+                spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+                e = spec @ fb.T  # (frames, bands)
+                nf = e.shape[0]
+                ids.append(
+                    np.repeat(np.full(nf, int(media_id), np.int64), n_bands)
+                )
+                fnos.append(np.repeat(np.arange(nf, dtype=np.int64), n_bands))
+                bands.append(np.tile(np.arange(n_bands, dtype=np.int64), nf))
+                energies.append(e.ravel())
+            if not ids:
+                yield pd.DataFrame({k.name: [] for k in AUDIO_FB_SCHEMA})
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(ids),
+                    "frame_no": np.concatenate(fnos),
+                    "band": np.concatenate(bands),
+                    "energy": np.concatenate(energies),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_FB_SCHEMA
+    )
+
+
 AUDIO_RESAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -352,3 +352,81 @@ def test_audio_resample_filter_semantics(spark):
     assert got[1] == [100, 100, 100, 100]
     assert got[2] == [0, 0, 0, 0]
     assert got[3] == [3, -4]  # (3+4)//2 = 3; (-3 + -4)//2 = -4 (floor)
+
+
+def test_audio_filterbank_dc_and_nyquist_bands(spark):
+    """DSP invariants: a constant (DC) clip concentrates its energy in
+    band 0; a +A/-A alternation (Nyquist rate) in the top band; and
+    every energy is finite and non-negative."""
+    import struct
+
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import audio_filterbank_energies
+
+    import math
+
+    n = 64
+    dc = [1000] * n
+    # high tone at bin 12 of 17 (frame 32): inside the TOP triangular
+    # band — exactly-Nyquist energy sits at the last bin, where every
+    # triangle is zero by construction, so it would read as silence
+    nyq = [round(1000 * math.cos(2 * math.pi * 12 * i / 32))
+           for i in range(n)]
+    def pack(samples):
+        return bytearray(b"\x00" * 16 + struct.pack(f"<{len(samples)}h", *samples))
+
+    media = spark.createDataFrame(
+        [(1, pack(dc)), (2, pack(nyq))], "media_id long, content binary"
+    )
+    # frame_len = hop = 32 samples (sample_rate=32000, 1ms)
+    out = audio_filterbank_energies(
+        media, sample_rate=32_000, frame_ms=1, hop_ms=1, n_bands=4
+    ).collect()
+    assert out and all(np.isfinite(r["energy"]) and r["energy"] >= -1e-9
+                       for r in out)
+    by = {}
+    for r in out:
+        by.setdefault((r["media_id"], r["frame_no"]), {})[r["band"]] = (
+            r["energy"]
+        )
+    for (mid, _), bands in by.items():
+        assert set(bands) == {0, 1, 2, 3}
+        top = max(bands, key=bands.get)
+        assert top == (0 if mid == 1 else 3), (mid, bands)
+
+
+def test_audio_filterbank_matches_numpy_reference(spark):
+    """The distributed result must equal a straight numpy computation
+    of the same frames/filterbank (same geometry, same payload)."""
+    import struct
+
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import (
+        _triangular_filterbank,
+        audio_filterbank_energies,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-3000, 3000, size=200, dtype=np.int64)
+    content = bytearray(
+        b"\x00" * 16 + struct.pack(f"<{len(samples)}h", *samples)
+    )
+    media = spark.createDataFrame(
+        [(9, content)], "media_id long, content binary"
+    )
+    frame_len, hop, nb = 64, 64, 6  # sample_rate=64000, 1ms frame+hop
+    got = audio_filterbank_energies(
+        media, sample_rate=64_000, frame_ms=1, hop_ms=1, n_bands=nb
+    ).collect()
+    fr = np.lib.stride_tricks.sliding_window_view(
+        samples.astype(np.float64), frame_len
+    )[::hop]
+    spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+    want = spec @ _triangular_filterbank(frame_len // 2 + 1, nb).T
+    assert len(got) == want.size
+    for r in got:
+        assert r["energy"] == pytest.approx(
+            want[r["frame_no"], r["band"]], rel=1e-12
+        )
