@@ -118,3 +118,78 @@ def test_stream_candidates_match_batch(spark, tmp_path):
         if pid in late_purchase_ids and tid in early_touch_ids
     ]
     assert spanning, "no cross-batch pairs: the split exercised nothing"
+
+
+def test_foreachbatch_last_touch_pipeline(spark, tmp_path):
+    """The documented consumption pattern: candidates stream into
+    foreachBatch, each micro-batch reduces with last_touch() and
+    appends to a parquet sink. Because a purchase's full candidate set
+    arrives in ONE micro-batch (the join emits a pair only when the
+    purchase row first matches, and every touch it can match is
+    already buffered or co-arrives within the watermark), the
+    per-batch reduction equals the global one — asserted against the
+    registered batch query."""
+    from pyspark.sql import functions as F2
+
+    from dmds_spark.queries import all_queries
+
+    e = (
+        load_events(spark, SF)
+        .filter(F.col("user_id") < 60)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    mid = e.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    early, late = f"{d}/part0.parquet", f"{d}/part1.parquet"
+    e.filter(F.col("ts") <= mid).coalesce(1).write.parquet(f"{d}/__e")
+    e.filter(F.col("ts") > mid).coalesce(1).write.parquet(f"{d}/__l")
+    shutil.move(glob.glob(f"{d}/__e/part-*.parquet")[0], early)
+    shutil.move(glob.glob(f"{d}/__l/part-*.parquet")[0], late)
+    shutil.rmtree(f"{d}/__e")
+    shutil.rmtree(f"{d}/__l")
+    now = 1_700_000_000
+    os.utime(early, (now - 100, now - 100))
+    os.utime(late, (now, now))
+
+    sink = str(tmp_path / "attributed")
+    schema = spark.read.parquet(early).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/part*.parquet")
+    )
+    p, t = split_touch_streams(sdf)
+    cands = attribution_candidates(p, t)
+
+    def emit(batch_df, batch_id):
+        last_touch(batch_df).write.mode("append").parquet(sink)
+
+    q = (
+        cands.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("purchase_id", "touch_id", "touch_type", "gap_us")
+        .collect()
+    }
+    ref = {
+        tuple(r)
+        for r in all_queries()["events_attribution_last_touch"](spark, SF)
+        .join(
+            e.filter(F2.col("event_type") == "purchase").select(
+                F2.col("event_id").alias("purchase_id")
+            ),
+            "purchase_id",
+            "left_semi",
+        )
+        .collect()
+    }
+    assert got == ref
+    assert len(got) > 0
