@@ -193,3 +193,83 @@ def test_foreachbatch_last_touch_pipeline(spark, tmp_path):
     }
     assert got == ref
     assert len(got) > 0
+
+
+def test_state_eviction_loses_pairs_behind_the_frontier(spark, tmp_path):
+    """What the watermark bounds actually guarantee — and cost. A
+    purchase's buffered state is dropped once the watermark passes its
+    event time, so a touch arriving in a LATER micro-batch with the
+    frontier already far ahead cannot pair with it (the batch twin
+    still finds the pair: the divergence is bounded state, not the
+    join). Late rows that co-arrive in the SAME micro-batch still pair
+    gracefully — Spark drops late input best-effort, never the
+    within-batch join — which the first assertion documents."""
+    from datetime import datetime
+
+    rows1 = [  # frontier pushed to Jan 20 on BOTH inputs
+        (100, datetime(2024, 1, 10, 12), 1, "purchase"),
+        (110, datetime(2024, 1, 20, 12), 9, "purchase"),
+        (111, datetime(2024, 1, 20, 12), 9, "click"),
+    ]
+    rows2 = [  # an intervening batch: eviction is applied at batch
+        # boundaries, so the Jan-10 purchase's state drops HERE (the
+        # Jan-20 watermark from batch 1 is in force), one batch after
+        # the frontier passed it. A same-batch late pair still joins.
+        (301, datetime(2024, 1, 14, 12), 3, "view"),
+        (302, datetime(2024, 1, 15, 12), 3, "purchase"),
+        (310, datetime(2024, 1, 21, 12), 9, "purchase"),
+        (311, datetime(2024, 1, 21, 12), 9, "click"),
+    ]
+    rows3 = [  # user 1's touch arrives two batches behind its partner
+        (201, datetime(2024, 1, 9, 12), 1, "view"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/__{i}"
+        )
+        shutil.move(
+            glob.glob(f"{d}/__{i}/part-*.parquet")[0], f"{d}/part{i}.parquet"
+        )
+        shutil.rmtree(f"{d}/__{i}")
+    now = 1_700_000_000
+    os.utime(f"{d}/part0.parquet", (now - 200, now - 200))
+    os.utime(f"{d}/part1.parquet", (now - 100, now - 100))
+    os.utime(f"{d}/part2.parquet", (now, now))
+
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{d}/part0.parquet").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/part*.parquet")
+    )
+    p, t = split_touch_streams(sdf)
+    q = (
+        attribution_candidates(p, t)
+        .writeStream.format("memory")
+        .queryName("attr_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["touch_id"])
+        for r in spark.table("attr_late").collect()
+    }
+    assert (302, 301) in got      # same-batch late pair still joins
+    assert (110, 111) in got      # frontier pair
+    assert (100, 201) not in got  # partner state already evicted
+
+    # the batch twin finds every pair — the divergence is bounded
+    # state, not the join predicate
+    e = spark.read.parquet(f"{d}/part*.parquet")
+    pb, tb = split_touch_streams(e)
+    batch = {
+        (r["purchase_id"], r["touch_id"])
+        for r in attribution_candidates(pb, tb).collect()
+    }
+    assert {(302, 301), (110, 111), (100, 201)} <= batch
