@@ -155,4 +155,11 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> list[OracleRes
             out.append(compare_query(spark, con, name, fn, sqls[name], sf_dir))
         except Exception as e:  # noqa: BLE001
             out.append(OracleResult(name, False, -1, -1, f"exception: {e}"))
+        finally:
+            # drop localCheckpoint blocks some queries pin (packing,
+            # pagerank, ks-drift, ...): 180+ queries in one session
+            # would otherwise accumulate them for the whole gate
+            from dmds_spark.session import release_materialized_state
+
+            release_materialized_state(spark)
     return out
