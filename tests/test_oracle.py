@@ -34,8 +34,15 @@ def duck():
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_oracle_match(spark, duck, name):
-    res = compare_query(spark, duck, name, _QUERIES[name], _SQLS[name],
-                        SF_DIR_MED)
+    from dmds_spark.session import release_materialized_state
+
+    try:
+        res = compare_query(spark, duck, name, _QUERIES[name], _SQLS[name],
+                            SF_DIR_MED)
+    finally:
+        # drop any localCheckpoint blocks the query pinned: 180+
+        # parametrized cases share one session
+        release_materialized_state(spark)
     assert res.ok, f"{name}: {res.detail}"
 
 
