@@ -1,0 +1,177 @@
+"""GK streaming quantiles: the hard rank guarantee (|rank(answer) -
+ceil(phi*n)| <= eps*n) must hold over random streams and ARBITRARY
+micro-batch splits, state must stay logarithmic, and the real-stream
+wiring must agree with the pure fold."""
+
+import bisect
+import math
+
+import numpy as np
+import pytest
+
+from dmds_spark.streaming.quantiles import (
+    gk_insert_batch,
+    gk_query,
+)
+
+EPS = 0.05
+PHIS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _rank_bounds(sorted_vals, v):
+    """Min and max rank (1-based) an exact engine could assign v."""
+    lo = bisect.bisect_left(sorted_vals, v) + 1
+    hi = bisect.bisect_right(sorted_vals, v)
+    return lo, max(lo, hi)
+
+
+def _check_guarantee(values, batch_sizes):
+    summary, n = [], 0
+    i = 0
+    for b in batch_sizes:
+        n = gk_insert_batch(summary, n, values[i : i + b], EPS)
+        i += b
+    assert n == len(values)
+    sv = sorted(float(v) for v in values)
+    for phi in PHIS:
+        got = gk_query(summary, n, phi, EPS)
+        target = max(1, min(n, math.ceil(phi * n)))
+        lo, hi = _rank_bounds(sv, got)
+        # some rank attainable by `got` must be within eps*n of target
+        err = max(0, lo - target, target - hi)
+        assert err <= EPS * n + 1e-9, (phi, got, lo, hi, target, n)
+    return summary, n
+
+
+def test_guarantee_random_streams():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        data=st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1, max_size=400,
+        ),
+        seed=st.integers(min_value=0, max_value=2**16),
+    )
+    def check(data, seed):
+        rng = np.random.default_rng(seed)
+        sizes = []
+        left = len(data)
+        while left:
+            b = int(rng.integers(1, min(left, 64) + 1))
+            sizes.append(b)
+            left -= b
+        _check_guarantee(data, sizes)
+
+    check()
+
+
+def test_guarantee_adversarial_orders():
+    n = 3000
+    for order in ("sorted", "reversed", "organ_pipe", "constant"):
+        if order == "sorted":
+            vals = list(range(n))
+        elif order == "reversed":
+            vals = list(range(n))[::-1]
+        elif order == "organ_pipe":
+            vals = [min(i, n - i) for i in range(n)]
+        else:
+            vals = [7] * n
+        summary, seen = _check_guarantee(vals, [100] * (n // 100))
+        # logarithmic state: generous constant over (1/eps) * log2(eps*n)
+        bound = (3 / EPS) * (math.log2(EPS * seen + 2) + 2)
+        assert len(summary) <= bound, (order, len(summary), bound)
+
+
+def test_min_max_stay_exact():
+    vals = [42, -7, 100, 3, 99, -7, 55]
+    summary, n = _check_guarantee(vals, [len(vals)])
+    assert summary[0][0] == -7.0
+    assert summary[-1][0] == 100.0
+    assert gk_query(summary, n, 0.0001, EPS) == -7.0
+    assert gk_query(summary, n, 1.0, EPS) == 100.0
+
+
+def test_real_stream_matches_pure_fold(spark, tmp_path):
+    """Micro-batched stream through applyInPandasWithState must produce
+    the same final estimates as the pure fold over the same batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dmds_spark.sources.registry import load_events
+    from dmds_spark.streaming.quantiles import streaming_quantiles
+
+    SF = "/root/testdata/sf0.001"
+    e = load_events(spark, SF).select("event_type", "value", "ts")
+    mid = e.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for i, part in enumerate(
+        [e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid)]
+    ):
+        part.coalesce(1).write.parquet(f"{d}/__{i}")
+        shutil.move(
+            glob.glob(f"{d}/__{i}/part-*.parquet")[0], f"{d}/part{i}.parquet"
+        )
+        shutil.rmtree(f"{d}/__{i}")
+    now = 1_700_000_000
+    os.utime(f"{d}/part0.parquet", (now - 100, now - 100))
+    os.utime(f"{d}/part1.parquet", (now, now))
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(f"{d}/part0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/part*.parquet")
+    )
+    q = (
+        streaming_quantiles(sdf, eps=EPS, phis=(0.5, 0.9))
+        .writeStream.format("memory")
+        .queryName("gk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("gk_stream").collect()
+    assert rows
+    # freshest emission per key
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["key"])
+        if cur is None or r["n_seen"] > cur[0]["n_seen"]:
+            latest[r["key"]] = [r]
+        elif r["n_seen"] == cur[0]["n_seen"]:
+            cur.append(r)
+
+    # the guarantee must hold vs exact per-key ranks; and the stream
+    # result must equal the pure fold over the same two batches
+    batches = [
+        spark.read.parquet(f"{d}/part{i}.parquet") for i in (0, 1)
+    ]
+    per_key_batches = {}
+    for b in batches:
+        pdf = b.toPandas()
+        # batch rows arrive ts-ordered within the micro-batch? the
+        # engine gives no order guarantee; GK is order-sensitive only
+        # in tuple layout, not in its guarantee, so fold in the same
+        # arbitrary order pandas yields and assert the GUARANTEE (not
+        # tuple equality) plus value-set sanity
+        for k, grp in pdf.groupby("event_type"):
+            per_key_batches.setdefault(k, []).append(
+                grp["value"].astype(float).tolist()
+            )
+    for k, bs in per_key_batches.items():
+        allv = sorted(v for b in bs for v in b)
+        n = len(allv)
+        for r in latest[k]:
+            lo, hi = _rank_bounds(allv, r["value"])
+            target = max(1, min(n, math.ceil(r["phi"] * n)))
+            err = max(0, lo - target, target - hi)
+            assert err <= EPS * n + 1e-9, (k, r, target, n)
+            assert r["n_seen"] == n
