@@ -1,11 +1,17 @@
-"""Round-5 additions, batch four: robust statistics and corpus-novelty
-analytics — the exact weighted median (sharded cumulative weights, no
-single-task window), per-group winsorized means whose per-group ranks
-come from the SAME sharded-cumsum machinery (a running count IS a
-running sum of ones), MAD-based robust daily anomaly flags (two exact
-lower-median passes, division-free integer test), and first-occurrence
-trigram novelty per source (the memorization/freshness metric of a
-corpus drop).
+"""Round-5 additions, batches four through six: robust statistics,
+product analytics, and corpus-comparison reports — the exact weighted
+median (sharded cumulative weights, no single-task window), per-group
+winsorized means whose ranks come from the SAME sharded-cumsum
+machinery (a running count IS a running sum of ones), MAD-based robust
+daily anomaly flags (two exact lower-median passes, division-free
+integer test), first-occurrence trigram novelty per source (the
+memorization/freshness metric of a corpus drop), DAU/WAU/MAU rolling
+actives (one offset-carrying explode, one multi-distinct aggregate),
+first-order-month cohort LTV curves, temperature-scaled source-mixture
+weights via exact integer square roots, an exact Kolmogorov-Smirnov
+drift statistic per source, pairwise source-vocabulary Jaccard,
+trailing 7-day revenue over the calendar grid, and a per-dimension
+embedding health profile.
 
 House rules (queries/__init__.py): every output column scalar, every
 computed column aliased identically on both sides, every threshold
