@@ -1,3 +1,13 @@
+from dmds_spark.streaming.anomaly import streaming_daily_anomalies
+from dmds_spark.streaming.attribution import (
+    attribution_candidates,
+    last_touch,
+    split_touch_streams,
+)
+from dmds_spark.streaming.funnel import streaming_funnel
+from dmds_spark.streaming.heavy_hitters import streaming_heavy_hitters
+from dmds_spark.streaming.quantiles import streaming_quantiles
+from dmds_spark.streaming.sessionize import streaming_sessionize
 from dmds_spark.streaming.stateful import running_user_totals
 from dmds_spark.streaming.windows import (
     run_stream_to_memory,
@@ -20,4 +30,12 @@ __all__ = [
     "world_upsert_sink",
     "stream_static_enrich",
     "running_user_totals",
+    "streaming_funnel",
+    "streaming_sessionize",
+    "streaming_daily_anomalies",
+    "streaming_heavy_hitters",
+    "streaming_quantiles",
+    "attribution_candidates",
+    "last_touch",
+    "split_touch_streams",
 ]
