@@ -194,5 +194,8 @@ def _load():
     from dmds_spark.queries import llm_extra5  # noqa: F401
     from dmds_spark.queries import llm_extra6  # noqa: F401
     from dmds_spark.queries import llm_extra7  # noqa: F401
+    # batch seven registers BEHIND the round-5 window (50 unchecked
+    # already queued): these lead round 6's driver evidence instead
+    from dmds_spark.queries import llm_extra8  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,373 @@
+"""Round-5 additions, batch seven (registered BEHIND the round-5
+driver window — these lead round 6's evidence): local clustering
+coefficients over the near-dup graph, per-term burstiness (the
+content-vs-boilerplate dispersion signal), cosine radius counts (range
+search, the ANN pipeline's density probe), longest activity streaks
+(islands technique), and Benford first-digit profiling of order
+totals (the fraud/synthetic-data screen).
+
+House rules as everywhere (queries/__init__.py): scalar output
+columns, identical aliases both sides, integer/decimal exactness;
+digit strings for exact integers that can exceed 2^53 (the
+parts_price_dispersion precedent); doubles only as one IEEE division
+of sub-2^53 integers or via the engine-pinned cosine fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.llm_dedup import BANDS, CAND_CTE, EST_SQL, NUM_HASHES
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    CAND_CTE
+    + f""", edges AS (
+      SELECT id_a AS u, id_b AS v FROM cand WHERE {EST_SQL} >= 0.5
+    ), und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS deg FROM und GROUP BY u),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pt AS (
+      SELECT node, COUNT(*) AS tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(pt.tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CAST(2 * COALESCE(pt.tri, 0) AS DOUBLE)
+                / (d.deg * (d.deg - 1)) AS DOUBLE) AS clustering_coeff
+    FROM deg d LEFT JOIN pt ON pt.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY n_triangles DESC, doc_id LIMIT 20
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient (2*triangles / deg*(deg-1)) per
+    node of the near-dup pair graph, top-20 by triangle count: the
+    clique-vs-chain discriminator — a near-dup CLUSTER that is a true
+    duplicate group has coefficient ~1, a chained false-positive path
+    ~0 — run before keep-first commits a canonical per cluster.
+
+    Builds on graph_triangle_count's oriented two-join enumeration
+    (each triangle a<b<c found exactly once); degrees come from the
+    symmetrized edge list (one union + one agg). The edge list
+    materializes once for its four consumers. The coefficient is ONE
+    IEEE division of exact sub-2^53 integers; top-k orders by the
+    integer triangle count (never by the double), tie-broken on
+    doc_id — a total order identical on both engines."""
+    from dmds_spark.operators.dedup import dedup_minhash
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        dedup_minhash(docs, "text", "doc_id", NUM_HASHES, BANDS, 0.5)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = e1.join(e2, F.col("b") == F.col("b2")).join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    pt = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    j = (
+        deg.join(pt, "node", "left")
+        .withColumn("tri", F.coalesce(F.col("tri"), F.lit(0)))
+        .filter(F.col("deg") >= 2)
+    )
+    return (
+        j.select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("tri").cast("bigint").alias("n_triangles"),
+            (
+                (2 * F.col("tri")).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-term burstiness (dispersion of within-doc counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_term_burstiness_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), dc AS (SELECT w, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT w, COUNT(*) AS n_docs, SUM(c) AS total,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq
+      FROM dc GROUP BY w
+    )
+    SELECT w AS term, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total AS BIGINT) AS total_count,
+           CAST(n_docs * sq - CAST(total AS HUGEINT) * CAST(total AS HUGEINT)
+                AS VARCHAR) AS var_num,
+           CAST(CAST(total AS DOUBLE) / n_docs AS DOUBLE) AS mean_count
+    FROM agg ORDER BY total_count DESC, term LIMIT 20
+    """,
+)
+def text_term_burstiness_topk(spark, sf_dir):
+    """Burstiness of the top-20 corpus terms: the exact variance
+    NUMERATOR n*Sum(c^2) - Sum(c)^2 of per-doc counts (over docs
+    CONTAINING the term), emitted as a digit string (it exceeds 2^53
+    long before the sums do — parts_price_dispersion precedent), plus
+    the mean as one exact division. Bursty terms (variance >> mean)
+    are content words; evenly-dispersed high-frequency terms are
+    boilerplate/function words — the dispersion test a quality
+    pipeline uses beyond raw frequency.
+
+    Shape: one explode, one (term, doc) count, one partial-combined
+    term aggregate in decimal(38,0) — division-free until the final
+    per-term mean."""
+    from dmds_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
+    dc = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    agg = dc.groupBy("w").agg(
+        F.count(F.lit(1)).cast(dec).alias("n_docs"),
+        F.sum("c").cast(dec).alias("total"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("sq"),
+    )
+    return agg.selectExpr(
+        "w AS term",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(total AS BIGINT) AS total_count",
+        "CAST(n_docs * sq - total * total AS STRING) AS var_num",
+        "CAST(CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DOUBLE)"
+        " AS mean_count",
+    ).orderBy(F.col("total_count").desc(), "term").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# cosine radius counts (range search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_radius_count",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), p AS (
+      SELECT qid, c.vec_id AS cid,
+             list_cosine_similarity(qe, c.embedding) AS sim
+      FROM q, embeddings c WHERE qid <> c.vec_id
+    )
+    SELECT qid AS vec_id,
+           CAST(COUNT(CASE WHEN sim >= 0.2 THEN 1 END) AS BIGINT)
+             AS n_within
+    FROM p GROUP BY qid
+    """,
+)
+def similarity_radius_count(spark, sf_dir):
+    """Range search: for each probe vector, how many corpus vectors lie
+    within cosine >= 0.2 — the density/radius statistic an ANN pipeline
+    uses to size its buckets and pick k. Brute force over the broadcast
+    probe side (5 rows), the same engine-pinned cosine arithmetic as
+    similarity_cosine_topk (zip_with dot + aggregate fold — matches
+    DuckDB's list_cosine_similarity fold order, green since round 2).
+
+    At 100 TB the corpus side would pre-filter through the LSH buckets
+    (similarity_pairs_threshold's blocking) before the exact fold; the
+    brute-force form is the exactness baseline the blocked variant is
+    measured against."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sim = dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(dot(F.col("ce"), F.col("ce")))
+    )
+    return (
+        j.withColumn("sim", sim)
+        .groupBy(F.col("qid").alias("vec_id"))
+        .agg(
+            F.sum(F.when(F.col("sim") >= 0.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# longest activity streaks (islands technique)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_streaks_topk",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), g AS (
+      SELECT user_id, day,
+             CAST(day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS DATE) AS grp
+      FROM ud
+    ), runs AS (
+      SELECT user_id, COUNT(*) AS len, MIN(day) AS streak_start
+      FROM g GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, MAX(len) AS best_len FROM runs GROUP BY user_id
+    ), top AS (
+      SELECT b.user_id, b.best_len, MIN(r.streak_start) AS streak_start
+      FROM best b
+      JOIN runs r ON r.user_id = b.user_id AND r.len = b.best_len
+      GROUP BY b.user_id, b.best_len
+    )
+    SELECT user_id, CAST(best_len AS BIGINT) AS streak_days,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start
+    FROM top ORDER BY streak_days DESC, user_id LIMIT 20
+    """,
+)
+def events_activity_streaks_topk(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (top-20) — the
+    engagement metric behind retention features. Classic
+    islands-and-gaps: day minus the per-user day-rank is constant
+    exactly within a consecutive run, so one window + two aggregates
+    find every streak; earliest start breaks best-length ties
+    deterministically.
+
+    The window partitions on user_id (high cardinality, even) over the
+    DISTINCT (user, day) table — bounded by users x days, the same
+    collapse the rolling-actives query leans on."""
+    from dmds_spark.sources.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    g = ud.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = runs.groupBy("user_id").agg(
+        F.max("len").alias("best_len")
+    ).withColumnRenamed("user_id", "buid")
+    top = (
+        best.join(
+            runs,
+            (F.col("buid") == F.col("user_id"))
+            & (F.col("len") == F.col("best_len")),
+        )
+        .groupBy("buid", "best_len")
+        .agg(F.min("streak_start").alias("streak_start"))
+    )
+    return (
+        top.select(
+            F.col("buid").alias("user_id"),
+            F.col("best_len").cast("bigint").alias("streak_days"),
+            F.date_format("streak_start", "yyyy-MM-dd").alias(
+                "streak_start"
+            ),
+        )
+        .orderBy(F.col("streak_days").desc(), "user_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders
+    ), n AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(COUNT(*) AS DOUBLE) / MIN(n.total) AS DOUBLE) AS share
+    FROM d, n GROUP BY digit
+    """,
+)
+def profile_benford_digits(spark, sf_dir):
+    """First-significant-digit distribution of order totals — the
+    Benford screen that flags synthetic or tampered numeric columns
+    (natural multiplicative data leans on digit 1 at ~30%; uniform
+    synthetic data, like this driver corpus, is flat — exactly what the
+    profile shows, which is itself the finding). Digit extraction via
+    the integer-cents digit string (leading digit of a positive bigint
+    — no float log10, which would be engine-unsafe); share is one IEEE
+    division. One scan, one aggregate, a 1-row total broadcast."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    )
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.count(F.lit(1)).cast("double") / F.min("total")).alias(
+                "share"
+            ),
+        )
+    )

@@ -685,3 +685,41 @@ def test_dim_stats_single_shuffle(spark, qs):
     df = qs["embedding_dim_stats"](spark, SF)
     assert shuffle_count(df) <= 1
     assert "partial_count" in physical_plan(df)
+
+
+def test_clustering_coeff_no_wedge_explosion(spark, qs):
+    """Triangles come from the oriented two-join; no nested loops."""
+    plan = physical_plan(qs["graph_clustering_coefficient"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_burstiness_partial_aggs(spark, qs):
+    df = qs["text_term_burstiness_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_radius_count_broadcasts_probes(spark, qs):
+    """The 5-probe side must broadcast; the corpus never shuffles for
+    the cross pairing."""
+    plan = physical_plan(qs["similarity_radius_count"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan  # JVM fold, no Python UDF
+
+
+def test_streaks_window_on_user(spark, qs):
+    """The islands window partitions on the high-cardinality user key
+    over the collapsed (user, day) table."""
+    import re
+
+    plan = physical_plan(qs["events_activity_streaks_topk"](spark, SF))
+    assert re.search(r"windowspecdefinition\(user_id#\d+L?, day#", plan)
+
+
+def test_benford_single_scan(spark, qs):
+    from dmds_spark.plans import scan_count
+
+    df = qs["profile_benford_digits"](spark, SF)
+    assert scan_count(df) <= 2  # digits + its own 1-row total
