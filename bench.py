@@ -102,6 +102,11 @@ ADDITIONS = [
     "text_source_vocab_jaccard",
     "orders_cohort_ltv",
     "embedding_dim_stats",
+    # round-5 batch seven
+    "graph_clustering_coefficient",
+    "text_term_burstiness_topk",
+    "similarity_radius_count",
+    "events_activity_streaks_topk",
 ]
 
 
