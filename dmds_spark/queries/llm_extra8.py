@@ -4,7 +4,9 @@ coefficients over the near-dup graph, per-term burstiness (the
 content-vs-boilerplate dispersion signal), cosine radius counts (range
 search, the ANN pipeline's density probe), longest activity streaks
 (islands technique), and Benford first-digit profiling of order
-totals (the fraud/synthetic-data screen).
+totals (the fraud/synthetic-data screen); batch eight adds the
+integer-only readability profile, the pack-vs-pad planning sweep, and
+basket-size distribution stats.
 
 House rules as everywhere (queries/__init__.py): scalar output
 columns, identical aliases both sides, integer/decimal exactness;
@@ -370,4 +372,173 @@ def profile_benford_digits(spark, sf_dir):
                 "share"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# readability proxy per source (integer-only Flesch-style components)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_profile",
+    """
+    WITH m AS (
+      SELECT source, len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[aeiou]+')) AS n_syll
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_syll) AS BIGINT) AS total_syllables,
+           CAST(1000 * SUM(n_syll) // SUM(n_words) AS BIGINT)
+             AS syll_per_kword
+    FROM m GROUP BY source
+    """,
+)
+def text_readability_profile(spark, sf_dir):
+    """Readability components per source, integer-only: word counts
+    and a vowel-group syllable proxy (the countable core of
+    Flesch-style scores — the full score needs only these ratios, and
+    emitting them as exact integers keeps the gate engine-safe where a
+    float formula would not be). Sources whose syllables-per-1000-words
+    drift high read as jargon/boilerplate — a quality-mix signal next
+    to the Gopher rules.
+
+    Pure per-row projection (regexp_count + split stay in codegen) and
+    one partial-combined aggregate; floor division both sides."""
+    d = _docs(spark, sf_dir)
+    m = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+")).alias("n_syll"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_syll").cast("bigint").alias("total_syllables"),
+        F.expr("1000 * sum(n_syll) div sum(n_words)")
+        .cast("bigint")
+        .alias("syll_per_kword"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency sweep (padding waste per sequence length)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokens_packing_efficiency_sweep",
+    """
+    WITH d AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+    s AS (SELECT seq_len FROM (VALUES (128), (512), (1024)) AS v(seq_len))
+    SELECT seq_len, CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM((n + seq_len - 1) // seq_len) AS BIGINT)
+             AS n_sequences_padded,
+           CAST(SUM((n + seq_len - 1) // seq_len) * seq_len - SUM(n)
+                AS BIGINT) AS padding_waste,
+           CAST((SUM(n) + seq_len - 1) // seq_len AS BIGINT)
+             AS n_sequences_packed
+    FROM d, s GROUP BY seq_len
+    """,
+)
+def tokens_packing_efficiency_sweep(spark, sf_dir):
+    """The pack-vs-pad planning table: for each candidate sequence
+    length, total tokens, sequences needed when each doc pads to its
+    own boundary, the tokens burned as padding, and sequences under
+    concat-and-chunk packing (what tokens_pack_sequences implements) —
+    i.e. exactly the waste packing recovers. All integer ceiling
+    division, exact on both engines.
+
+    One scan; the 3-row length grid broadcasts onto the per-doc
+    lengths and one partial-combined aggregate folds the sweep — the
+    cost of trying 10 more lengths is sums, not scans."""
+    d = _docs(spark, sf_dir).select(
+        F.size(F.split("text", " ")).alias("n")
+    )
+    s = spark.range(1).selectExpr(
+        "explode(array(128, 512, 1024)) AS seq_len"
+    )
+    j = d.crossJoin(F.broadcast(s))
+    return j.groupBy("seq_len").agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.expr("sum((n + seq_len - 1) div seq_len)")
+        .cast("bigint")
+        .alias("n_sequences_padded"),
+        F.expr(
+            "sum((n + seq_len - 1) div seq_len) * first(seq_len) - sum(n)"
+        )
+        .cast("bigint")
+        .alias("padding_waste"),
+        F.expr("(sum(n) + first(seq_len) - 1) div first(seq_len)")
+        .cast("bigint")
+        .alias("n_sequences_packed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# basket-size distribution per order priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_size_stats",
+    """
+    WITH b AS (
+      SELECT l_orderkey, COUNT(*) AS basket FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderpriority AS pri, b.basket
+      FROM orders o JOIN b ON b.l_orderkey = o.o_orderkey
+    ), r AS (
+      SELECT pri, basket,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY basket) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM j
+    )
+    SELECT pri AS o_orderpriority, CAST(MIN(n) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN basket END)
+                AS BIGINT) AS median_basket,
+           CAST(SUM(basket) AS BIGINT) AS total_items
+    FROM r GROUP BY pri
+    """,
+)
+def orders_basket_size_stats(spark, sf_dir):
+    """Basket-size distribution per order priority: order count, exact
+    lower-median items-per-order, and total items — the order-shape
+    profile behind the market-basket and packing operators. Baskets
+    come from one lineitem aggregate; the priority join shuffles on
+    orderkey (co-partitioned); the median rank windows over priority
+    (5 values) on the ORDER-count-sized table — rows per priority are
+    orders, not lineitems, and ties share a basket value so tied rank
+    assignment cannot change the reported median."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
+    j = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("l_orderkey"),
+    ).join(b, "l_orderkey")
+    wr = W.partitionBy("pri").orderBy("basket")
+    wn = W.partitionBy("pri")
+    r = j.select(
+        "pri",
+        "basket",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("pri").agg(
+        F.min("n").cast("bigint").alias("n_orders"),
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                F.col("basket"),
+            )
+        ).cast("bigint").alias("median_basket"),
+        F.sum("basket").cast("bigint").alias("total_items"),
+    ).select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_orders",
+        "median_basket",
+        "total_items",
     )

@@ -723,3 +723,28 @@ def test_benford_single_scan(spark, qs):
 
     df = qs["profile_benford_digits"](spark, SF)
     assert scan_count(df) <= 2  # digits + its own 1-row total
+
+
+def test_readability_single_scan(spark, qs):
+    from dmds_spark.plans import scan_count
+
+    df = qs["text_readability_profile"](spark, SF)
+    assert scan_count(df) == 1
+    assert shuffle_count(df) <= 1
+
+
+def test_packing_sweep_grid_broadcast(spark, qs):
+    """The 3-row length grid broadcasts onto per-doc lengths — one
+    scan regardless of how many lengths the sweep tries."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["tokens_packing_efficiency_sweep"](spark, SF)
+    plan = physical_plan(df)
+    assert scan_count(df) == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_basket_stats_copartitioned(spark, qs):
+    plan = physical_plan(qs["orders_basket_size_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
