@@ -141,3 +141,52 @@ def test_stream_foreach_batch_maintains_rollup(spark, tmp_path, source):
     assert out["skipped"] is True
     assert out["version"] == st_before["version"]
     assert _rows(ru.read()) == _rows(_full(spark, d))
+
+
+def test_distinct_sketch_rollup_matches_exact_at_small_cardinality(
+    spark, tmp_path, source
+):
+    """distinct_cols keeps a mergeable HLL partial per group: after two
+    incremental refreshes the estimated distinct customers per status
+    must equal a full recompute's SKETCH estimate exactly (same sketch
+    over the same rows — merge order cannot change a DataSketches HLL
+    union), and sit within 5% of the exact distinct count."""
+    d, orders = source
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup_d"),
+        ["o_orderstatus"], ["o_totalprice"],
+        distinct_cols=["o_custkey"],
+    )
+    ru.refresh()
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "b1")
+    _append(orders.filter(F.col("o_orderkey") % 3 == 2), d, "b2")
+    st = ru.refresh()
+    assert st["new_files"] >= 2
+
+    est = {
+        r["o_orderstatus"]: r["nd_o_custkey"]
+        for r in ru.read_estimates().collect()
+    }
+    full_sketch = {
+        r["o_orderstatus"]: r["nd"]
+        for r in spark.read.parquet(d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey")
+            ).alias("nd")
+        )
+        .collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["nd"]
+        for r in spark.read.parquet(d)
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("nd"))
+        .collect()
+    }
+    assert est == full_sketch  # merge-of-increments == one-shot sketch
+    for k, nd in exact.items():
+        assert abs(est[k] - nd) <= max(2, 0.05 * nd), (k, est[k], nd)
+    # the numeric partials are untouched by the sketch column
+    assert {"cnt", "sum_o_totalprice"} <= set(ru.read().columns)
