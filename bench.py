@@ -107,6 +107,10 @@ ADDITIONS = [
     "text_term_burstiness_topk",
     "similarity_radius_count",
     "events_activity_streaks_topk",
+    # round-5 batch eight
+    "text_readability_profile",
+    "tokens_packing_efficiency_sweep",
+    "orders_basket_size_stats",
 ]
 
 
