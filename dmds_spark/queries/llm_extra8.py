@@ -542,3 +542,175 @@ def orders_basket_size_stats(spark, sf_dir):
         "median_basket",
         "total_items",
     )
+
+
+# ---------------------------------------------------------------------------
+# repeat-purchase rate per year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_repeat_purchase_rate",
+    """
+    WITH oy AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr, o_custkey,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_customers,
+           CAST(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS repeat_rate
+    FROM oy GROUP BY yr
+    """,
+)
+def orders_repeat_purchase_rate(spark, sf_dir):
+    """Share of active customers per year who ordered at least twice —
+    the repeat-rate retention headline. Two partial-combined
+    aggregates ((year, customer) then year); the rate is one IEEE
+    division of sub-2^53 integers."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    oy = o.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rep = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+    return oy.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        rep.cast("bigint").alias("repeat_customers"),
+        (rep.cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
+    ).select(
+        F.col("yr").cast("bigint").alias("yr"),
+        "n_customers",
+        "repeat_customers",
+        "repeat_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue waterfall per ship year (gross -> discount -> tax), exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_revenue_waterfall",
+    """
+    WITH l AS (
+      SELECT EXTRACT(year FROM l_shipdate) AS yr,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS gross_c,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_discount AS DECIMAL(4,2)) * 10000 AS HUGEINT)
+               AS disc_e4,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  * CAST(l_tax AS DECIMAL(4,2)) * 1000000 AS HUGEINT)
+               AS tax_e6
+      FROM lineitem
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(gross_c) AS BIGINT) AS gross_cents,
+           CAST(SUM(disc_e4) AS VARCHAR) AS discount_e4,
+           CAST(SUM(tax_e6) AS VARCHAR) AS tax_e6
+    FROM l GROUP BY yr
+    """,
+)
+def lineitem_revenue_waterfall(spark, sf_dir):
+    """Finance waterfall per ship year: gross revenue, discount given,
+    and tax charged — every component an EXACT integer at its natural
+    scale (cents, 1e-4 dollars for price*discount, 1e-6 dollars for
+    price*(1-disc)*tax — products of 2-dp decimals are exact at 4/6
+    dp, and scaling by the matching power of ten makes them integers).
+    The two product sums are emitted as digit strings: they pass 2^53
+    at fleet scale while staying exact in decimal(38,0)/HUGEINT
+    (engine-wide contract, parts_price_dispersion). One scan, one
+    partial-combined aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    dec = "decimal(38,0)"
+    l2 = li.select(
+        F.year("l_shipdate").alias("yr"),
+        (ext * 100).cast("long").alias("gross_c"),
+        (ext * disc * 10000).cast(dec).alias("disc_e4"),
+        (ext * (F.lit(1) - disc) * tax * 1000000).cast(dec).alias("tax_e6"),
+    )
+    return l2.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("gross_c").cast("bigint").alias("gross_cents"),
+        F.sum("disc_e4").cast("string").alias("discount_e4"),
+        F.sum("tax_e6").cast("string").alias("tax_e6"),
+    ).select(
+        F.col("yr").cast("bigint").alias("yr"),
+        "n_items",
+        "gross_cents",
+        "discount_e4",
+        "tax_e6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-size distribution (ANN geometry observability)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_bucket_cte():
+    from dmds_spark.operators.similarity import lsh_bucket_sql
+    from dmds_spark.queries.llm_ops import LSH_PLANES, LSH_TABLES
+
+    exprs = ", ".join(lsh_bucket_sql("embedding", LSH_TABLES, LSH_PLANES))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, UNNEST([{exprs}]) AS bucket FROM embeddings
+    ), s AS (
+      SELECT split_part(bucket, ':', 1) AS table_id, bucket,
+             COUNT(*) AS sz
+      FROM b GROUP BY 1, 2
+    )
+    SELECT CAST(table_id AS BIGINT) AS table_id,
+           CAST(sz AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("similarity_lsh_bucket_stats", _lsh_bucket_cte())
+def similarity_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-size distribution per table — the observability
+    behind the tables x planes geometry knob: candidate-join cost is
+    sum over buckets of sz*(sz-1)/2, and THIS table is where a skewed
+    or undersized geometry shows up before it burns a cluster bill
+    (SCALE.md: planes grow like log2(n) to bound bucket sizes). Same
+    bucket strings as the blocking operators (lsh_buckets /
+    lsh_bucket_sql — identical fold order, so both engines see the
+    same sign bits). One explode + two partial-combined aggregates."""
+    from dmds_spark.operators.similarity import lsh_buckets
+    from dmds_spark.queries.llm_ops import LSH_PLANES, LSH_TABLES
+
+    e = _emb(spark, sf_dir)
+    b = e.select(
+        F.explode(
+            lsh_buckets(F.col("embedding"), LSH_TABLES, LSH_PLANES)
+        ).alias("bucket")
+    )
+    s = b.groupBy(
+        F.split_part(F.col("bucket"), F.lit(":"), F.lit(1)).alias(
+            "table_id"
+        ),
+        "bucket",
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return s.groupBy("table_id", "sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.expr("sum(sz * (sz - 1) div 2)")
+        .cast("bigint")
+        .alias("candidate_pairs"),
+    ).select(
+        F.col("table_id").cast("bigint").alias("table_id"),
+        F.col("sz").cast("bigint").alias("bucket_size"),
+        "n_buckets",
+        "candidate_pairs",
+    )

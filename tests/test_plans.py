@@ -748,3 +748,25 @@ def test_basket_stats_copartitioned(spark, qs):
     plan = physical_plan(qs["orders_basket_size_stats"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_repeat_rate_two_aggregates(spark, qs):
+    df = qs["orders_repeat_purchase_rate"](spark, SF)
+    assert shuffle_count(df) <= 2
+    assert "partial_count" in physical_plan(df)
+
+
+def test_waterfall_single_scan(spark, qs):
+    from dmds_spark.plans import scan_count
+
+    df = qs["lineitem_revenue_waterfall"](spark, SF)
+    assert scan_count(df) == 1
+    assert shuffle_count(df) <= 1
+
+
+def test_lsh_bucket_stats_shape(spark, qs):
+    """One explode + two hash aggregates; the constant-folded
+    hyperplane matrix keeps the plan free of Python eval."""
+    plan = physical_plan(qs["similarity_lsh_bucket_stats"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
