@@ -10,10 +10,13 @@ inserts — the invariant g + delta <= 2*eps*n + 1 survives batching
 because n only grows) and compresses adjacent tuples back under the
 bound.
 
-Guarantee (the classic GK theorem, carried in the emissions so
-consumers can bound error without trusting this docstring): a query
-for quantile phi over n observed values returns an OBSERVED value
-whose rank r satisfies ``|r - ceil(phi * n)| <= eps * n``. Pinned by
+Guarantee (from the maintained invariant g + delta <= 2*eps*n + 1,
+carried in the emissions so consumers can bound error without
+trusting this docstring): a query for quantile phi over n observed
+values returns an OBSERVED value whose attainable rank r satisfies
+``|r - ceil(phi * n)| <= eps * n + 1/2`` — the classic GK bound; the
++1/2 comes from the +1 in the invariant and only matters while
+eps * n < 1 (a summary that young is near-exact anyway). Pinned by
 property tests against exact ranks over random streams and arbitrary
 batch splits (tests/test_streaming_quantiles.py).
 
@@ -92,24 +95,29 @@ def gk_compress(summary: list, n: int, eps: float) -> None:
 
 
 def gk_query(summary: list, n: int, phi: float, eps: float) -> float:
-    """Value whose rank is within eps*n of ceil(phi*n) — the textbook
-    GK query: walk until the next tuple's max rank would overshoot the
-    allowance, answer the previous value."""
+    """Value minimizing the WORST-CASE rank deviation
+    ``max(rmax - r, r - rmin)`` from r = ceil(phi*n). The true rank
+    lies anywhere in the claimed [rmin, rmax], so this is the bound
+    the answer actually carries — selecting by "does the claimed
+    interval contain r" is a trap: a tuple with a wide delta can
+    contain r while its true rank sits a full interval-width away
+    (caught by the 200-trial duplicate-heavy sweep). The GK theorem
+    guarantees some tuple has BOTH rmin >= r - e and rmax <= r + e
+    for e = eps*n + 1/2 (since max(g + delta) <= 2*eps*n + 1), so the
+    minimized worst case is <= e."""
     if not summary:
         raise ValueError("empty summary")
     import math
 
     r = max(1, min(n, math.ceil(phi * n)))
-    e = int(eps * n)
-    target = r + e
     rmin = 0
-    prev_v = summary[0][0]
+    best_v, best_err = summary[0][0], float("inf")
     for v, g, delta in summary:
         rmin += g
-        if rmin + delta > target:
-            return prev_v
-        prev_v = v
-    return summary[-1][0]
+        err = max(rmin + delta - r, r - rmin)
+        if err < best_err:
+            best_v, best_err = v, err
+    return best_v
 
 
 def gk_insert_batch(

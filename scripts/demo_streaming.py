@@ -145,7 +145,7 @@ def main() -> int:
             .collect()[0]
         )
         print(f"6. quantiles: GK p50({p50['key']})={p50['value']:.1f} over "
-              f"n={p50['n_seen']} with |rank err| <= {0.05 * p50['n_seen']:.0f}")
+              f"n={p50['n_seen']} with |rank err| <= {0.05 * p50['n_seen'] + 0.5:.1f}")
 
         p, t = split_touch_streams(stream())
         sink = f"{root}/attributed"

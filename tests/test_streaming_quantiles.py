@@ -1,5 +1,6 @@
 """GK streaming quantiles: the hard rank guarantee (|rank(answer) -
-ceil(phi*n)| <= eps*n) must hold over random streams and ARBITRARY
+ceil(phi*n)| <= eps*n + 1/2, from the invariant g+delta <= 2en+1)
+must hold over random streams and ARBITRARY
 micro-batch splits, state must stay logarithmic, and the real-stream
 wiring must agree with the pure fold."""
 
@@ -37,9 +38,10 @@ def _check_guarantee(values, batch_sizes):
         got = gk_query(summary, n, phi, EPS)
         target = max(1, min(n, math.ceil(phi * n)))
         lo, hi = _rank_bounds(sv, got)
-        # some rank attainable by `got` must be within eps*n of target
+        # some rank attainable by `got` must be within eps*n + 1/2 of
+        # the target (the honest GK bound: invariant g+delta <= 2en+1)
         err = max(0, lo - target, target - hi)
-        assert err <= EPS * n + 1e-9, (phi, got, lo, hi, target, n)
+        assert err <= EPS * n + 0.5 + 1e-9, (phi, got, lo, hi, target, n)
     return summary, n
 
 
@@ -50,9 +52,19 @@ def test_guarantee_random_streams():
     @settings(max_examples=30, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(
-        data=st.lists(
-            st.integers(min_value=-1000, max_value=1000),
-            min_size=1, max_size=400,
+        # BOTH regimes: wide domains and heavy duplicates — narrow
+        # domains are where a wide-delta tuple's claimed interval can
+        # contain the target while its true rank sits an interval-width
+        # away (the gk_query selection bug this suite caught)
+        data=st.one_of(
+            st.lists(
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=400,
+            ),
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=1, max_size=400,
+            ),
         ),
         seed=st.integers(min_value=0, max_value=2**16),
     )
@@ -173,5 +185,5 @@ def test_real_stream_matches_pure_fold(spark, tmp_path):
             lo, hi = _rank_bounds(allv, r["value"])
             target = max(1, min(n, math.ceil(r["phi"] * n)))
             err = max(0, lo - target, target - hi)
-            assert err <= EPS * n + 1e-9, (k, r, target, n)
+            assert err <= EPS * n + 0.5 + 1e-9, (k, r, target, n)
             assert r["n_seen"] == n
