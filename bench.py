@@ -111,6 +111,10 @@ ADDITIONS = [
     "text_readability_profile",
     "tokens_packing_efficiency_sweep",
     "orders_basket_size_stats",
+    # round-5 batch nine
+    "orders_repeat_purchase_rate",
+    "lineitem_revenue_waterfall",
+    "similarity_lsh_bucket_stats",
 ]
 
 
