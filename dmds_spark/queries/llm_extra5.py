@@ -391,7 +391,10 @@ def dedup_fuzzy_fingerprint_pairs(spark, sf_dir):
         "doc_id",
         rolling_fingerprint("text", _FP_NGRAM).alias("fp"),
         F.length("text").alias("ln"),
-    ).filter(F.col("fp").isNotNull())
+    ).filter(F.col("fp").isNotNull()).localCheckpoint(eager=True)
+    # ^ the blocking self-join consumes fp TWICE (a and b sides); the
+    # rolling min-md5 is the one expensive projection here (O(len) md5
+    # per doc), so materialize it once — measured ~2 s/pass at sf0.1
     a = fp.select(F.col("doc_id").alias("id_a"), "fp", F.col("ln").alias("la"))
     b = fp.select(F.col("doc_id").alias("id_b"), "fp", F.col("ln").alias("lb"))
     cand = (
