@@ -714,3 +714,129 @@ def similarity_lsh_bucket_stats(spark, sf_dir):
         "n_buckets",
         "candidate_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash blocking precision (candidate quality observability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_precision",
+    CAND_CTE
+    + """
+    , v AS (
+      SELECT cand.id_a FROM cand
+      JOIN (SELECT doc_id, list_distinct(shingles) AS shd FROM sh) sa
+        ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, list_distinct(shingles) AS shd FROM sh) sb
+        ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(sa.shd, sb.shd))), 1)
+            >= 0.5
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_verified,
+           CAST(CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+                / greatest((SELECT COUNT(*) FROM cand), 1) AS DOUBLE)
+             AS blocking_precision
+    """,
+)
+def dedup_minhash_precision(spark, sf_dir):
+    """Blocking precision of the MinHash LSH stage: what fraction of
+    candidate pairs survive the exact-Jaccard verify — the companion
+    to similarity_lsh_bucket_stats' cost view (bucket stats say what
+    the blocking COSTS, this says what it BUYS; recall is pinned
+    separately in tests/test_simhash.py / test_similarity_ops.py).
+    Low precision means the band geometry wastes verify compute; the
+    knob is bands-vs-rows, same calibration discipline as the LSH
+    recall pins. One-row report; the ratio is one IEEE division of
+    counts; the verify threshold expression is byte-identical to
+    dedup_jaccard_verify's (hash-green since round 2) on both sides."""
+    from dmds_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from dmds_spark.queries.llm_dedup import K_SHINGLE
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
+    cand = minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)  # counted AND verified: one LSH pass
+    ver = jaccard_verify_pairs(docs, cand, "text", "doc_id", K_SHINGLE, 0.5)
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nv = ver.agg(F.count(F.lit(1)).alias("n_verified"))
+    return nc.crossJoin(nv).select(
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_verified").cast("bigint").alias("n_verified"),
+        (
+            F.col("n_verified").cast("double")
+            / F.greatest(F.col("n_candidates"), F.lit(1)).cast("double")
+        ).alias("blocking_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact Gini coefficient of order values (distributed global rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_value_gini",
+    """
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c, o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS i,
+             COUNT(*) OVER () AS n, SUM(c) OVER () AS s
+      FROM v
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_orders,
+           CAST(MIN(s) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(CAST(i AS HUGEINT) * c)
+                - (MIN(n) + 1) * CAST(MIN(s) AS HUGEINT) AS VARCHAR)
+             AS gini_num,
+           CAST(CAST(MIN(n) AS HUGEINT) * MIN(s) AS VARCHAR) AS gini_den
+    FROM r
+    """,
+)
+def orders_value_gini(spark, sf_dir):
+    """Exact Gini coefficient components of the order-value
+    distribution — the revenue-concentration inequality metric
+    (G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over values sorted
+    ascending). Emitted as exact digit-string numerator/denominator
+    (rank-weighted sums pass 2^53 immediately at any real scale —
+    engine contract) with the scalar count and total alongside;
+    consumers do the one division.
+
+    Distributed shape: the value rank comes from ``global_row_number``
+    (range-shard + per-shard offsets — the RFM machinery, driver sees
+    one count per partition), then ONE partial-combined aggregate
+    folds n, sum, and the rank-weighted sum. No single-partition
+    window anywhere."""
+    from dmds_spark.operators.relational import global_row_number
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c"),
+        "o_orderkey",
+    )
+    r = global_row_number(v, ["c", "o_orderkey"], out="i")
+    dec = "decimal(38,0)"
+    agg = r.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum((F.col("i") * F.col("c")).cast(dec)).alias("sic"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(s AS BIGINT) AS total_cents",
+        "CAST(2 * sic - (n + 1) * s AS STRING) AS gini_num",
+        "CAST(n * s AS STRING) AS gini_den",
+    )

@@ -770,3 +770,22 @@ def test_lsh_bucket_stats_shape(spark, qs):
     plan = physical_plan(qs["similarity_lsh_bucket_stats"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_precision_single_lsh_pass(spark, qs):
+    """Candidates are counted AND verified from ONE materialized LSH
+    pass; no nested loops anywhere."""
+    plan = physical_plan(qs["dedup_minhash_precision"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_uses_distributed_rank(spark, qs):
+    """The value rank must come from the range-shard machinery — never
+    a single-partition ORDER BY window over the data."""
+    import re
+
+    plan = physical_plan(qs["orders_value_gini"](spark, SF))
+    assert not re.search(
+        r"Window .*row_number.*windowspecdefinition\(c#", plan
+    )
+    assert "partial_sum" in plan
