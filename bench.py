@@ -115,6 +115,9 @@ ADDITIONS = [
     "orders_repeat_purchase_rate",
     "lineitem_revenue_waterfall",
     "similarity_lsh_bucket_stats",
+    # round-5 batch ten
+    "dedup_minhash_precision",
+    "orders_value_gini",
 ]
 
 
