@@ -118,6 +118,9 @@ ADDITIONS = [
     # round-5 batch ten
     "dedup_minhash_precision",
     "orders_value_gini",
+    # round-5 batch eleven
+    "text_lang_confusion",
+    "sample_hamilton_allocation",
 ]
 
 

@@ -840,3 +840,114 @@ def orders_value_gini(spark, sf_dir):
         "CAST(2 * sic - (n + 1) * s AS STRING) AS gini_num",
         "CAST(n * s AS STRING) AS gini_den",
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier self-evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_sql():
+    from dmds_spark.queries.llm_dedup import _LANG_CASE_SQL
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), p AS (
+      SELECT lang AS actual_lang, {_LANG_CASE_SQL} AS predicted_lang
+      FROM tok
+    )
+    SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY 1, 2
+    """
+
+
+@register("text_lang_confusion", _lang_confusion_sql())
+def text_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the stopword-profile language ID against
+    the corpus's labeled lang column — the self-evaluation every
+    heuristic classifier owes its users before it gates a training
+    mix (on this synthetic word-soup corpus the heuristic mostly
+    answers 'en'/'und', and THAT is the finding: the matrix quantifies
+    exactly where the gate is trustworthy). Same deterministic
+    classifier expression as text_lang_id (hash-green since round 2)
+    on both sides; one scan, one partial-combined aggregate."""
+    from dmds_spark.functions.text import lang_id, words
+
+    d = _docs(spark, sf_dir)
+    p = d.select(
+        F.col("lang").alias("actual_lang"),
+        lang_id(words("text")).alias("predicted_lang"),
+    )
+    return p.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact largest-remainder (Hamilton) stratified allocation
+# ---------------------------------------------------------------------------
+
+_ALLOC_TOTAL = 1000
+
+
+@register(
+    "sample_hamilton_allocation",
+    f"""
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM s),
+    q AS (
+      SELECT source, n, {_ALLOC_TOTAL} * n // tot AS base,
+             ({_ALLOC_TOTAL} * n) % tot AS rem
+      FROM s, t
+    ), r AS (
+      SELECT source, n, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             {_ALLOC_TOTAL} - SUM(base) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def sample_hamilton_allocation(spark, sf_dir):
+    """Proportional stratified sample allocation with exact
+    largest-remainder (Hamilton) rounding: integer quotas per source
+    that sum EXACTLY to the target (floor allocations, then the
+    leftover seats go to the largest remainders, source-name
+    tie-break) — the sampling plan a stratified drawer executes; naive
+    per-stratum rounding over- or under-shoots the total and the
+    discrepancy grows with #strata. Division-free comparisons: base
+    and remainder are exact integer div/mod against the total.
+
+    Shape: one data-sized aggregate collapses to the #strata-row
+    table; the remainder rank windows over THAT (bounded by #sources,
+    legitimately tiny forever)."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = s.agg(F.sum("n").alias("tot"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.expr(f"{_ALLOC_TOTAL} * n div tot").alias("base"),
+        F.expr(f"({_ALLOC_TOTAL} * n) % tot").alias("rem"),
+    )
+    tb = q.agg(F.sum("base").alias("sum_base"))
+    wr = W.orderBy(F.col("rem").desc(), "source")
+    r = (
+        q.crossJoin(F.broadcast(tb))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn("leftover", F.lit(_ALLOC_TOTAL) - F.col("sum_base"))
+    )
+    return r.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("base").cast("bigint").alias("base_alloc"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    )

@@ -789,3 +789,19 @@ def test_gini_uses_distributed_rank(spark, qs):
         r"Window .*row_number.*windowspecdefinition\(c#", plan
     )
     assert "partial_sum" in plan
+
+
+def test_lang_confusion_single_scan(spark, qs):
+    from dmds_spark.plans import scan_count
+
+    df = qs["text_lang_confusion"](spark, SF)
+    assert scan_count(df) == 1
+    assert shuffle_count(df) <= 1
+
+
+def test_hamilton_totals_exact(spark, qs):
+    """Allocations must sum exactly to the target on the driver data
+    (the property naive rounding breaks)."""
+    rows = qs["sample_hamilton_allocation"](spark, SF).collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    assert all(r["alloc"] - r["base_alloc"] in (0, 1) for r in rows)
