@@ -666,14 +666,19 @@ def graph_common_neighbors(spark, sf_dir):
         # the balance flips — write the edge list once,
         # hash-partitioned on c (triangle-count pattern).
     )
-    # every t2 column renamed (triangle-count pattern): the self-join
-    # condition then resolves purely by distinct names — no shared-
-    # lineage attribute ambiguity
-    t2 = e.select(F.col("s").alias("s2"), F.col("c").alias("c2"))
+    # wedge enumeration via the shared operator (operators/graph.py —
+    # same join shape; its optional degree_cap is the 100 TB hub
+    # mitigation, deliberately OFF here so the registered query stays
+    # exact and oracle-checkable)
+    from dmds_spark.operators.graph import common_neighbor_counts
+
     return (
-        e.join(t2, (F.col("c") == F.col("c2")) & (F.col("s") < F.col("s2")))
-        .groupBy(F.col("s").alias("supp_a"), F.col("s2").alias("supp_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("common_customers"))
+        common_neighbor_counts(e, "c", "s")
+        .select(
+            F.col("a").alias("supp_a"),
+            F.col("b").alias("supp_b"),
+            F.col("common").alias("common_customers"),
+        )
         .orderBy(F.col("common_customers").desc(), "supp_a", "supp_b")
         .limit(20)
     )
