@@ -184,15 +184,19 @@ def main() -> int:
     run_phase(additions, min_passes=4)
 
     total = round(sum(times[k] for k in baseline_order), 4)
+    # key order matters: the driver records only the LAST ~2000 chars of
+    # stdout, and the per-query dict is now far larger than that — so
+    # the totals go AFTER "queries", keeping metric/value/value_full/sf
+    # inside the captured tail (r5's record lost them to truncation)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "value_full": round(sum(times.values()), 4),
                 "queries": times,
                 "missing": missing,
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "value": total,
+                "value_full": round(sum(times.values()), 4),
                 "sf": sf,
             }
         )

@@ -1,0 +1,235 @@
+"""Incremental corpus-vs-history near-duplicate detection: dedup an
+incoming batch against an accumulated MinHash signature store WITHOUT
+recomputing signatures for the corpus already ingested.
+
+The production shape for a growing 100 TB corpus: signatures are
+computed once per document on arrival (the expensive shingle->md5->min
+pass touches only the new batch), appended to a signature store, and
+candidate pairs for the increment come from ONE band-key equi-join of
+the new batch's banded signatures against the banded store (new ids on
+the left, store-so-far-plus-batch on the right) — so each increment
+costs O(new x matching-buckets), never O(corpus^2) and never a corpus
+re-scan. The union of per-increment pair sets is EXACTLY the pair set
+a full recompute produces: signatures are per-document deterministic,
+and every pair has at least one member in some increment's batch (the
+increment that saw its second member emits it). Pinned against the
+full-corpus pipeline in tests/test_incremental_dedup.py and oracle-
+checked end to end by the registered ``dedup_incremental_minhash``.
+
+Storage follows the same crash-safe discipline as
+``operators/rollup.py`` (and the reference's dirty-chunk incremental
+flush, tokio-fs/src/lib.rs:207-235): each increment writes NEW
+immutable parquet files (``sigs/batch-v*``, ``pairs/batch-v*``) and
+then flips a pointer file listing the committed versions — an
+increment is O(new) write volume (the store is appended, never
+rewritten), readers resolve the pointer so a crashed increment leaves
+orphan files that are never read (and are overwritten on retry), and
+file-based batch ingest tracks seen source files while streaming
+ingest (``fold_batch``/``foreach_batch``) is replay-safe by batch-id
+high-water mark, exactly like the rollup sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmds_spark.functions.text import lsh_band_keys, minhash_jaccard_estimate
+from dmds_spark.operators.dedup import minhash_signatures
+
+
+class IncrementalMinHashDedup:
+    """A maintained MinHash near-dup index over an append-only corpus.
+
+    ``refresh()`` ingests unseen source files; ``fold_batch()`` ingests
+    a DataFrame micro-batch (replay-safe); ``pairs()`` returns every
+    near-dup pair (id_a < id_b, jaccard_est >= threshold) discovered so
+    far — equal to a full-corpus ``dedup_minhash`` over everything
+    ingested; ``signatures()`` returns the signature store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str | None,
+        store_dir: str,
+        text_col: str,
+        id_col: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        k: int = 3,
+        threshold: float = 0.5,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.store_dir = store_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        self.threshold = threshold
+        os.makedirs(store_dir, exist_ok=True)
+
+    # -- pointer ---------------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.store_dir, "_current.json")
+
+    def _state(self) -> dict:
+        if not os.path.exists(self._pointer):
+            return {"versions": [], "seen_files": [], "last_batch_id": -1}
+        with open(self._pointer) as fh:
+            return json.load(fh)
+
+    def _flip(self, state: dict) -> None:
+        with open(self._pointer, "w") as fh:
+            json.dump(state, fh)
+
+    def _paths(self, kind: str, versions: list[int]) -> list[str]:
+        return [
+            os.path.join(self.store_dir, kind, f"batch-v{v}")
+            for v in versions
+        ]
+
+    # -- readers ---------------------------------------------------------
+    def signatures(self) -> DataFrame | None:
+        vs = self._state()["versions"]
+        if not vs:
+            return None
+        return self.spark.read.parquet(*self._paths("sigs", vs))
+
+    def pairs(self) -> DataFrame | None:
+        vs = self._state()["versions"]
+        if not vs:
+            return None
+        return self.spark.read.parquet(*self._paths("pairs", vs))
+
+    # -- the increment ---------------------------------------------------
+    def _increment_pairs(
+        self, new_sigs: DataFrame, stored_sigs: DataFrame | None
+    ) -> DataFrame:
+        """Near-dup pairs touching the new batch: band-join the new
+        signatures against store-so-far + batch. Carries only
+        (id, band_key) through the join and distinct; the 32-char-wide
+        signatures re-attach by equi-join afterwards (same id-only
+        shuffle discipline as minhash_lsh_candidates)."""
+        id_c = self.id_col
+        rows = self.num_hashes // self.bands
+        all_sigs = (
+            stored_sigs.unionByName(new_sigs)
+            if stored_sigs is not None
+            else new_sigs
+        )
+        bkeys = lambda df, out: df.select(  # noqa: E731
+            F.col(id_c).alias(out),
+            F.explode(
+                lsh_band_keys(F.col("signature"), self.bands, rows)
+            ).alias("band_key"),
+        )
+        ids = (
+            bkeys(new_sigs, "nid")
+            .join(bkeys(all_sigs, "oid"), "band_key")
+            .filter(F.col("nid") != F.col("oid"))
+            .select(
+                F.least("nid", "oid").alias("id_a"),
+                F.greatest("nid", "oid").alias("id_b"),
+            )
+            .distinct()
+        )
+        sa = all_sigs.select(
+            F.col(id_c).alias("id_a"), F.col("signature").alias("sig_a")
+        )
+        sb = all_sigs.select(
+            F.col(id_c).alias("id_b"), F.col("signature").alias("sig_b")
+        )
+        est = minhash_jaccard_estimate(
+            F.col("sig_a"), F.col("sig_b"), self.num_hashes
+        )
+        return (
+            ids.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard_est", est)
+            .filter(F.col("jaccard_est") >= self.threshold)
+            .select("id_a", "id_b", "jaccard_est")
+        )
+
+    def _ingest(self, docs: DataFrame, st: dict) -> int:
+        """Compute the batch's signatures, its increment pairs vs the
+        store, write both as NEW files, return the next version number
+        (caller flips the pointer)."""
+        new_sigs = minhash_signatures(
+            docs, self.text_col, self.id_col, self.num_hashes, self.k
+        ).localCheckpoint(eager=True)  # two consumers: band join + store
+        stored = self.signatures()
+        inc_pairs = self._increment_pairs(new_sigs, stored)
+        v = (max(st["versions"]) + 1) if st["versions"] else 1
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, "sigs", f"batch-v{v}")
+        )
+        inc_pairs.write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, "pairs", f"batch-v{v}")
+        )
+        return v
+
+    # -- public ingest ---------------------------------------------------
+    def refresh(self) -> dict:
+        """Ingest unseen files from ``source_dir``; returns
+        {"new_files": n, "version": v}."""
+        if self.source_dir is None:
+            raise ValueError("refresh() needs source_dir (use fold_batch)")
+        st = self._state()
+        seen = set(st["seen_files"])
+        files = sorted(
+            r["f"]
+            for r in self.spark.read.parquet(self.source_dir)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        new_files = [f for f in files if f not in seen]
+        if not new_files:
+            return {"new_files": 0, "version": max(st["versions"], default=0)}
+        v = self._ingest(self.spark.read.parquet(*new_files), st)
+        self._flip(
+            {
+                "versions": st["versions"] + [v],
+                "seen_files": sorted(seen | set(new_files)),
+                "last_batch_id": st["last_batch_id"],
+            }
+        )
+        return {"new_files": len(new_files), "version": v}
+
+    def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
+        """Streaming maintenance path: ingest one micro-batch of new
+        documents. Idempotent under foreachBatch REPLAY when
+        ``batch_id`` is given (at-least-once delivery): a batch id at
+        or below the high-water mark is skipped, and a crash between
+        file write and pointer flip replays into fresh never-read
+        files, never into served data."""
+        st = self._state()
+        if batch_id is not None and batch_id <= st["last_batch_id"]:
+            return {"skipped": True, "version": max(st["versions"], default=0)}
+        v = self._ingest(df, st)
+        self._flip(
+            {
+                "versions": st["versions"] + [v],
+                "seen_files": st["seen_files"],
+                "last_batch_id": (
+                    batch_id if batch_id is not None else st["last_batch_id"]
+                ),
+            }
+        )
+        return {"skipped": False, "version": v}
+
+    def foreach_batch(self):
+        """Sink for ``writeStream.foreachBatch``: keeps the near-dup
+        index continuously maintained, one increment per micro-batch,
+        replay-safe by batch id."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.fold_batch(batch_df, batch_id)
+
+        return _sink

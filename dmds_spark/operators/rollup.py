@@ -83,6 +83,15 @@ def _merge_partials(
     return parts.groupBy(*group_cols).agg(*aggs)
 
 
+class RollupSchemaError(ValueError):
+    """Stored rollup partials do not match the configured columns —
+    e.g. ``distinct_cols`` was enabled after versions were written
+    without the ``hll_<col>`` partials, or a group/value column was
+    renamed. Raised eagerly with the exact column diff instead of
+    letting ``unionByName`` fail mid-merge with an opaque
+    missing-column error."""
+
+
 class IncrementalRollup:
     """A maintained rollup of ``source_dir`` grouped by ``group_cols``
     with decomposable partials over ``value_cols``.
@@ -121,12 +130,39 @@ class IncrementalRollup:
     def _version_path(self, version: int) -> str:
         return os.path.join(self.rollup_dir, f"v{version}")
 
+    def _expected_columns(self) -> list[str]:
+        cols = list(self.group_cols) + ["cnt"]
+        for c in self.value_cols:
+            cols += [f"sum_{c}", f"min_{c}", f"max_{c}"]
+        cols += [f"hll_{c}" for c in self.distinct_cols]
+        return cols
+
+    def _validate_stored(self, cur: DataFrame) -> None:
+        expected = self._expected_columns()
+        stored = list(cur.columns)
+        missing = [c for c in expected if c not in stored]
+        extra = [c for c in stored if c not in expected]
+        if missing or extra:
+            raise RollupSchemaError(
+                f"stored rollup at {self.rollup_dir} does not match the "
+                f"configured columns (missing={missing}, extra={extra}). "
+                "Likely cause: group/value/distinct_cols changed after "
+                "versions were written (enabling distinct_cols adds "
+                "hll_<col> partials that old versions lack). Partials "
+                "cannot be back-filled from the rollup alone — rebuild "
+                "into a fresh rollup_dir with the new config, or restore "
+                "the original column config."
+            )
+
     # -- public API -----------------------------------------------------
-    def read(self) -> DataFrame | None:
+    def read(self, validate: bool = True) -> DataFrame | None:
         st = self._state()
         if st["version"] == 0:
             return None
-        return self.spark.read.parquet(self._version_path(st["version"]))
+        cur = self.spark.read.parquet(self._version_path(st["version"]))
+        if validate:
+            self._validate_stored(cur)
+        return cur
 
     def read_estimates(self) -> DataFrame | None:
         """The rollup with each HLL partial replaced by its distinct

@@ -126,14 +126,45 @@ _CHECKED_R04: frozenset[str] = frozenset({
     "multimodal_decode_stats", "multimodal_frame_sample",
 })
 
+# round 5 (CORRECTNESS_r05.json): 50 rows — 49 hash-green, 1 rows-only
+# by design (multimodal_audio_resample: no oracle SQL, plausible rows).
+_CHECKED_R05: frozenset[str] = frozenset({
+    "agg_collect_sorted", "agg_weighted_median",
+    "dedup_cluster_size_dist", "dedup_containment_verify",
+    "dedup_cross_source_overlap", "dedup_embedding_neardup_arrow",
+    "dedup_fuzzy_fingerprint_pairs", "dmds_select_3d",
+    "dmds_select_hinted_box", "embedding_centroids",
+    "embedding_dim_stats", "embedding_norm_stats",
+    "embedding_quantize_int8", "events_active_users_rolling",
+    "events_attribution_last_touch", "events_concurrency_peak",
+    "events_daily_anomalies_mad", "events_inter_arrival_median",
+    "events_late_arrivals", "events_scd2_intervals",
+    "events_session_stats", "events_time_weighted_value",
+    "events_transition_counts", "events_user_path_topk",
+    "graph_common_neighbors", "graph_degree_distribution",
+    "graph_triangle_count", "market_basket_pairs",
+    "multimodal_audio_resample", "orders_cohort_ltv",
+    "orders_rolling_7d_revenue", "parts_price_dispersion",
+    "parts_yoy_revenue", "profile_covariance", "profile_equidepth_bins",
+    "profile_field_completeness", "profile_ks_drift",
+    "rollup_incremental_orders", "sample_temperature_mixture",
+    "similarity_pairs_threshold_arrow",
+    "similarity_quantized_rerank_topk", "suppliers_pareto_class",
+    "suppliers_winsorized_balance", "text_hapax_ratio",
+    "text_source_vocab_jaccard", "text_trigram_novelty",
+    "text_zipf_topk", "tokens_domain_mixture",
+    "tokens_length_histogram", "tokens_shard_plan",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
-    _CHECKED_R01 - _CHECKED_R04,
-    _CHECKED_R02 - _CHECKED_R04,
-    _CHECKED_R04,
+    _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05,
+    _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05,
+    _CHECKED_R04 - _CHECKED_R05,
+    _CHECKED_R05,
 )
 _DRIVER_CHECKED: frozenset[str] = (
-    _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04
+    _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
@@ -197,5 +228,9 @@ def _load():
     # batch seven registers BEHIND the round-5 window (50 unchecked
     # already queued): these lead round 6's driver evidence instead
     from dmds_spark.queries import llm_extra8  # noqa: F401
+    # round-6 additions: queue behind the 15 round-5 never-checked
+    # queries at the front of the driver window (15 + these <= 50,
+    # leaving the remaining slots to rotate the oldest r01 evidence)
+    from dmds_spark.queries import llm_extra9  # noqa: F401
 
     _LOADED = True

@@ -655,10 +655,13 @@ def sample_temperature_mixture(spark, sf_dir):
     n AS (SELECT SUM(c) AS N FROM sc)
     SELECT scum.source, CAST(MIN(ns.ns) AS BIGINT) AS n_source,
            CAST(MIN(n.N) AS BIGINT) AS n_corpus,
-           CAST(MAX(ABS(scum.cs * n.N - gcum.gc * ns.ns)) AS BIGINT)
+           CAST(MAX(ABS(CAST(scum.cs AS HUGEINT) * n.N
+                        - CAST(gcum.gc AS HUGEINT) * ns.ns)) AS VARCHAR)
              AS ks_num,
-           CAST(CAST(MAX(ABS(scum.cs * n.N - gcum.gc * ns.ns)) AS DOUBLE)
-                / (MIN(ns.ns) * MIN(n.N)) AS DOUBLE) AS ks_stat
+           CAST(CAST(MAX(ABS(CAST(scum.cs AS HUGEINT) * n.N
+                             - CAST(gcum.gc AS HUGEINT) * ns.ns)) AS DOUBLE)
+                / CAST(CAST(MIN(ns.ns) AS HUGEINT) * MIN(n.N) AS DOUBLE)
+                AS DOUBLE) AS ks_stat
     FROM scum JOIN gcum ON scum.v = gcum.v
               JOIN ns ON ns.source = scum.source, n
     GROUP BY scum.source
@@ -711,14 +714,22 @@ def profile_ks_drift(spark, sf_dir):
         .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(n))
     )
-    diff = F.abs(F.col("cs") * F.col("N") - F.col("gc") * F.col("ns"))
+    # cross-multiplied ECDF difference widened to decimal(38,0) BEFORE
+    # the products: cs*N and ns*N pass 2^63 beyond ~3e9 docs (ANSI
+    # overflow on both engines otherwise); ks_num emitted as a digit
+    # string per the exactness contract since it can exceed bigint too
+    dec = "decimal(38,0)"
+    diff = F.abs(
+        F.col("cs").cast(dec) * F.col("N")
+        - F.col("gc").cast(dec) * F.col("ns")
+    )
     return j.groupBy("source").agg(
         F.min("ns").cast("bigint").alias("n_source"),
         F.min("N").cast("bigint").alias("n_corpus"),
-        F.max(diff).cast("bigint").alias("ks_num"),
+        F.max(diff).cast("string").alias("ks_num"),
         (
             F.max(diff).cast("double")
-            / (F.min("ns") * F.min("N")).cast("double")
+            / (F.min("ns").cast(dec) * F.min("N")).cast("double")
         ).alias("ks_stat"),
     )
 

@@ -832,7 +832,9 @@ def orders_value_gini(spark, sf_dir):
     agg = r.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("c").cast(dec)).alias("s"),
-        F.sum((F.col("i") * F.col("c")).cast(dec)).alias("sic"),
+        # cast i BEFORE the product: i*c in int64 overflows past ~1e19
+        # rank*cents (DuckDB's twin multiplies in HUGEINT already)
+        F.sum(F.col("i").cast(dec) * F.col("c")).alias("sic"),
     )
     return agg.selectExpr(
         "CAST(n AS BIGINT) AS n_orders",

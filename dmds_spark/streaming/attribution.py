@@ -33,17 +33,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_LOOKBACK = "7 days"
+DEFAULT_DELAY = "10 minutes"
 
 
 def split_touch_streams(
     events: DataFrame,
     purchase_type: str = "purchase",
     touch_types: tuple[str, ...] = ("click", "view"),
-    delay: str = "0 seconds",
+    delay: str = DEFAULT_DELAY,
 ) -> tuple[DataFrame, DataFrame]:
     """Split one event feed into watermarked purchase / touch streams
     with disjoint column names (stream-stream joins need both sides'
-    event-time columns live in the output)."""
+    event-time columns live in the output).
+
+    ``delay`` is the watermark lateness tolerance, and it is a DROP
+    threshold, not a hint: any touch or purchase arriving more than
+    ``delay`` behind the max observed event time is silently excluded
+    from attribution (Spark drops it before the join). The default is
+    a modest 10 minutes — real feeds are never perfectly ordered
+    across micro-batches, and a "0 seconds" default would silently
+    undercount attributions for every slightly-late event. Set it
+    explicitly to your feed's observed lateness; tests that need
+    deterministic eviction pass "0 seconds" on purpose. Larger delay =
+    more join state retained (state is bounded by delay + lookback
+    per side either way)."""
     p = (
         events.filter(F.col("event_type") == purchase_type)
         .select(

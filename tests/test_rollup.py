@@ -190,3 +190,41 @@ def test_distinct_sketch_rollup_matches_exact_at_small_cardinality(
         assert abs(est[k] - nd) <= max(2, 0.05 * nd), (k, est[k], nd)
     # the numeric partials are untouched by the sketch column
     assert {"cnt", "sum_o_totalprice"} <= set(ru.read().columns)
+
+
+def test_config_change_on_stored_versions_raises_clear_error(
+    spark, tmp_path, source
+):
+    """Enabling distinct_cols (or renaming a column) AFTER versions were
+    written without the matching partials must fail eagerly with a
+    RollupSchemaError naming the column diff — not deep inside
+    unionByName with an opaque missing-column error."""
+    from dmds_spark.operators.rollup import RollupSchemaError
+
+    d, orders = source
+    rdir = str(tmp_path / "rollup_s")
+    ru = IncrementalRollup(
+        spark, d, rdir, ["o_orderstatus"], ["o_totalprice"]
+    )
+    ru.refresh()
+
+    # same stored dir, new config that old versions lack partials for
+    ru2 = IncrementalRollup(
+        spark, d, rdir, ["o_orderstatus"], ["o_totalprice"],
+        distinct_cols=["o_custkey"],
+    )
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "s1")
+    with pytest.raises(RollupSchemaError, match="hll_o_custkey"):
+        ru2.refresh()
+    with pytest.raises(RollupSchemaError, match="missing"):
+        ru2.read()
+
+    # renamed value column: stored sum_o_totalprice becomes "extra"
+    ru3 = IncrementalRollup(
+        spark, d, rdir, ["o_orderstatus"], ["o_shippriority"]
+    )
+    with pytest.raises(RollupSchemaError, match="sum_o_shippriority"):
+        ru3.read()
+
+    # the original config still reads and refreshes fine
+    assert ru.refresh()["new_files"] >= 1
