@@ -121,6 +121,11 @@ ADDITIONS = [
     # round-5 batch eleven
     "text_lang_confusion",
     "sample_hamilton_allocation",
+    # round-6 additions (dedup_fuzzy_fingerprint_pairs_fast is the
+    # xxhash64 blocking twin: benched alongside the md5 form so the
+    # recall-vs-cost trade-off has both numbers of record)
+    "dedup_incremental_minhash",
+    "dedup_fuzzy_fingerprint_pairs_fast",
 ]
 
 

@@ -167,6 +167,33 @@ def rolling_fingerprint(text_col: str, ngram: int = 8) -> Column:
     )
 
 
+def rolling_fingerprint_fast(text_col: str, ngram: int = 8) -> Column:
+    """Engine twin of ``rolling_fingerprint``: minimum ``xxhash64``
+    (bigint) over the same character n-gram windows — the same
+    blocking SEMANTICS (documents sharing their minimum n-gram under a
+    uniform hash collide, P(min-gram collision) = Jaccard of the gram
+    sets) at ~10x less per-position hash cost, since xxhash64 is a
+    64-bit JVM hash while md5 allocates a 32-char hex digest per
+    window. The md5 form stays the oracle-parity default (DuckDB has
+    md5; xxhash64's bit layout is Spark-specific, so the twin is
+    rows-only/engine-side).
+
+    The min is taken over a DIFFERENT hash order, so the two variants
+    sample DIFFERENT (overlapping) subsets of the true near-dup pairs
+    — single-fingerprint blocking is one-hash MinHash, and on a
+    templated corpus whichever common gram happens to carry the
+    globally smallest hash collects every doc containing it (measured
+    at sf0.1: max bucket 315 docs under md5 vs 1130 under xxhash64 →
+    3.1x the candidate pairs and 866 vs 391 verified true pairs).
+    Downstream cost therefore tracks RECALL, not hash throughput; see
+    dedup_fuzzy_fingerprint_pairs_fast for the measured account, and
+    tests/test_fuzzy_fingerprint.py for the ground-truth recall pins
+    on the test corpus."""
+    return F.array_min(
+        F.transform(char_ngrams(text_col, ngram), lambda g: F.xxhash64(g))
+    )
+
+
 # Stopword profiles for the language-ID heuristic. Tiny on purpose:
 # the heuristic is a deterministic scoring rule (top stopword-hit-rate
 # wins, ties broken alphabetically), not a trained model.

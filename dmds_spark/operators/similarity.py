@@ -448,3 +448,56 @@ def kmeans_assign(
             (c, new_centers.get(c, vals)) for c, vals in centers
         ]
     return assigned.select(id_col, "cluster")
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the deterministic
+    ``kmeans_assign``, compare pairs ONLY within a cluster, and drop
+    every vector whose cosine to a LOWER-id cluster-mate reaches
+    ``threshold`` (keep-first canonical — same policy as
+    dedup_minhash_keep_first). Returns survivors (id, cluster).
+
+    Why this scales where all-pairs cannot: the pairwise comparison is
+    restricted to cluster blocks, so the join cost is sum over
+    clusters of size^2 instead of N^2 — at 100 TB you raise k so
+    clusters stay ~1e3-1e4 vectors (SemDeDup's published setting) and
+    the block self-join stays executor-sized; the cluster key is the
+    shuffle key, so each block compares co-located. Semantic recall
+    beyond MinHash/SimHash: near-duplicate MEANING (paraphrases,
+    templated rewrites) lands in the same cluster even when the
+    surface n-grams differ. A pair SPLIT across clusters is missed —
+    that is SemDeDup's documented approximation, the price of the
+    block bound.
+
+    The within-cluster prune is pinned equal to an independent
+    numpy brute-force in tests/test_similarity_ops.py."""
+    assigned = kmeans_assign(df, id_col, vec_col, k, iters)
+    vecs = df.select(F.col(id_col), F.col(vec_col)).join(
+        assigned, id_col
+    ).localCheckpoint(eager=True)  # consumed by both join sides + anti
+    a = vecs.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    doomed = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return vecs.join(doomed, id_col, "left_anti").select(id_col, "cluster")

@@ -386,10 +386,19 @@ def dedup_fuzzy_fingerprint_pairs(spark, sf_dir):
       run."""
     from dmds_spark.functions.text import rolling_fingerprint
 
-    d = _docs(spark, sf_dir)
+    return fuzzy_pairs_blocked(
+        _docs(spark, sf_dir), rolling_fingerprint("text", _FP_NGRAM)
+    )
+
+
+def fuzzy_pairs_blocked(d, fp_expr):
+    """Shared body of dedup_fuzzy_fingerprint_pairs and its xxhash64
+    fast twin (llm_extra9): block on ``fp_expr``, length-band, verify
+    with thresholded Levenshtein. ``fp_expr`` is any per-doc blocking
+    key expression (null = unblockable doc)."""
     fp = d.select(
         "doc_id",
-        rolling_fingerprint("text", _FP_NGRAM).alias("fp"),
+        fp_expr.alias("fp"),
         F.length("text").alias("ln"),
     ).filter(F.col("fp").isNotNull()).localCheckpoint(eager=True)
     # ^ the blocking self-join consumes fp TWICE (a and b sides); the

@@ -669,7 +669,8 @@ def graph_common_neighbors(spark, sf_dir):
     # wedge enumeration via the shared operator (operators/graph.py —
     # same join shape; its optional degree_cap is the 100 TB hub
     # mitigation, deliberately OFF here so the registered query stays
-    # exact and oracle-checkable)
+    # exact and oracle-checkable; the cap-engaged twin is registered
+    # as graph_common_neighbors_capped, rows-only, in llm_extra9)
     from dmds_spark.operators.graph import common_neighbor_counts
 
     return (

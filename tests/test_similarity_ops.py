@@ -226,3 +226,46 @@ def test_quantized_rerank_equals_bruteforce_topk(spark):
     )
     want = [i for _, i in order[:10]]
     assert set(got) == set(want)
+
+
+def test_semdedup_prune_matches_numpy_bruteforce(spark):
+    """The SemDeDup composite must equal an independent numpy
+    brute-force of the same policy: same k-means assignment (the
+    deterministic operator is reused — ITS determinism is pinned
+    above), then per-cluster all-pairs cosine in numpy, dropping every
+    id whose cosine to a lower id in the same cluster >= threshold."""
+    import numpy as np
+
+    from dmds_spark.operators.similarity import semdedup_prune
+
+    T = 0.35
+    emb = _emb(spark)
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in semdedup_prune(
+            emb, "vec_id", "embedding", k=8, iters=2, threshold=T
+        ).collect()
+    }
+
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            emb, "vec_id", "embedding", k=8, iters=2
+        ).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    survivors = set()
+    for cl in set(assign.values()):
+        ids = sorted(i for i, c in assign.items() if c == cl)
+        mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        sims = mat @ mat.T
+        for row, i in enumerate(ids):
+            if not any(
+                sims[row, prev] >= T - 1e-12 for prev in range(row)
+            ):
+                survivors.add((i, cl))
+    # exact agreement up to float tie edges: no pair sits within 1e-9
+    # of the threshold on this corpus, so the sets must be identical
+    assert got == survivors
+    assert 300 < len(got) < 500  # prune is non-trivial and non-total
