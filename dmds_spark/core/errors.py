@@ -38,3 +38,18 @@ class ValueMovedError(DmdsError):
 class WorldSpecError(DmdsError):
     """Invalid world geometry, e.g. range length not divisible by
     items-per-chunk (reference panics at src/range.rs:24-30)."""
+
+
+class WorldLockedError(DmdsError):
+    """Another process holds the world's writer lock. Carries the
+    holder's recorded identity so operators can decide whether to wait
+    or to break a stale lock (``World.break_lock``)."""
+
+    def __init__(self, path: str, holder: dict):
+        self.path = path
+        self.holder = holder
+        super().__init__(
+            f"world at {path} is write-locked by {holder} "
+            "(close() the other writer, or World.break_lock(path) if "
+            "it is known dead)"
+        )

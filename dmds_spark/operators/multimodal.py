@@ -149,23 +149,66 @@ def decode_images(media: DataFrame, fake: bool | None = None) -> DataFrame:
     """Decode stage: parse each image's header executor-side. Arrow
     streams binary batches into pandas; nothing touches the driver.
     ``fake`` as in decode_image: None = per-content auto (DMDS bytes
-    via the deterministic parser, real images via Pillow if present)."""
+    via the deterministic parser, real images via Pillow if present).
+
+    The DMDS header parse is VECTORIZED (same treatment the audio
+    paths got): the fixed 16-byte headers of a batch stack into one
+    (n, 16) uint8 matrix, magic check and the three big-endian uint32
+    fields fold as numpy column ops — no per-row Python in the non-PIL
+    path. Only rows that need a real codec (non-DMDS magic under
+    fake=None, or fake=False) drop to the per-image Pillow branch,
+    which is inherently per-image."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        magic = np.frombuffer(MEDIA_MAGIC, dtype=np.uint8)
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype="int64") for f in DECODED_SCHEMA}
+        )
         for pdf in batches:
-            out = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                d = decode_image(bytes(content), fake=fake)
-                out.append(
-                    {
-                        "media_id": int(media_id),
-                        "width": d["width"],
-                        "height": d["height"],
-                        "channels": d["channels"],
-                        "payload_bytes": len(content) - 16,
-                    }
-                )
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                yield empty
+                continue
+            raws = [bytes(c) for c in pdf["content"]]
+            lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=n)
+            hdr = np.zeros((n, 16), dtype=np.uint8)
+            ok16 = lens >= 16
+            if ok16.any():
+                hdr[ok16] = np.frombuffer(
+                    b"".join(r[:16] for r, k in zip(raws, ok16) if k),
+                    dtype=np.uint8,
+                ).reshape(-1, 16)
+            is_dmds = ok16 & (hdr[:, :4] == magic).all(axis=1)
+            use_fake = (
+                np.full(n, True) if fake is True
+                else np.full(n, False) if fake is False
+                else is_dmds.copy()
+            )
+            if fake is True and not is_dmds.all():
+                raise ValueError("bad magic")
+            h32 = hdr[:, 4:16].reshape(n, 3, 4).astype(np.int64)
+            whc = (
+                (h32[:, :, 0] << 24) | (h32[:, :, 1] << 16)
+                | (h32[:, :, 2] << 8) | h32[:, :, 3]
+            )
+            width = whc[:, 0].copy()
+            height = whc[:, 1].copy()
+            channels = whc[:, 2].copy()
+            for i in np.flatnonzero(~use_fake):  # real-codec rows only
+                d = decode_image(raws[i], fake=False)
+                width[i], height[i] = d["width"], d["height"]
+                channels[i] = d["channels"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "channels": channels.astype("int32"),
+                    "payload_bytes": lens - 16,
+                }
+            )
 
     return media.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
 
@@ -219,22 +262,23 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256, stride: int = 2) -> 
     pipeline shape (real demuxers plug into the same seam)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame({"media_id": [], "frame_no": [], "frame": []})
         for pdf in batches:
-            out = []
+            # columnar assembly (no dict-per-frame): the only per-frame
+            # work left is the byte slice itself, which IS the output
+            ids, nos, frames = [], [], []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(content)[16:]
-                n_frames = len(payload) // frame_bytes
-                for i in range(0, n_frames, stride):
-                    out.append(
-                        {
-                            "media_id": int(media_id),
-                            "frame_no": i,
-                            "frame": payload[i * frame_bytes : (i + 1) * frame_bytes],
-                        }
-                    )
-            yield pd.DataFrame(out) if out else pd.DataFrame(
-                {"media_id": [], "frame_no": [], "frame": []}
-            )
+                kept = range(0, len(payload) // frame_bytes, stride)
+                ids.extend([int(media_id)] * len(kept))
+                nos.extend(kept)
+                frames.extend(
+                    payload[i * frame_bytes:(i + 1) * frame_bytes]
+                    for i in kept
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames}
+            ) if ids else empty
 
     return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
 

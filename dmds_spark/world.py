@@ -31,9 +31,12 @@ range — no precision loss at the directory level beyond the grouping).
 
 from __future__ import annotations
 
+import json
 import os
+import socket
 import threading
 import time
+import uuid
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +45,122 @@ from pyspark.sql import types as T
 
 from dmds_spark.core.dims import WorldSpec
 from dmds_spark.core.select import Select, Shape
-from dmds_spark.core.errors import ValueOutOfRangeError
+from dmds_spark.core.errors import ValueOutOfRangeError, WorldLockedError
+
+
+class WriterLock:
+    """Cross-process single-writer token for a world directory: a
+    ``_writer.lock`` file created with O_CREAT|O_EXCL (atomic on POSIX
+    and on HDFS-compatible stores' create-exclusive), holding the
+    writer's pid/host/session token. The in-process ``threading.Lock``
+    serializes flush-vs-writer within one session (the reference's
+    ``lock_w``, src/world.rs:58, guards a single process the same
+    way); THIS lock extends the single-writer discipline across
+    processes sharing the filesystem, which chunk-granularity dynamic
+    partition overwrite requires (two writers flushing from different
+    base snapshots would silently drop each other's rows).
+
+    Failure modes, documented:
+    - A crashed writer leaves a stale lock. Same-host staleness is
+      detected (recorded pid no longer alive) and the lock is broken
+      automatically on the next acquire; cross-host staleness cannot
+      be probed from here — break it explicitly with
+      ``World.break_lock(path)`` after confirming the writer is dead.
+    - The lock is ADVISORY: it fences cooperating ``World`` writers
+      only. A rogue process writing parquet into the directory without
+      going through ``World`` is not stopped (plain parquet layouts
+      have no server to enforce leases; same trust model as the
+      reference's in-process lock).
+    - There is no fencing token on the data files themselves: a writer
+      that loses its lock file mid-flush (manual break of a LIVE
+      writer) can still complete that flush. Break locks only for
+      dead writers."""
+
+    FILENAME = "_writer.lock"
+
+    def __init__(self, dir_path: str):
+        self.dir_path = dir_path
+        self.path = os.path.join(dir_path, self.FILENAME)
+        self.token = uuid.uuid4().hex
+        self._held = False
+
+    def _holder(self) -> dict | None:
+        try:
+            with open(self.path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None  # vanished or torn write: treat as contended
+
+    @staticmethod
+    def _alive_same_host(holder: dict | None) -> bool | None:
+        """True/False when the holder's liveness is decidable (same
+        host), None when it is not (other host or unreadable)."""
+        if not holder or holder.get("host") != socket.gethostname():
+            return None
+        try:
+            os.kill(int(holder["pid"]), 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by another user
+        except (OSError, ValueError):
+            return None
+
+    def acquire(self) -> None:
+        if self._held:
+            return
+        os.makedirs(self.dir_path, exist_ok=True)
+        payload = json.dumps(
+            {
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "token": self.token,
+                "acquired_at": time.time(),
+            }
+        ).encode()
+        for _ in range(3):  # one retry per stale break + one for races
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, payload)
+                finally:
+                    os.close(fd)
+                self._held = True
+                return
+            except FileExistsError:
+                holder = self._holder()
+                if holder and holder.get("pid") == os.getpid() and holder.get(
+                    "host"
+                ) == socket.gethostname():
+                    # another World instance in THIS process holds it:
+                    # adopt without taking release responsibility —
+                    # intra-process coordination is the threading
+                    # locks' job (reference lock_w scope), and the
+                    # file token stays with the instance that wrote it
+                    return
+                if self._alive_same_host(holder) is False:
+                    # same host, recorded pid dead: stale — break it
+                    try:
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise WorldLockedError(self.dir_path, holder or {})
+        raise WorldLockedError(self.dir_path, self._holder() or {})
+
+    def release(self) -> None:
+        if not self._held:
+            return
+        self._held = False
+        holder = self._holder()
+        # only remove our own token (a broken-then-reacquired lock
+        # belongs to someone else now)
+        if holder and holder.get("token") == self.token:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
 
 
 class World:
@@ -78,6 +196,10 @@ class World:
         self._ops: list[tuple[int, str, DataFrame]] = []
         self._seq = 0
         self._lock = threading.Lock()  # flush vs. writer (reference lock_w, src/world.rs:58)
+        # cross-process single-writer token, taken lazily at the first
+        # mutating op and held until close() — see WriterLock for the
+        # protocol and its documented failure modes
+        self._writer_lock = WriterLock(path)
         # buffer cap (reference ``World::set_chunks_limit`` eviction,
         # src/world.rs:295-299,462-512): past the limit the op log
         # auto-flushes, so read planning cost and driver references stay
@@ -242,7 +364,8 @@ class World:
         self._pending_limit = limit
 
     def _append_op(self, kind: str, df: DataFrame) -> None:
-        with self._lock:
+        self._writer_lock.acquire()  # no-op once held; WorldLockedError
+        with self._lock:             # if another process is writing
             self._seq += 1
             self._ops.append((self._seq, kind, df))
             over = (
@@ -737,6 +860,41 @@ class World:
             F.min("__min_id").cast("long").alias("min_id"),
             F.max("__max_id").cast("long").alias("max_id"),
         )
+
+
+    # -- writer-session lifecycle -------------------------------------------
+
+    def close(self) -> None:
+        """Flush anything pending and release the cross-process writer
+        lock — the reference's flush-on-drop (ShutdownHandle,
+        tokio-fs/src/lib.rs:158-200) plus lock release. Idempotent; a
+        World used only for reads never took the lock and this is a
+        pure no-op."""
+        if self._ops:
+            self.flush()
+        self._writer_lock.release()
+
+    def __enter__(self) -> "World":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    @staticmethod
+    def break_lock(path: str) -> bool:
+        """Forcibly remove a world's writer lock file. ONLY for locks
+        whose holder is confirmed dead on a host we cannot probe from
+        here (same-host dead holders are broken automatically on the
+        next acquire) — breaking a live writer's lock forfeits the
+        single-writer guarantee for its in-flight flush (see
+        WriterLock failure modes). Returns True if a lock was
+        removed."""
+        p = os.path.join(path, WriterLock.FILENAME)
+        try:
+            os.unlink(p)
+            return True
+        except FileNotFoundError:
+            return False
 
 
 class FlushDaemon:
