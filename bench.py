@@ -126,6 +126,16 @@ ADDITIONS = [
     # recall-vs-cost trade-off has both numbers of record)
     "dedup_incremental_minhash",
     "dedup_fuzzy_fingerprint_pairs_fast",
+    # round-6 batch two
+    "tokens_bpe_merge_candidates",
+    "text_pii_counts",
+    "text_vocab_growth",
+    "similarity_lsh_recall_report",
+    "lineitem_corr_components",
+    "sample_systematic_every_k",
+    "events_inter_arrival_histogram",
+    "dedup_semdedup_prune",
+    "graph_common_neighbors_capped",
 ]
 
 

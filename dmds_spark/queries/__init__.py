@@ -232,5 +232,6 @@ def _load():
     # queries at the front of the driver window (15 + these <= 50,
     # leaving the remaining slots to rotate the oldest r01 evidence)
     from dmds_spark.queries import llm_extra9  # noqa: F401
+    from dmds_spark.queries import llm_extra10  # noqa: F401
 
     _LOADED = True
