@@ -136,6 +136,14 @@ ADDITIONS = [
     "events_inter_arrival_histogram",
     "dedup_semdedup_prune",
     "graph_common_neighbors_capped",
+    # round-6 batch three
+    "window_ewma_pow2",
+    "text_repetition_profile",
+    "profile_duplicate_rows",
+    "tokens_vocab_truncation_loss",
+    "graph_supplier_jaccard",
+    "events_weekday_hour_heatmap",
+    "multimodal_byte_histogram",
 ]
 
 

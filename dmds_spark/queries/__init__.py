@@ -233,5 +233,6 @@ def _load():
     # leaving the remaining slots to rotate the oldest r01 evidence)
     from dmds_spark.queries import llm_extra9  # noqa: F401
     from dmds_spark.queries import llm_extra10  # noqa: F401
+    from dmds_spark.queries import llm_extra11  # noqa: F401
 
     _LOADED = True

@@ -94,7 +94,9 @@ def test_ks_drift_identical_source_scores_zero(spark, tmp_path):
     df.write.parquet(f"{d}/documents.parquet")
     out = all_queries()["profile_ks_drift"](spark, d).collect()
     assert len(out) == 1
-    assert out[0]["ks_num"] == 0
+    # ks_num is a digit string (can exceed bigint at scale — the
+    # decimal(38,0) widening from the round-6 overflow fix)
+    assert out[0]["ks_num"] == "0"
     assert out[0]["ks_stat"] == 0.0
 
 
