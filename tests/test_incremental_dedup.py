@@ -113,3 +113,83 @@ def test_stream_foreach_batch_twin_matches_batch(spark, tmp_path, full):
         open(f"{tmp_path}/store/_current.json")
     )["versions"]
     assert _pairs(store.pairs()) == full
+
+
+def test_random_batch_splits_equal_full_recompute(spark, tmp_path):
+    """Property sweep (not one hand-picked split): for RANDOM
+    partitions of a small corpus into 1-4 ingest batches — including
+    empty batches and singleton batches — the accumulated pair set
+    must equal the full-corpus recompute. Catches order-dependence,
+    empty-increment handling, and batch-boundary pair loss."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    docs = _docs(spark).filter(F.col("doc_id") < 60)
+    full = _pairs(dedup_minhash(docs, "text", "doc_id", NH, B, T))
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    case_no = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(assign=st.lists(
+        st.integers(min_value=0, max_value=3),
+        min_size=len(rows), max_size=len(rows)))
+    def check(assign):
+        case_no[0] += 1
+        sdir = str(tmp_path / f"store_{case_no[0]}")
+        store = IncrementalMinHashDedup(
+            spark, None, sdir, "text", "doc_id", NH, B, K, T
+        )
+        for batch in range(4):
+            chunk = [r for r, a in zip(rows, assign) if a == batch]
+            if not chunk:
+                continue
+            store.fold_batch(
+                spark.createDataFrame(chunk, ["doc_id", "text"]),
+                batch_id=batch,
+            )
+        got = _pairs(store.pairs()) if store.pairs() is not None else set()
+        assert got == full
+
+    check()
+
+
+def test_writer_lock_race_exactly_one_winner(tmp_path):
+    """N processes race to acquire the same writer lock concurrently:
+    exactly one must win (O_CREAT|O_EXCL atomicity), and after the
+    winner releases, a fresh acquire succeeds."""
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "w")
+    os.makedirs(path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import json, sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from dmds_spark.world import WriterLock\n"
+        "from dmds_spark.core.errors import WorldLockedError\n"
+        "time.sleep(0.05)  # let all racers start\n"
+        "lk = WriterLock(%r)\n"
+        "try:\n"
+        "    lk.acquire()\n"
+        "    time.sleep(0.3)  # hold while the others fail\n"
+        "    lk.release()\n"
+        "    print('WIN')\n"
+        "except WorldLockedError:\n"
+        "    print('LOSE')\n"
+    ) % (repo, path)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(6)
+    ]
+    outs = [p.communicate(timeout=60)[0].strip() for p in procs]
+    assert sorted(outs).count("WIN") == 1, outs
+    assert all(o in ("WIN", "LOSE") for o in outs)
+    from dmds_spark.world import WriterLock
+
+    lk = WriterLock(path)
+    lk.acquire()
+    lk.release()
