@@ -428,7 +428,10 @@ def lineitem_corr_components(spark, sf_dir):
         aggs.append(
             F.sum(F.col(a).cast(dec) * F.col(bcol)).alias(f"p_{a}_{bcol}")
         )
-    one = v.agg(*aggs)
+    # ONE row of sums/squares/cross-products; SIX pair-row consumers —
+    # without the barrier every union branch re-runs the full scan
+    # (plan-pinned single-scan in test_plans.py)
+    one = v.agg(*aggs).localCheckpoint(eager=True)
     rows = []
     for a, bcol in itertools.combinations(names, 2):
         rows.append(

@@ -269,6 +269,10 @@ def tokens_vocab_truncation_loss(spark, sf_dir):
         d.select(F.explode(F.split("text", " ")).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        # vocabulary-sized; TWO consumers (rank + totals) — without the
+        # barrier each re-scans and re-counts the token stream
+        # (plan-pinned single-scan in test_plans.py)
+        .localCheckpoint(eager=True)
     )
     ranked = cnt.select(
         "c",

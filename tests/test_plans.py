@@ -805,3 +805,109 @@ def test_hamilton_totals_exact(spark, qs):
     rows = qs["sample_hamilton_allocation"](spark, SF).collect()
     assert sum(r["alloc"] for r in rows) == 1000
     assert all(r["alloc"] - r["base_alloc"] in (0, 1) for r in rows)
+
+
+# --- round-6 pins -----------------------------------------------------------
+
+
+def test_corr_components_single_scan_partial_agg(spark, qs):
+    """All six correlation pairs' SS terms must come from ONE lineitem
+    scan and a two-phase aggregate — a per-pair scan would read the
+    100 TB fact table six times."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["lineitem_corr_components"](spark, SF)
+    # the one aggregate materializes at build (localCheckpoint barrier:
+    # 1 row, 6 pair-row consumers), so the served plan shows 0 file
+    # scans; anything >1 means a union branch re-scans the fact table
+    assert scan_count(df) <= 1
+
+
+def test_incremental_dedup_band_equijoin_id_only(spark, tmp_path):
+    """The increment's candidate join is an equi-join on band_key
+    carrying ids only — never nested-loop, and never the 512-byte
+    signatures through the shuffle (they re-attach post-distinct)."""
+    from dmds_spark.operators.dedup import minhash_signatures
+    from dmds_spark.operators.incremental_dedup import IncrementalMinHashDedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = IncrementalMinHashDedup(
+        spark, None, str(tmp_path / "s"), "text", "doc_id"
+    )
+    new_sigs = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", 16, 3
+    ).localCheckpoint(eager=True)
+    stored = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", 16, 3
+    ).localCheckpoint(eager=True)
+    df = store._increment_pairs(new_sigs, stored)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
+
+
+def test_pii_counts_single_scan_partial_agg(spark, qs):
+    """All four pattern counts fuse into one scan + one two-phase
+    aggregate; the scan must read only (source, text)."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["text_pii_counts"](spark, SF)
+    assert scan_count(df) == 1
+    plan = physical_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan
+    rs = read_schemas(df)[0]
+    assert "doc_id" not in rs and "n_chars" not in rs
+
+
+def test_vocab_truncation_single_type_rank(spark, qs):
+    """The only sort ranks the vocabulary-sized type table; the sweep
+    over candidate sizes is a broadcast grid, not extra scans."""
+    from dmds_spark.plans import scan_count
+
+    df = qs["tokens_vocab_truncation_loss"](spark, SF)
+    # counts materialize once behind the vocabulary-sized barrier
+    # (rank + totals consumers); >1 means a consumer re-counts the
+    # token stream
+    assert scan_count(df) <= 1
+    assert broadcast_join_count(df) >= 1
+
+
+def test_supplier_jaccard_broadcasts_degrees(spark, qs):
+    """The degree tables join broadcast (supplier-sized); the wedge
+    join stays the only data-sized shuffle pair generator."""
+    df = qs["graph_supplier_jaccard"](spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_window_sort(spark, qs):
+    """All four lags share ONE per-customer window sort — four
+    separate window exchanges would quadruple the shuffle."""
+    df = qs["window_ewma_pow2"](spark, SF)
+    assert shuffle_count(df) <= 2  # the window exchange (+AQE read)
+    plan = physical_plan(df)
+    assert plan.count("Window") <= 2  # one logical window operator
+
+
+def test_semdedup_blocks_on_cluster(spark, qs):
+    """The SemDeDup prune must compare within cluster blocks (equi-join
+    on cluster), never an all-pairs product."""
+    df = qs["dedup_semdedup_prune"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster" in plan
+
+
+def test_repetition_profile_doc_keyed_shuffles(spark, qs):
+    """Both trigram collapses key on doc_id (high-cardinality, no skew
+    pole); the per-source rollup is the only small aggregate."""
+    df = qs["text_repetition_profile"](spark, SF)
+    plan = physical_plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
