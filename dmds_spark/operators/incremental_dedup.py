@@ -233,3 +233,38 @@ class IncrementalMinHashDedup:
             self.fold_batch(batch_df, batch_id)
 
         return _sink
+
+    def compact(self) -> dict:
+        """Merge the accumulated per-increment files into ONE batch
+        (small-file hygiene: after thousands of micro-batch increments
+        the store is thousands of tiny parquet files, and every
+        band-join against it pays a task + footer read per file — the
+        same 100 TB scan-throughput killer ``World.compact`` exists
+        for). Writes the merged signatures and pairs as a single new
+        version, then flips the pointer to ONLY that version; the old
+        batch files become unreferenced (readers resolving the old
+        pointer mid-compact still see a complete store — same
+        crash-safe discipline as refresh). Content is unchanged:
+        signatures/pairs are unioned as-is, never recomputed."""
+        st = self._state()
+        if len(st["versions"]) <= 1:
+            return {"compacted": False, "versions": len(st["versions"])}
+        v = max(st["versions"]) + 1
+        # materialize BEFORE overwriting nothing (new dirs) — plain
+        # reads of the old versions stream into the new single version
+        for kind in ("sigs", "pairs"):
+            self.spark.read.parquet(
+                *self._paths(kind, st["versions"])
+            ).coalesce(
+                max(1, len(st["versions"]) // 8)
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, kind, f"batch-v{v}")
+            )
+        self._flip(
+            {
+                "versions": [v],
+                "seen_files": st["seen_files"],
+                "last_batch_id": st["last_batch_id"],
+            }
+        )
+        return {"compacted": True, "versions": 1, "merged": len(st["versions"])}

@@ -193,3 +193,38 @@ def test_writer_lock_race_exactly_one_winner(tmp_path):
     lk = WriterLock(path)
     lk.acquire()
     lk.release()
+
+
+def test_compact_preserves_content_and_single_version(spark, tmp_path):
+    """compact() merges all increment files into one version with
+    IDENTICAL pairs and signatures, and further increments keep
+    working against the compacted store."""
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    store = IncrementalMinHashDedup(
+        spark, src, str(tmp_path / "store"), "text", "doc_id", NH, B, K, T
+    )
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(src)
+    store.refresh()
+    docs.filter(F.col("doc_id") % 3 == 1).write.mode("append").parquet(src)
+    store.refresh()
+    before_pairs = _pairs(store.pairs())
+    before_sigs = store.signatures().count()
+
+    out = store.compact()
+    assert out["compacted"] and out["merged"] == 2
+    st = json.load(open(f"{tmp_path}/store/_current.json"))
+    assert len(st["versions"]) == 1
+    assert _pairs(store.pairs()) == before_pairs
+    assert store.signatures().count() == before_sigs
+
+    # increments continue from the compacted store and still land on
+    # the full recompute
+    docs.filter(F.col("doc_id") % 3 == 2).write.mode("append").parquet(src)
+    store.refresh()
+    full = _pairs(dedup_minhash(_docs(spark), "text", "doc_id", NH, B, T))
+    assert _pairs(store.pairs()) == full
+
+    # compact again, then the single-version store refuses a no-op
+    store.compact()
+    assert store.compact()["compacted"] is False
