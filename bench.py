@@ -144,6 +144,9 @@ ADDITIONS = [
     "graph_supplier_jaccard",
     "events_weekday_hour_heatmap",
     "multimodal_byte_histogram",
+    # round-6 batch four
+    "events_attribution_linear",
+    "dedup_method_agreement",
 ]
 
 

@@ -1,8 +1,10 @@
-"""Round-6 queries, batch three: exact EWMA windows, intra-document
-repetition profiling, duplicate-row auditing, vocabulary-truncation
-loss curves, Jaccard link prediction, weekday-hour load heatmaps —
-oracle-checked — plus rows-only coverage for the byte-histogram
-featurizer and the World maintenance surface (compact + stats).
+"""Round-6 queries, batches three and four: exact EWMA windows,
+intra-document repetition profiling, duplicate-row auditing,
+vocabulary-truncation loss curves, Jaccard link prediction,
+weekday-hour load heatmaps, linear multi-touch attribution, and the
+MinHash-vs-SimHash detector-agreement matrix — oracle-checked — plus
+rows-only coverage for the byte-histogram featurizer and the World
+maintenance surface (compact + stats).
 """
 
 from __future__ import annotations
@@ -482,3 +484,180 @@ def dmds_world_maintenance(spark, sf_dir):
         return w.stats().select(
             "c0", "c1", "n_rows", "n_files", "min_id", "max_id"
         )
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS touch_id, user_id, ts AS tts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT purchase_id, touch_id, touch_type
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE t.tts <= p.pts
+        AND epoch_us(pts) - epoch_us(tts) <= {_ATTR_US}
+    ), n AS (
+      SELECT purchase_id, COUNT(*) AS nt FROM j GROUP BY 1
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(COUNT(DISTINCT j.purchase_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(1000000 // nt) AS BIGINT) AS credit_ppm
+    FROM j JOIN n ON n.purchase_id = j.purchase_id
+    GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution: every click/view in a
+    purchase's 7-day lookback shares the credit equally (1/n_touches
+    each) — the complement of events_attribution_last_touch, which
+    crowns only the final touch (comparing the two IS the attribution
+    analysis). Per-purchase shares are integer parts-per-million via
+    integer division (1000000 div n — deterministic on both engines,
+    unlike float 1/n sums whose totals depend on addition order), so
+    per-type credit sums are exact integers.
+
+    Same join shape as last-touch (user-keyed equi-join, time
+    predicates post-join, co-partitioned on user at scale); the
+    per-purchase touch count is one extra purchase-keyed aggregate
+    instead of a rank window."""
+    from dmds_spark.sources.registry import load_events
+
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"), "user_id",
+        F.col("ts").alias("tts"), F.col("event_type").alias("touch_type"),
+    )
+    gap = F.unix_micros(F.col("pts")) - F.unix_micros(F.col("tts"))
+    j = (
+        p.join(t, "user_id")
+        .filter((F.col("tts") <= F.col("pts")) & (gap <= _ATTR_US))
+        .select("purchase_id", "touch_id", "touch_type")
+    )
+    n = j.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("nt"))
+    return (
+        j.join(n, "purchase_id")
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.countDistinct("purchase_id").cast("bigint")
+            .alias("n_purchases"),
+            F.sum(F.expr("1000000 div nt")).cast("bigint")
+            .alias("credit_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup detector agreement matrix (MinHash vs SimHash)
+# ---------------------------------------------------------------------------
+
+
+def _method_agreement_sql() -> str:
+    from dmds_spark.queries.llm_dedup import (
+        CAND_CTE,
+        EST_SQL,
+        HAMMING_SQL,
+        SIMHASH_BAND_SQL,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_SQL,
+    )
+
+    return (
+        CAND_CTE
+        + f""", mh AS (
+      SELECT id_a, id_b FROM cand WHERE {EST_SQL} >= 0.5
+    ), tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), shh AS (SELECT doc_id, {SIMHASH_SQL} AS simhash FROM tok),
+    blocked AS (
+      SELECT doc_id, simhash, UNNEST([{SIMHASH_BAND_SQL}]) AS block
+      FROM shh
+    ), sp AS (
+      SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM blocked a
+        JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+      ) WHERE ({HAMMING_SQL}) <= {SIMHASH_MAX_HAMMING}
+    ), u AS (
+      SELECT COALESCE(mh.id_a, sp.id_a) AS id_a,
+             COALESCE(mh.id_b, sp.id_b) AS id_b,
+             CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+             CASE WHEN sp.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_sp
+      FROM mh FULL OUTER JOIN sp
+        ON mh.id_a = sp.id_a AND mh.id_b = sp.id_b
+    )
+    SELECT CAST(SUM(in_mh) AS BIGINT) AS n_minhash,
+           CAST(SUM(in_sp) AS BIGINT) AS n_simhash,
+           CAST(SUM(in_mh * in_sp) AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(CAST(SUM(in_mh * in_sp) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS agreement_jaccard
+    FROM u
+    """
+    )
+
+
+@register("dedup_method_agreement", _method_agreement_sql())
+def dedup_method_agreement(spark, sf_dir):
+    """Detector-agreement matrix: how much of the near-dup pair space
+    MinHash-LSH (Jaccard >= 0.5) and SimHash (hamming <= 3) actually
+    share — the calibration view that decides whether running both
+    detectors buys recall or just duplicates work (the two embody
+    different similarity notions: set-resemblance vs weighted-token
+    angle, so their disagreement is signal, not noise). Reuses the
+    exact pipelines of dedup_minhash_pairs and dedup_simhash_pairs
+    (both hash-green since round 2) on BOTH engines; one full-outer
+    join of the two id-pair sets, then a scalar fold.
+
+    Shape at scale: both pair pipelines are band-blocked equi-joins
+    (never all-pairs); the agreement join keys on (id_a, id_b) pairs
+    — output-sized, tiny next to the corpus."""
+    from dmds_spark.operators.dedup import dedup_minhash, simhash_pairs
+    from dmds_spark.queries.llm_dedup import (
+        BANDS,
+        NUM_HASHES,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    d = _docs(spark, sf_dir)
+    mh = dedup_minhash(d, "text", "doc_id", NUM_HASHES, BANDS, 0.5).select(
+        "id_a", "id_b", F.lit(1).alias("in_mh")
+    )
+    sp = simhash_pairs(
+        d, "text", "doc_id", num_bits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING, bands=SIMHASH_BANDS,
+    ).select("id_a", "id_b", F.lit(1).alias("in_sp"))
+    u = mh.join(sp, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+        F.coalesce("in_sp", F.lit(0)).alias("in_sp"),
+    )
+    return u.agg(
+        F.sum("in_mh").cast("bigint").alias("n_minhash"),
+        F.sum("in_sp").cast("bigint").alias("n_simhash"),
+        F.sum(F.col("in_mh") * F.col("in_sp")).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        (
+            F.sum(F.col("in_mh") * F.col("in_sp")).cast("double")
+            / F.count(F.lit(1))
+        ).cast("double").alias("agreement_jaccard"),
+    )
