@@ -48,7 +48,16 @@ class IncrementalMinHashDedup:
     a DataFrame micro-batch (replay-safe); ``pairs()`` returns every
     near-dup pair (id_a < id_b, jaccard_est >= threshold) discovered so
     far — equal to a full-corpus ``dedup_minhash`` over everything
-    ingested; ``signatures()`` returns the signature store."""
+    ingested; ``signatures()`` returns the signature store.
+
+    Contract: ``id_col`` values must be UNIQUE across all ingested
+    batches (append-only corpus — the same guarantee ``refresh()``'s
+    seen-file tracking and ``fold_batch()``'s batch-id mark provide
+    for whole batches). Re-ingesting an id through a NEW batch would
+    store its signature twice, and the post-candidate signature
+    re-attach joins would then fan each affected pair out per
+    duplicate row. If upstream can re-emit rows individually,
+    anti-join the batch against ``signatures()`` on the id first."""
 
     def __init__(
         self,
@@ -177,26 +186,31 @@ class IncrementalMinHashDedup:
     # -- public ingest ---------------------------------------------------
     def refresh(self) -> dict:
         """Ingest unseen files from ``source_dir``; returns
-        {"new_files": n, "version": v}."""
+        {"new_files": n, "version": v}. Raises SourceMutatedError if
+        an already-ingested file was rewritten in place (its docs'
+        signatures are already in the store and cannot be patched)."""
+        from dmds_spark.operators.rollup import (
+            _list_source_files,
+            _seen_as_dict,
+            _split_new_and_check,
+        )
+
         if self.source_dir is None:
             raise ValueError("refresh() needs source_dir (use fold_batch)")
         st = self._state()
-        seen = set(st["seen_files"])
-        files = sorted(
-            r["f"]
-            for r in self.spark.read.parquet(self.source_dir)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
-        new_files = [f for f in files if f not in seen]
+        seen = _seen_as_dict(st["seen_files"])
+        current = _list_source_files(self.spark, self.source_dir)
+        new_files = _split_new_and_check(current, seen, "minhash store")
         if not new_files:
             return {"new_files": 0, "version": max(st["versions"], default=0)}
         v = self._ingest(self.spark.read.parquet(*new_files), st)
         self._flip(
             {
                 "versions": st["versions"] + [v],
-                "seen_files": sorted(seen | set(new_files)),
+                "seen_files": {
+                    **{f: current.get(f, sz) for f, sz in seen.items()},
+                    **{f: current[f] for f in new_files},
+                },
                 "last_batch_id": st["last_batch_id"],
             }
         )

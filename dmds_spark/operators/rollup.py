@@ -36,14 +36,70 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _list_source_files(spark: SparkSession, source_dir: str) -> list[str]:
-    return sorted(
-        r["f"]
+def _list_source_files(spark: SparkSession, source_dir: str) -> dict[str, int]:
+    """{file path: byte size} for every row-bearing source file.
+    Size comes from the scan's own split metadata (max block
+    start+length == file length, since splits tile [0, len)) — same
+    names as ``input_file_name`` so manifests compare exactly, no
+    FS-listing URI-normalization mismatch, O(splits) driver rows."""
+    return {
+        r["f"]: int(r["size"])
         for r in spark.read.parquet(source_dir)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
+        .select(
+            F.input_file_name().alias("f"),
+            (
+                F.input_file_block_start() + F.input_file_block_length()
+            ).alias("end"),
+        )
+        .groupBy("f")
+        .agg(F.max("end").alias("size"))
         .collect()
+    }
+
+
+class SourceMutatedError(RuntimeError):
+    """A source file the incremental state already folded was
+    REWRITTEN in place (same path, different size). Incremental
+    maintenance is append-only: a mutated history cannot be patched
+    from partials — rebuild into a fresh state dir (or restore the
+    original file). Raised eagerly instead of silently serving a
+    rollup that no longer matches its source. (Files that VANISH are
+    fine: retention deletes old files whose contribution legitimately
+    stays folded.)"""
+
+    def __init__(self, kind: str, mutated: list[str]):
+        self.mutated = mutated
+        super().__init__(
+            f"{kind}: {len(mutated)} already-folded source file(s) were "
+            f"rewritten in place (first: {mutated[0]}). Incremental "
+            "state cannot be patched for in-place rewrites — rebuild "
+            "from scratch in a fresh directory, or restore the file."
+        )
+
+
+def _split_new_and_check(
+    current: dict[str, int], seen: dict[str, int | None], kind: str
+) -> list[str]:
+    """New (unseen) files from ``current``, raising SourceMutatedError
+    if any already-seen file changed size. ``seen`` sizes may be None
+    (legacy manifests recorded paths only — those skip the check and
+    pick up sizes on the next pointer flip)."""
+    mutated = sorted(
+        f
+        for f, sz in current.items()
+        if f in seen and seen[f] is not None and seen[f] != sz
     )
+    if mutated:
+        raise SourceMutatedError(kind, mutated)
+    return sorted(f for f in current if f not in seen)
+
+
+def _seen_as_dict(seen_files) -> dict[str, int | None]:
+    """Manifest compatibility: round-5 manifests stored a sorted list
+    of paths; round-6+ store {path: size}."""
+    if isinstance(seen_files, dict):
+        return dict(seen_files)
+    return {f: None for f in seen_files}
 
 
 def _partial_agg(
@@ -181,14 +237,13 @@ class IncrementalRollup:
 
     def refresh(self) -> dict:
         """Fold unseen source files into the rollup; returns
-        {"new_files": n, "version": v}."""
+        {"new_files": n, "version": v}. Raises SourceMutatedError if
+        an already-folded file was rewritten in place (partials cannot
+        be patched for history rewrites)."""
         st = self._state()
-        seen = set(st["seen_files"])
-        new_files = [
-            f
-            for f in _list_source_files(self.spark, self.source_dir)
-            if f not in seen
-        ]
+        seen = _seen_as_dict(st["seen_files"])
+        current = _list_source_files(self.spark, self.source_dir)
+        new_files = _split_new_and_check(current, seen, "rollup")
         if not new_files:
             return {"new_files": 0, "version": st["version"]}
         fresh = _partial_agg(
@@ -216,7 +271,12 @@ class IncrementalRollup:
         self._flip(
             {
                 "version": next_version,
-                "seen_files": sorted(seen | set(new_files)),
+                # {path: size} — sizes let the next refresh detect
+                # in-place rewrites; legacy None sizes backfill here
+                "seen_files": {
+                    **{f: current.get(f, sz) for f, sz in seen.items()},
+                    **{f: current[f] for f in new_files},
+                },
                 "last_batch_id": st.get("last_batch_id", -1),
             }
         )

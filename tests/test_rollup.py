@@ -228,3 +228,67 @@ def test_config_change_on_stored_versions_raises_clear_error(
 
     # the original config still reads and refreshes fine
     assert ru.refresh()["new_files"] >= 1
+
+
+def test_in_place_rewrite_raises_source_mutated(spark, tmp_path, source):
+    """An already-folded source file rewritten in place (same path,
+    different size) must fail the next refresh with SourceMutatedError
+    — partials cannot be patched for history rewrites. Files that
+    merely VANISH (retention) stay fine."""
+    import glob
+
+    from dmds_spark.operators.rollup import SourceMutatedError
+
+    d, orders = source
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup_m"), ["o_orderstatus"],
+        ["o_totalprice"],
+    )
+    ru.refresh()
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "m1")
+    ru.refresh()
+
+    # rewrite one already-folded file in place with different content
+    victim = sorted(glob.glob(f"{d}/*.parquet"))[0]
+    orders.filter(F.col("o_orderkey") % 7 == 0).coalesce(1).write.parquet(
+        f"{d}__rw"
+    )
+    import shutil
+
+    src_file = glob.glob(f"{d}__rw/part-*.parquet")[0]
+    shutil.copyfile(src_file, victim)
+    shutil.rmtree(f"{d}__rw")
+
+    with pytest.raises(SourceMutatedError, match="rewritten in place"):
+        ru.refresh()
+
+    # retention delete of a folded file is NOT an error; the rollup
+    # keeps serving and further appends still fold
+    os.remove(victim)
+    _append(orders.filter(F.col("o_orderkey") % 3 == 2), d, "m2")
+    out = ru.refresh()
+    assert out["new_files"] >= 1
+    assert ru.read().count() > 0
+
+
+def test_legacy_path_list_manifest_still_refreshes(spark, tmp_path, source):
+    """Round-5 manifests stored seen_files as a plain path list; a new
+    refresh must accept them (no mutation check possible for legacy
+    entries) and upgrade the manifest to {path: size}."""
+    d, orders = source
+    rdir = str(tmp_path / "rollup_l")
+    ru = IncrementalRollup(
+        spark, d, rdir, ["o_orderstatus"], ["o_totalprice"]
+    )
+    ru.refresh()
+    # rewrite the manifest into the legacy list form
+    st = json.load(open(f"{rdir}/_current.json"))
+    st["seen_files"] = sorted(st["seen_files"])
+    json.dump(st, open(f"{rdir}/_current.json", "w"))
+
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "l1")
+    assert ru.refresh()["new_files"] >= 1
+    st2 = json.load(open(f"{rdir}/_current.json"))
+    assert isinstance(st2["seen_files"], dict)
+    assert all(isinstance(v, int) for v in st2["seen_files"].values())
+    assert _rows(ru.read()) == _rows(_full(spark, d))
