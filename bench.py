@@ -147,6 +147,7 @@ ADDITIONS = [
     # round-6 batch four
     "events_attribution_linear",
     "dedup_method_agreement",
+    "graph_khop_reachability",
 ]
 
 

@@ -661,3 +661,81 @@ def dedup_method_agreement(spark, sf_dir):
             / F.count(F.lit(1))
         ).cast("double").alias("agreement_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reachability over the purchase bipartite graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_khop_reachability",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), seed AS (SELECT MIN(s) AS s0 FROM e),
+    h1 AS (
+      SELECT DISTINCT e.c FROM e, seed WHERE e.s = seed.s0
+    ), h2 AS (
+      SELECT DISTINCT e.s FROM e JOIN h1 ON e.c = h1.c, seed
+      WHERE e.s <> seed.s0
+    ), h3 AS (
+      SELECT DISTINCT e.c FROM e JOIN h2 ON e.s = h2.s
+      WHERE e.c NOT IN (SELECT c FROM h1)
+    )
+    SELECT 1 AS hop, CAST((SELECT COUNT(*) FROM h1) AS BIGINT) AS frontier
+    UNION ALL
+    SELECT 2, CAST((SELECT COUNT(*) FROM h2) AS BIGINT)
+    UNION ALL
+    SELECT 3, CAST((SELECT COUNT(*) FROM h3) AS BIGINT)
+    """,
+)
+def graph_khop_reachability(spark, sf_dir):
+    """Bounded-hop BFS over the supplier<->customer bipartite graph:
+    frontier sizes at hops 1-3 from the smallest supplier key — the
+    neighborhood-growth curve behind influence/blast-radius questions
+    ("how much of the graph is within k relationships of this
+    node?"). A FIXED hop bound unrolls into k equi-joins on the
+    deduplicated edge table — no recursion needed on either engine,
+    and each hop's frontier is the only state carried (anti-joined
+    against the previous frontier, so re-reached nodes don't
+    double-count). At 100 TB each hop is one shuffle keyed on the
+    frontier side; unbounded reachability belongs to the iterative
+    min-label CC operator (dedup_cluster_assign), not this query."""
+    from dmds_spark.queries.llm_extra6 import _li
+
+    li = _li(spark, sf_dir).select("l_orderkey", "l_suppkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three hop joins + the seed agg
+    )
+    seed = e.agg(F.min("s").alias("s0"))
+    h1 = (
+        e.join(F.broadcast(seed), e.s == F.col("s0"))
+        .select("c").distinct()
+    )
+    h2 = (
+        e.join(h1, "c")
+        .crossJoin(F.broadcast(seed))
+        .filter(F.col("s") != F.col("s0"))
+        .select("s").distinct()
+    )
+    h3 = (
+        e.join(h2, "s")
+        .join(h1, "c", "left_anti")
+        .select("c").distinct()
+    )
+    out = None
+    for hop, frontier in ((1, h1), (2, h2), (3, h3)):
+        row = frontier.agg(
+            F.lit(hop).alias("hop"),
+            F.count(F.lit(1)).cast("bigint").alias("frontier"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
