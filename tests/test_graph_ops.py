@@ -129,3 +129,44 @@ def test_capped_agrees_with_registered_query_shape(spark):
     ] == [
         (r["supp_a"], r["supp_b"], r["common_customers"]) for r in want
     ]
+
+
+def test_khop_frontiers_on_toy_graph(spark, tmp_path):
+    """Hand-computable BFS: suppliers {1,2,3} x customers {10,20,30}
+    with edges 1-10, 1-20, 2-20, 3-30. Seed = supplier 1.
+    hop1 = {10,20}; hop2 = suppliers of {10,20} minus 1 = {2};
+    hop3 = customers of {2} minus hop1 = {} (20 already reached)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dmds_spark.queries import all_queries
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    li = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2), (103, 3)],
+        "l_orderkey long, l_suppkey long",
+    )
+    # _li reads more columns; give it the full lineitem shape it needs
+    li = li.select(
+        "l_orderkey", "l_suppkey",
+        F.lit(1).alias("l_partkey"), F.lit(1).alias("l_linenumber"),
+        F.lit(1.0).alias("l_quantity"), F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.current_date().alias("l_shipdate"),
+        F.current_date().alias("l_commitdate"),
+        F.current_date().alias("l_receiptdate"),
+    )
+    li.write.parquet(f"{d}/lineitem.parquet")
+    orders = spark.createDataFrame(
+        [(100, 10), (101, 20), (102, 20), (103, 30)],
+        "o_orderkey long, o_custkey long",
+    )
+    orders.write.parquet(f"{d}/orders.parquet")
+    got = {
+        r["hop"]: r["frontier"]
+        for r in all_queries()["graph_khop_reachability"](spark, d).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0}

@@ -911,3 +911,14 @@ def test_repetition_profile_doc_keyed_shuffles(spark, qs):
     plan = physical_plan(df)
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_khop_no_data_sized_nested_loop(spark, qs):
+    """The only nested-loop allowed is the 1-row seed broadcast; hop
+    expansion must be equi-joins on the edge keys."""
+    df = qs["graph_khop_reachability"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # hop joins are hash equi-joins on c/s
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan
