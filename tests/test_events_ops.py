@@ -165,3 +165,52 @@ def test_funnel_matches_model_random(spark):
         assert got == want
 
     check()
+
+
+def test_linear_attribution_conserves_credit(spark):
+    """Per purchase, the integer-ppm credits must sum to exactly
+    1000000 - (1000000 mod n_touches) — equal split loses only the
+    integer-division remainder (< n_touches ppm), never credit to the
+    wrong type. Checked purchase-by-purchase against a Python model
+    of the same join."""
+    from pyspark.sql import functions as F
+
+    from dmds_spark.queries import all_queries
+    from dmds_spark.sources.registry import load_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_events(spark, sf)
+    rows = ev.select("event_id", "user_id", "event_type",
+                     F.unix_micros("ts").alias("us")).collect()
+    W_US = 7 * 24 * 3600 * 1_000_000
+    touches = [r for r in rows if r["event_type"] in ("click", "view")]
+    by_user = {}
+    for r in touches:
+        by_user.setdefault(r["user_id"], []).append(r)
+    per_type = {}
+    n_purchases_touched = set()
+    for p in (r for r in rows if r["event_type"] == "purchase"):
+        ts = [
+            t for t in by_user.get(p["user_id"], [])
+            if t["us"] <= p["us"] and p["us"] - t["us"] <= W_US
+        ]
+        if not ts:
+            continue
+        n_purchases_touched.add(p["event_id"])
+        share = 1_000_000 // len(ts)
+        for t in ts:
+            k = t["event_type"]
+            agg = per_type.setdefault(k, [0, 0, set()])
+            agg[0] += 1          # n_credits
+            agg[1] += share      # credit_ppm
+            agg[2].add(p["event_id"])
+    got = {
+        r["touch_type"]: (r["n_credits"], r["credit_ppm"], r["n_purchases"])
+        for r in all_queries()["events_attribution_linear"](spark, sf)
+        .collect()
+    }
+    want = {k: (v[0], v[1], len(v[2])) for k, v in per_type.items()}
+    assert got == want
+    # conservation: total ppm within one remainder of full credit
+    total_ppm = sum(v[1] for v in per_type.values())
+    assert total_ppm <= 1_000_000 * len(n_purchases_touched)

@@ -203,3 +203,39 @@ def test_weighted_median_sharded_equals_fast_path(spark):
         }
 
     assert median_with(None) == median_with(8)
+
+
+def test_ewma_pow2_matches_python_model(spark):
+    """window_ewma_pow2 against an independent Python model: for each
+    customer's date-ordered order history, num = 8c0+4c1+2c2+c3 over
+    the available lags, den = matching weight sum — exact integers,
+    ewma = num/den as one IEEE division."""
+    from pyspark.sql import functions as F
+
+    from dmds_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint").alias("c"),
+    ).collect()
+    hist = {}
+    for r in sorted(o, key=lambda r: (r["o_custkey"], r["o_orderdate"],
+                                      r["o_orderkey"])):
+        hist.setdefault(r["o_custkey"], []).append((r["o_orderkey"], r["c"]))
+    want = {}
+    for cust, seq in hist.items():
+        for i, (ok, _) in enumerate(seq):
+            num = den = 0
+            for lag, wgt in enumerate((8, 4, 2, 1)):
+                if i - lag >= 0:
+                    num += wgt * seq[i - lag][1]
+                    den += wgt
+            want[(cust, ok)] = (num, den, num / den)
+    got = {
+        (r["o_custkey"], r["o_orderkey"]):
+            (r["ewma_num"], r["ewma_den"], r["ewma_cents"])
+        for r in all_queries()["window_ewma_pow2"](spark, sf).collect()
+    }
+    assert got == want
