@@ -156,15 +156,46 @@ _CHECKED_R05: frozenset[str] = frozenset({
     "tokens_length_histogram", "tokens_shard_plan",
 })
 
+# round 6 (CORRECTNESS_r06.json): 50 rows — 45 hash-green (incl.
+# re-greens of 9 round-1 join/agg queries), 5 rows-only-by-design passes
+# (fingerprint fast twin, capped common-neighbors, SemDeDup composite,
+# byte histogram, world maintenance).
+_CHECKED_R06: frozenset[str] = frozenset({
+    "agg_basic_stats", "agg_count_distinct",
+    "dedup_fuzzy_fingerprint_pairs_fast", "dedup_incremental_minhash",
+    "dedup_method_agreement", "dedup_minhash_precision",
+    "dedup_semdedup_prune", "dmds_world_maintenance",
+    "events_activity_streaks_topk", "events_attribution_linear",
+    "events_inter_arrival_histogram", "events_weekday_hour_heatmap",
+    "graph_clustering_coefficient", "graph_common_neighbors_capped",
+    "graph_khop_reachability", "graph_supplier_jaccard", "join_anti",
+    "join_asof", "join_cross", "join_full_outer", "join_inner",
+    "join_left", "join_right", "join_semi", "join_theta_range",
+    "lineitem_corr_components", "lineitem_revenue_waterfall",
+    "multimodal_byte_histogram", "orders_basket_size_stats",
+    "orders_repeat_purchase_rate", "orders_value_gini",
+    "profile_benford_digits", "profile_duplicate_rows",
+    "q10_returned_revenue", "q6_forecast_revenue",
+    "sample_hamilton_allocation", "sample_systematic_every_k",
+    "similarity_lsh_bucket_stats", "similarity_lsh_recall_report",
+    "similarity_radius_count", "text_lang_confusion", "text_pii_counts",
+    "text_readability_profile", "text_repetition_profile",
+    "text_term_burstiness_topk", "text_vocab_growth",
+    "tokens_bpe_merge_candidates", "tokens_packing_efficiency_sweep",
+    "tokens_vocab_truncation_loss", "window_ewma_pow2",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
-    _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05,
-    _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05,
-    _CHECKED_R04 - _CHECKED_R05,
-    _CHECKED_R05,
+    _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06,
+    _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06,
+    _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06,
+    _CHECKED_R05 - _CHECKED_R06,
+    _CHECKED_R06,
 )
 _DRIVER_CHECKED: frozenset[str] = (
     _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
+    | _CHECKED_R06
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
