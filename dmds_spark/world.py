@@ -60,12 +60,25 @@ class WriterLock:
     partition overwrite requires (two writers flushing from different
     base snapshots would silently drop each other's rows).
 
+    Process-wide interning (``WriterLock.for_dir``): every ``World``
+    on the same realpath shares ONE instance — one flush ``mutex``
+    (so two same-process writers on the same directory really are
+    mutually excluded, not just holding separate ``threading.Lock``s)
+    and one refcounted file token (first acquire creates the file,
+    last release removes it).
+
     Failure modes, documented:
     - A crashed writer leaves a stale lock. Same-host staleness is
       detected (recorded pid no longer alive) and the lock is broken
-      automatically on the next acquire; cross-host staleness cannot
-      be probed from here — break it explicitly with
-      ``World.break_lock(path)`` after confirming the writer is dead.
+      automatically on the next acquire. Concurrent breakers are
+      serialized on a flock'd sidecar (``_writer.lock.break``) that
+      the kernel releases on process death, and the break itself is a
+      rename-to-unique-name + content re-verify — so a NEW holder's
+      lock that appears between a waiter's staleness read and its
+      break is never discarded (the classic unlink-break TOCTOU).
+      Cross-host staleness cannot be probed from here — break it
+      explicitly with ``World.break_lock(path)`` after confirming the
+      writer is dead.
     - The lock is ADVISORY: it fences cooperating ``World`` writers
       only. A rogue process writing parquet into the directory without
       going through ``World`` is not stopped (plain parquet layouts
@@ -78,11 +91,33 @@ class WriterLock:
 
     FILENAME = "_writer.lock"
 
+    _BY_DIR: dict[str, "WriterLock"] = {}
+    _BY_DIR_GUARD = threading.Lock()
+
+    @classmethod
+    def for_dir(cls, dir_path: str) -> "WriterLock":
+        """The process-wide interned lock for a directory. ``World``
+        always goes through here, so N same-process Worlds on one path
+        share one flush mutex and one refcounted token — the shared
+        mutual exclusion a per-instance ``threading.Lock`` could not
+        give them."""
+        key = os.path.realpath(dir_path)
+        with cls._BY_DIR_GUARD:
+            lk = cls._BY_DIR.get(key)
+            if lk is None:
+                lk = cls(dir_path)
+                cls._BY_DIR[key] = lk
+            return lk
+
     def __init__(self, dir_path: str):
         self.dir_path = dir_path
         self.path = os.path.join(dir_path, self.FILENAME)
         self.token = uuid.uuid4().hex
-        self._held = False
+        # flush-vs-writer serialization, shared across all Worlds on
+        # this path via for_dir (the reference's lock_w, src/world.rs:58)
+        self.mutex = threading.Lock()
+        self._mu = threading.Lock()  # guards _refs + lock-file ops
+        self._refs = 0
 
     def _holder(self) -> dict | None:
         try:
@@ -108,8 +143,17 @@ class WriterLock:
             return None
 
     def acquire(self) -> None:
-        if self._held:
-            return
+        """Take (or refcount into) the writer token. Each caller must
+        pair its acquire with exactly one release; ``World`` tracks its
+        own ref so per-op calls stay O(1) with no lock-file re-parse."""
+        with self._mu:
+            if self._refs > 0:
+                self._refs += 1
+                return
+            self._acquire_file()
+            self._refs = 1
+
+    def _acquire_file(self) -> None:
         os.makedirs(self.dir_path, exist_ok=True)
         payload = json.dumps(
             {
@@ -119,48 +163,94 @@ class WriterLock:
                 "acquired_at": time.time(),
             }
         ).encode()
-        for _ in range(3):  # one retry per stale break + one for races
+        for _ in range(5):  # stale breaks + create races, bounded
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 try:
                     os.write(fd, payload)
                 finally:
                     os.close(fd)
-                self._held = True
                 return
             except FileExistsError:
                 holder = self._holder()
-                if holder and holder.get("pid") == os.getpid() and holder.get(
-                    "host"
-                ) == socket.gethostname():
-                    # another World instance in THIS process holds it:
-                    # adopt without taking release responsibility —
-                    # intra-process coordination is the threading
-                    # locks' job (reference lock_w scope), and the
-                    # file token stays with the instance that wrote it
-                    return
+                if holder is None:
+                    continue  # vanished or torn mid-read: retry create
                 if self._alive_same_host(holder) is False:
-                    # same host, recorded pid dead: stale — break it
-                    try:
-                        os.unlink(self.path)
-                    except FileNotFoundError:
-                        pass
+                    # same host, recorded pid dead: stale. Break under
+                    # the flock'd sidecar; retry the create either way
+                    # (False = another breaker is on it — its finish
+                    # frees the path for the next iteration).
+                    self._break_stale(holder)
                     continue
-                raise WorldLockedError(self.dir_path, holder or {})
+                # live, undecidable, or OUR OWN pid outside this
+                # interned instance (a second direct WriterLock on the
+                # same dir — a programming error; Worlds share via
+                # for_dir): refuse rather than adopt, adoption gave two
+                # writers no shared mutual exclusion.
+                raise WorldLockedError(self.dir_path, holder)
         raise WorldLockedError(self.dir_path, self._holder() or {})
 
-    def release(self) -> None:
-        if not self._held:
-            return
-        self._held = False
-        holder = self._holder()
-        # only remove our own token (a broken-then-reacquired lock
-        # belongs to someone else now)
-        if holder and holder.get("token") == self.token:
+    def _break_stale(self, holder: dict) -> bool:
+        """Remove the lock file ONLY if it still belongs to ``holder``
+        (same-host, pid verified dead). Breakers serialize on a flock'd
+        sidecar — flock is kernel-released on process death, so the
+        break mutex itself cannot go stale — and the removal is
+        rename-to-unique + re-verify, never a blind unlink: a new
+        holder's lock that raced in is renamed back, not discarded."""
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: no safe auto-break
+            return False
+        fd = os.open(self.path + ".break", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
             try:
-                os.unlink(self.path)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False  # another breaker mid-break
+            cur = self._holder()
+            if cur is None:
+                return True  # already broken
+            if cur.get("token") != holder.get("token"):
+                return False  # a new holder took over — contended
+            if self._alive_same_host(cur) is not False:
+                return False  # revived / undecidable under the mutex
+            moved = f"{self.path}.broken.{self.token}"
+            try:
+                os.rename(self.path, moved)
             except FileNotFoundError:
-                pass
+                return True
+            try:
+                with open(moved) as fh:
+                    content = json.load(fh)
+            except (OSError, ValueError):
+                content = None
+            if content is not None and content.get("token") != cur.get(
+                "token"
+            ):
+                # unreachable while every breaker honors the sidecar
+                # mutex; restore rather than discard a live token
+                os.rename(moved, self.path)
+                return False
+            os.unlink(moved)
+            return True
+        finally:
+            os.close(fd)  # releases the flock
+
+    def release(self) -> None:
+        with self._mu:
+            if self._refs == 0:
+                return
+            self._refs -= 1
+            if self._refs > 0:
+                return
+            holder = self._holder()
+            # only remove our own token (a broken-then-reacquired lock
+            # belongs to someone else now)
+            if holder and holder.get("token") == self.token:
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
 
 
 class World:
@@ -195,11 +285,13 @@ class World:
         # (src/world.rs:254) with explicit op ordering instead of locks
         self._ops: list[tuple[int, str, DataFrame]] = []
         self._seq = 0
-        self._lock = threading.Lock()  # flush vs. writer (reference lock_w, src/world.rs:58)
-        # cross-process single-writer token, taken lazily at the first
-        # mutating op and held until close() — see WriterLock for the
-        # protocol and its documented failure modes
-        self._writer_lock = WriterLock(path)
+        # cross-process single-writer token + per-path flush mutex,
+        # interned so every World on this path shares BOTH (see
+        # WriterLock for the protocol and its failure modes); the token
+        # is taken lazily at the first mutating op, held until close()
+        self._writer_lock = WriterLock.for_dir(path)
+        self._lock = self._writer_lock.mutex  # reference lock_w, src/world.rs:58
+        self._writer_ref = False
         # buffer cap (reference ``World::set_chunks_limit`` eviction,
         # src/world.rs:295-299,462-512): past the limit the op log
         # auto-flushes, so read planning cost and driver references stay
@@ -364,8 +456,10 @@ class World:
         self._pending_limit = limit
 
     def _append_op(self, kind: str, df: DataFrame) -> None:
-        self._writer_lock.acquire()  # no-op once held; WorldLockedError
-        with self._lock:             # if another process is writing
+        if not self._writer_ref:     # one ref per World, O(1) after
+            self._writer_lock.acquire()  # WorldLockedError if another
+            self._writer_ref = True      # process is writing
+        with self._lock:
             self._seq += 1
             self._ops.append((self._seq, kind, df))
             over = (
@@ -872,7 +966,9 @@ class World:
         pure no-op."""
         if self._ops:
             self.flush()
-        self._writer_lock.release()
+        if self._writer_ref:
+            self._writer_ref = False
+            self._writer_lock.release()
 
     def __enter__(self) -> "World":
         return self
@@ -891,10 +987,33 @@ class World:
         removed."""
         p = os.path.join(path, WriterLock.FILENAME)
         try:
-            os.unlink(p)
-            return True
+            with open(p) as fh:
+                holder = json.load(fh)
         except FileNotFoundError:
             return False
+        except (OSError, ValueError):
+            holder = None  # torn content: still breakable
+        moved = f"{p}.broken.{uuid.uuid4().hex}"
+        try:
+            os.rename(p, moved)
+        except FileNotFoundError:
+            return False
+        # re-verify the renamed content is the lock we read — a lock
+        # re-taken between read and rename is restored, not discarded
+        try:
+            with open(moved) as fh:
+                content = json.load(fh)
+        except (OSError, ValueError):
+            content = None
+        if (
+            holder is not None
+            and content is not None
+            and content.get("token") != holder.get("token")
+        ):
+            os.rename(moved, p)
+            return False
+        os.unlink(moved)
+        return True
 
 
 class FlushDaemon:
