@@ -94,8 +94,12 @@ class IncrementalMinHashDedup:
             return json.load(fh)
 
     def _flip(self, state: dict) -> None:
-        with open(self._pointer, "w") as fh:
-            json.dump(state, fh)
+        from dmds_spark.operators.rollup import _atomic_flip
+
+        # temp-write + os.replace: a crash mid-flip leaves the old
+        # pointer readable, never a torn file that orphans every
+        # committed version
+        _atomic_flip(self._pointer, state)
 
     def _paths(self, kind: str, versions: list[int]) -> list[str]:
         return [
@@ -198,7 +202,7 @@ class IncrementalMinHashDedup:
         if self.source_dir is None:
             raise ValueError("refresh() needs source_dir (use fold_batch)")
         st = self._state()
-        seen = _seen_as_dict(st["seen_files"])
+        seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
         current = _list_source_files(self.spark, self.source_dir)
         new_files = _split_new_and_check(current, seen, "minhash store")
         if not new_files:
@@ -211,6 +215,7 @@ class IncrementalMinHashDedup:
                     **{f: current.get(f, sz) for f, sz in seen.items()},
                     **{f: current[f] for f in new_files},
                 },
+                "size_src": "fs",
                 "last_batch_id": st["last_batch_id"],
             }
         )
@@ -231,6 +236,7 @@ class IncrementalMinHashDedup:
             {
                 "versions": st["versions"] + [v],
                 "seen_files": st["seen_files"],
+                "size_src": st.get("size_src"),
                 "last_batch_id": (
                     batch_id if batch_id is not None else st["last_batch_id"]
                 ),
@@ -278,6 +284,7 @@ class IncrementalMinHashDedup:
             {
                 "versions": [v],
                 "seen_files": st["seen_files"],
+                "size_src": st.get("size_src"),
                 "last_batch_id": st["last_batch_id"],
             }
         )

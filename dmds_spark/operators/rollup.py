@@ -31,30 +31,62 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _norm_path(p: str) -> str:
+    """Scheme-normalized local path: ``file:///x``, ``file:/x`` and
+    ``/x`` all compare equal (Hadoop FileStatus prints ``file:/x``
+    while ``input_file_name()`` printed ``file:///x`` — manifests from
+    either era must keep matching). Non-``file`` schemes are left
+    untouched: their authority part is significant."""
+    return re.sub(r"^file:/+", "/", p)
+
+
+def _atomic_flip(pointer: str, state: dict) -> None:
+    """Crash-safe pointer write: serialize to a temp file in the same
+    directory, fsync, then ``os.replace`` onto the pointer. A crash or
+    ENOSPC mid-write leaves either the old pointer or the new one,
+    never a torn/empty file that would make every committed version
+    unreachable (the in-place truncate+write it replaces had exactly
+    that failure mode)."""
+    tmp = f"{pointer}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, pointer)
+
+
 def _list_source_files(spark: SparkSession, source_dir: str) -> dict[str, int]:
-    """{file path: byte size} for every row-bearing source file.
-    Size comes from the scan's own split metadata (max block
-    start+length == file length, since splits tile [0, len)) — same
-    names as ``input_file_name`` so manifests compare exactly, no
-    FS-listing URI-normalization mismatch, O(splits) driver rows."""
-    return {
-        r["f"]: int(r["size"])
-        for r in spark.read.parquet(source_dir)
-        .select(
-            F.input_file_name().alias("f"),
-            (
-                F.input_file_block_start() + F.input_file_block_length()
-            ).alias("end"),
-        )
-        .groupBy("f")
-        .agg(F.max("end").alias("size"))
-        .collect()
-    }
+    """{normalized path: byte size} for every data file under
+    ``source_dir``, from a FILESYSTEM listing (Hadoop
+    ``FileSystem.listFiles``), not from scan-split metadata: a
+    multi-split file whose tail split carries only the parquet footer
+    yields no rows, so max(block_start+length) over row-bearing splits
+    understates the length — and varies with Spark's dynamic
+    maxSplitBytes as the directory grows, so an UNCHANGED large file
+    could report different sizes across refreshes and raise a spurious
+    SourceMutatedError. FileStatus.getLen is the stable truth, and the
+    listing is pure namenode/driver metadata (no data scan). Hidden
+    and metadata files (``_SUCCESS``, ``.crc``, ``_metadata``) are
+    excluded, matching Spark's own InMemoryFileIndex filter."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(source_dir)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out: dict[str, int] = {}
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out[_norm_path(status.getPath().toString())] = int(status.getLen())
+    return out
 
 
 class SourceMutatedError(RuntimeError):
@@ -94,12 +126,19 @@ def _split_new_and_check(
     return sorted(f for f in current if f not in seen)
 
 
-def _seen_as_dict(seen_files) -> dict[str, int | None]:
+def _seen_as_dict(seen_files, size_src=None) -> dict[str, int | None]:
     """Manifest compatibility: round-5 manifests stored a sorted list
-    of paths; round-6+ store {path: size}."""
+    of paths; round-6 stored {path: size} with sizes derived from scan
+    splits (unstable for multi-split files — see _list_source_files);
+    round-7+ store {path: size} with filesystem sizes and mark the
+    state ``size_src: "fs"``. Only fs-sourced sizes are trusted for
+    the mutation check; anything older degrades to None (path-only,
+    sizes backfill from the FS on the next pointer flip)."""
     if isinstance(seen_files, dict):
-        return dict(seen_files)
-    return {f: None for f in seen_files}
+        if size_src == "fs":
+            return {_norm_path(f): sz for f, sz in seen_files.items()}
+        return {_norm_path(f): None for f in seen_files}
+    return {_norm_path(f): None for f in seen_files}
 
 
 def _partial_agg(
@@ -241,7 +280,7 @@ class IncrementalRollup:
         an already-folded file was rewritten in place (partials cannot
         be patched for history rewrites)."""
         st = self._state()
-        seen = _seen_as_dict(st["seen_files"])
+        seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
         current = _list_source_files(self.spark, self.source_dir)
         new_files = _split_new_and_check(current, seen, "rollup")
         if not new_files:
@@ -271,20 +310,21 @@ class IncrementalRollup:
         self._flip(
             {
                 "version": next_version,
-                # {path: size} — sizes let the next refresh detect
-                # in-place rewrites; legacy None sizes backfill here
+                # {path: size} — FS sizes let the next refresh detect
+                # in-place rewrites; legacy/split-derived sizes
+                # backfill from the listing here
                 "seen_files": {
                     **{f: current.get(f, sz) for f, sz in seen.items()},
                     **{f: current[f] for f in new_files},
                 },
+                "size_src": "fs",
                 "last_batch_id": st.get("last_batch_id", -1),
             }
         )
         return {"new_files": len(new_files), "version": next_version}
 
     def _flip(self, state: dict) -> None:
-        with open(self._pointer, "w") as fh:
-            json.dump(state, fh)
+        _atomic_flip(self._pointer, state)
 
     def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
         """Fold a DataFrame of new rows directly into the rollup — the
@@ -321,6 +361,8 @@ class IncrementalRollup:
             {
                 "version": next_version,
                 "seen_files": st["seen_files"],
+                # carry the size provenance: fold_batch never re-lists
+                "size_src": st.get("size_src"),
                 "last_batch_id": (
                     batch_id if batch_id is not None else last
                 ),

@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_LOOKBACK = "7 days"
-DEFAULT_DELAY = "10 minutes"
+# "0 seconds" is the ORIGINAL default, restored: changing it in place
+# (round 6 briefly defaulted to "10 minutes") silently changed both
+# attribution output (late events joining) and join-state size for
+# every caller relying on the default. Lateness tolerance is the
+# caller's call — pass delay explicitly (RECOMMENDED_DELAY is a sane
+# production starting point).
+DEFAULT_DELAY = "0 seconds"
+RECOMMENDED_DELAY = "10 minutes"
 
 
 def split_touch_streams(
@@ -50,13 +57,13 @@ def split_touch_streams(
     threshold, not a hint: any touch or purchase arriving more than
     ``delay`` behind the max observed event time is silently excluded
     from attribution (Spark drops it before the join). The default is
-    a modest 10 minutes — real feeds are never perfectly ordered
-    across micro-batches, and a "0 seconds" default would silently
-    undercount attributions for every slightly-late event. Set it
-    explicitly to your feed's observed lateness; tests that need
-    deterministic eviction pass "0 seconds" on purpose. Larger delay =
-    more join state retained (state is bounded by delay + lookback
-    per side either way)."""
+    "0 seconds" — deterministic eviction, no tolerance — because a
+    library default that silently admits late events also silently
+    grows join state; production feeds are never perfectly ordered
+    across micro-batches, so SET ``delay`` EXPLICITLY to your feed's
+    observed lateness (``RECOMMENDED_DELAY`` = "10 minutes" is a sane
+    starting point). Larger delay = more join state retained (state
+    is bounded by delay + lookback per side either way)."""
     p = (
         events.filter(F.col("event_type") == purchase_type)
         .select(

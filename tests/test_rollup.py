@@ -292,3 +292,90 @@ def test_legacy_path_list_manifest_still_refreshes(spark, tmp_path, source):
     assert isinstance(st2["seen_files"], dict)
     assert all(isinstance(v, int) for v in st2["seen_files"].values())
     assert _rows(ru.read()) == _rows(_full(spark, d))
+
+def test_source_sizes_are_filesystem_truth(spark, tmp_path, source):
+    """_list_source_files must return FileStatus sizes on normalized
+    plain paths — not scan-split-derived sizes, which understate
+    multi-split files whose tail split holds only the parquet footer
+    and vary with dynamic maxSplitBytes (round-6 advice: an unchanged
+    file must never trip SourceMutatedError)."""
+    import glob
+
+    from dmds_spark.operators.rollup import _list_source_files
+
+    d, _ = source
+    listed = _list_source_files(spark, d)
+    expect = {
+        f: os.path.getsize(f)
+        for f in glob.glob(f"{d}/*.parquet")
+        if not os.path.basename(f).startswith(("_", "."))
+    }
+    assert listed == expect
+
+
+def test_legacy_split_derived_sizes_not_trusted(spark, tmp_path, source):
+    """A round-6 manifest ({path: size} WITHOUT size_src: 'fs') may
+    carry split-derived sizes that undershoot the file length; refresh
+    must not raise SourceMutatedError for them, and must upgrade the
+    manifest to fs sizes + the size_src marker."""
+    d, orders = source
+    rdir = str(tmp_path / "rollup_legacy6")
+    ru = IncrementalRollup(spark, d, rdir, ["o_orderstatus"], ["o_totalprice"])
+    ru.refresh()
+    # doctor the pointer into round-6 shape: shrink every size (as a
+    # footer-only tail split would) and drop the provenance marker
+    with open(ru._pointer) as fh:
+        st = json.load(fh)
+    st["seen_files"] = {f: sz - 123 for f, sz in st["seen_files"].items()}
+    st.pop("size_src", None)
+    with open(ru._pointer, "w") as fh:
+        json.dump(st, fh)
+
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "l6")
+    out = ru.refresh()  # no SourceMutatedError for untrusted sizes
+    assert out["new_files"] == 1
+    st2 = ru._state()
+    assert st2["size_src"] == "fs"
+    assert all(sz == os.path.getsize(f) for f, sz in st2["seen_files"].items())
+    # and with fs provenance recorded, a REAL in-place rewrite is caught
+    import glob
+    import shutil
+
+    from dmds_spark.operators.rollup import SourceMutatedError
+
+    victim = sorted(glob.glob(f"{d}/*.parquet"))[0]
+    orders.filter(F.col("o_orderkey") % 11 == 0).coalesce(1).write.parquet(
+        f"{d}__rw2"
+    )
+    shutil.copyfile(glob.glob(f"{d}__rw2/part-*.parquet")[0], victim)
+    shutil.rmtree(f"{d}__rw2")
+    with pytest.raises(SourceMutatedError):
+        ru.refresh()
+
+
+def test_flip_survives_midwrite_crash(spark, tmp_path, source, monkeypatch):
+    """A crash (or ENOSPC) mid-pointer-write must leave the OLD pointer
+    fully readable — the flip is temp-write + os.replace, never an
+    in-place truncate that would orphan every committed version."""
+    import dmds_spark.operators.rollup as R
+
+    d, _ = source
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup_crash"), ["o_orderstatus"],
+        ["o_totalprice"],
+    )
+    ru.refresh()
+    before = ru._state()
+    assert before["version"] == 1
+
+    def torn_dump(obj, fh, **kw):
+        fh.write('{"version": 99, "seen')  # torn bytes, then the crash
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(R.json, "dump", torn_dump)
+    with pytest.raises(OSError):
+        ru._flip({"version": 99, "seen_files": {}})
+    monkeypatch.undo()
+
+    assert ru._state() == before          # old pointer intact
+    assert ru.read().count() > 0          # versions still reachable
