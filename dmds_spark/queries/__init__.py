@@ -265,5 +265,9 @@ def _load():
     from dmds_spark.queries import llm_extra9  # noqa: F401
     from dmds_spark.queries import llm_extra10  # noqa: F401
     from dmds_spark.queries import llm_extra11  # noqa: F401
+    # round-7 additions: every pre-existing query has driver evidence
+    # (225/225 after r06), so these lead the round-7 window and the
+    # remaining slots rotate the oldest evidence
+    from dmds_spark.queries import llm_extra12  # noqa: F401
 
     _LOADED = True
