@@ -88,6 +88,55 @@ def bucketized_range_join(
     return out.drop("__bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Interval x interval overlap join — pairs where
+    ``[l_lo, l_hi]`` and ``[r_lo, r_hi]`` intersect (``l_lo <= r_hi AND
+    r_lo <= l_hi``) — via fixed-width integer bins: both sides explode
+    to every bin their interval touches, equi-join on the bin, then
+    re-check the exact overlap predicate. Turns the O(n*m)
+    nested-loop theta join into a hash join whose cost is
+    O(overlapping bins), the companion of ``bucketized_range_join``
+    for the interval-interval case (that one is point-interval).
+
+    Each overlapping pair shares a RANGE of bins; it is emitted exactly
+    once by crediting it to the FIRST shared bin
+    (``greatest(floor(l_lo/w), floor(r_lo/w))``) — an algebraic dedup,
+    no ``distinct`` shuffle over the candidate set.
+
+    ``by`` adds equi-key columns (per-user/per-key interval overlap),
+    sharding any hot bin across the by-key space. ``bucket_width``
+    tunes fan-out: ~the typical interval length is right — much
+    smaller multiplies the explode, much larger degrades toward one
+    giant bucket (all-pairs within it). Bounds are inclusive on both
+    sides, matching BETWEEN semantics."""
+    lsb = F.floor(F.col(l_lo) / bucket_width)
+    rsb = F.floor(F.col(r_lo) / bucket_width)
+    l = left.withColumn("__lsb", lsb).withColumn(
+        "__bin",
+        F.explode(F.sequence(lsb, F.floor(F.col(l_hi) / bucket_width))),
+    )
+    r = right.withColumn("__rsb", rsb).withColumn(
+        "__bin",
+        F.explode(F.sequence(rsb, F.floor(F.col(r_hi) / bucket_width))),
+    )
+    keys = [*(by or []), "__bin"]
+    out = l.join(r, keys).filter(
+        (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (F.col("__bin") == F.greatest(F.col("__lsb"), F.col("__rsb")))
+    )
+    return out.drop("__bin", "__lsb", "__rsb")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -269,5 +269,6 @@ def _load():
     # (225/225 after r06), so these lead the round-7 window and the
     # remaining slots rotate the oldest evidence
     from dmds_spark.queries import llm_extra12  # noqa: F401
+    from dmds_spark.queries import llm_extra13  # noqa: F401
 
     _LOADED = True
