@@ -367,6 +367,113 @@ def resize_images(
     return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame, bits: int = 64) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per media payload:
+    the payload folds into ``bits`` contiguous equal-width cells, and
+    bit b is 1 iff cell b's mean exceeds the whole-payload mean. A
+    re-encode, byte noise, or a small tail crop moves a few cell
+    means, so near-identical payloads agree on most bits — hamming
+    distance over the packed 64-bit integer is the near-dup metric
+    (image dedup's answer to MinHash). A production pipeline computes
+    a DCT pHash over DECODED pixels through this same seam
+    (decode -> numpy -> packed int64); every downstream piece — the
+    banded candidate join, the bit_count verify — is identical.
+
+    Vectorized per clip: one reshape + two whole-array reductions +
+    one packbits; Python-level work is O(clips). Output is a plain
+    int64 column, so the candidate join shuffles 8-byte keys."""
+    import numpy as np
+
+    if bits % 8 != 0:
+        raise ValueError(f"bits must be a multiple of 8, got {bits}")
+
+    def one(payload: bytes) -> int:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if len(arr) < bits:  # tiny payload: zero-pad to one byte/cell
+            arr = np.pad(arr, (0, bits - len(arr)))
+        arr = arr[: len(arr) // bits * bits]
+        cells = arr.reshape(bits, -1).mean(axis=1)
+        packed = np.packbits(cells > arr.mean()).tobytes()
+        return int(np.frombuffer(packed, dtype=">i8")[0])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": [
+                        one(bytes(c)[16:]) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def phash_candidate_pairs(
+    hashes: DataFrame, bands: int = 4, bits: int = 64
+) -> DataFrame:
+    """Banded candidate pairs over perceptual hashes: split each
+    64-bit hash into ``bands`` equal bit-slices, equi-join on
+    (band_no, slice) — pigeonhole guarantees every pair with hamming
+    distance < ``bands`` shares at least one untouched band, so recall
+    is total below that bound (same argument as simhash_pairs, pinned
+    there). Emits (id_a < id_b, phash_a, phash_b, hamming) with the
+    exact ``bit_count(xor)`` distance; callers filter to their radius.
+    The join carries only (id, phash, band key) — 24 bytes a row."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    b = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftrightunsigned("phash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band_no", "b.band_key")
+    left = b.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("phash_a"),
+        "band_no",
+        "band_key",
+    )
+    right = b.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("phash_b"),
+        "band_no",
+        "band_key",
+    )
+    pairs = (
+        left.join(right, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "phash_a", "phash_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming",
+        F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))),
+    )
+
+
 AUDIO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -270,5 +270,6 @@ def _load():
     # remaining slots rotate the oldest evidence
     from dmds_spark.queries import llm_extra12  # noqa: F401
     from dmds_spark.queries import llm_extra13  # noqa: F401
+    from dmds_spark.queries import llm_extra14  # noqa: F401
 
     _LOADED = True

@@ -430,3 +430,139 @@ def test_audio_filterbank_matches_numpy_reference(spark):
         assert r["energy"] == pytest.approx(
             want[r["frame_no"], r["band"]], rel=1e-12
         )
+
+
+def _media_from_payloads(spark, payloads):
+    from dmds_spark.operators.multimodal import MEDIA_MAGIC
+
+    rows = [
+        (i, "image", MEDIA_MAGIC + b"\x00" * 12 + p,
+         {"width": 0, "height": 0, "channels": 0, "n_bytes": len(p) + 16})
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_phash_identical_and_noised_payloads(spark):
+    """Identical payloads share the hash exactly; a few flipped bytes
+    flip few bits; an unrelated payload sits near hamming 32."""
+    import random
+
+    from dmds_spark.operators.multimodal import perceptual_hashes
+
+    rnd = random.Random(11)
+    base = bytes(rnd.randrange(256) for _ in range(2048))
+    noised = bytearray(base)
+    for pos in rnd.sample(range(2048), 8):
+        noised[pos] ^= 0xFF
+    other = bytes(rnd.randrange(256) for _ in range(2048))
+    df = _media_from_payloads(spark, [base, base, bytes(noised), other])
+    h = {r["media_id"]: r["phash"] for r in perceptual_hashes(df).collect()}
+    assert h[0] == h[1]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(h[0], h[2]) <= 6          # 8 flipped bytes of 2048
+    assert 16 <= ham(h[0], h[3]) <= 48   # unrelated ~ 32 +- noise
+
+
+def test_phash_deterministic_across_partitionings(spark):
+    from dmds_spark.operators.multimodal import (
+        media_table_from_documents,
+        perceptual_hashes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = media_table_from_documents(docs)
+    one = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hashes(media.coalesce(1)).collect()
+    }
+    many = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hashes(media.repartition(13)).collect()
+    }
+    assert one == many and len(one) == 500
+
+
+def test_phash_candidate_pairs_recall_below_band_bound(spark):
+    """Pigeonhole recall: every pair with hamming < bands(=4) MUST be
+    a candidate (shares an untouched 16-bit band). Construct pairs at
+    hamming 1..3 by flipping bits inside one band."""
+    from dmds_spark.operators.multimodal import (
+        perceptual_hashes,
+        phash_candidate_pairs,
+    )
+    import random
+
+    rnd = random.Random(5)
+    base = bytes(rnd.randrange(256) for _ in range(4096))
+    variants = [base]
+    for flips in (1, 2, 3):
+        nb = bytearray(base)
+        for pos in range(flips):  # flip bytes inside the SAME cell run
+            nb[pos * 64] ^= 0x80
+        variants.append(bytes(nb))
+    df = _media_from_payloads(spark, variants)
+    hashes = perceptual_hashes(df)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_candidate_pairs(hashes).collect()
+    }
+    h = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    for a in range(4):
+        for b in range(a + 1, 4):
+            if ham(h[a], h[b]) < 4:
+                assert (a, b) in got, (a, b, ham(h[a], h[b]))
+    # emitted distances are the exact bit_count(xor)
+    for (a, b), d in got.items():
+        assert d == ham(h[a], h[b])
+
+
+def test_audio_vad_segments_hand_computed(spark):
+    """A clip with two loud bursts separated by silence must yield
+    exactly two segments, and the island bookkeeping must match a
+    hand count."""
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import MEDIA_MAGIC
+    from dmds_spark.queries import all_queries  # noqa: F401  (registry import)
+    from dmds_spark.operators.multimodal import audio_frame_features
+
+    sr, frame_ms, hop_ms = 16_000, 25, 10
+    hop = sr * hop_ms // 1000
+    flen = sr * frame_ms // 1000
+    # 100 hops of samples: bursts at hops [10,20) and [50,55)
+    n = hop * 100 + flen
+    pcm = np.zeros(n, dtype=np.int16)
+    pcm[10 * hop:20 * hop] = 8000
+    pcm[50 * hop:55 * hop] = 8000
+    content = MEDIA_MAGIC + b"\x00" * 12 + pcm.astype("<i2").tobytes()
+    media = spark.createDataFrame(
+        [(1, "audio", content,
+          {"width": 0, "height": 0, "channels": 1, "n_bytes": len(content)})],
+        MEDIA_SCHEMA,
+    )
+    frames = audio_frame_features(media)
+    from pyspark.sql import Window as W
+
+    totals = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("nf"), F.sum("energy").alias("te")
+    )
+    act = (
+        frames.join(totals, "media_id")
+        .filter(F.col("energy") * F.col("nf") > F.col("te"))
+        .withColumn(
+            "grp",
+            F.col("frame_no")
+            - F.row_number().over(
+                W.partitionBy("media_id").orderBy("frame_no")
+            ),
+        )
+    )
+    segs = act.groupBy("media_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    ).collect()
+    assert len(segs) == 2
+    lens = sorted(r["seg_len"] for r in segs)
+    # burst one spans ~10 hops (+ frame bleed), burst two ~5
+    assert lens[0] in range(4, 9) and lens[1] in range(9, 14)
