@@ -148,6 +148,22 @@ ADDITIONS = [
     "events_attribution_linear",
     "dedup_method_agreement",
     "graph_khop_reachability",
+    # round-7 batch one (span dedup + rarity + lift)
+    "dedup_repeated_ngram_spans",
+    "dedup_duplicated_span_fraction",
+    "text_token_rarity_score",
+    "events_transition_lift",
+    # round-7 batch two (advisors + binned interval join + MIPS)
+    "profile_join_skew_advisor",
+    "join_interval_overlap",
+    "similarity_mips_topk",
+    # round-7 batch three (multimodal)
+    "multimodal_phash_neardup",
+    "multimodal_audio_vad",
+    # round-7 batch four (span coverage + exact shift measures)
+    "dedup_span_coverage",
+    "text_source_tv_distance",
+    "text_vocab_gini_impurity",
 ]
 
 
