@@ -164,6 +164,8 @@ ADDITIONS = [
     "dedup_span_coverage",
     "text_source_tv_distance",
     "text_vocab_gini_impurity",
+    # round-7 batch five (inverted-index exact truth vs the banding)
+    "dedup_minhash_recall_report",
 ]
 
 

@@ -198,42 +198,38 @@ def profile_cardinality_report(spark, sf_dir):
     per_val = stacked.groupBy("col_name", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # single lineage (one scan): rank values within each column, then
+    # fold stats AND the rank-1 value in ONE aggregate — max over a
+    # when(rn=1) struct picks the top row without a second branch
     w = W.partitionBy("col_name").orderBy(F.col("c").desc(), "value")
-    top = (
-        per_val.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "col_name",
-            F.col("value").alias("top_value"),
-            F.col("c").alias("top_cnt"),
-        )
-    )
-    stats = per_val.groupBy("col_name").agg(
+    ranked = per_val.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_distinct_nonnull"),
         F.sum(F.when(F.col("value").isNull(), F.col("c")).otherwise(0))
         .alias("n_null"),
         F.sum("c").alias("n_rows"),
-    )
-    return (
-        stats.join(top, "col_name")
-        .select(
-            "col_name",
-            # count(distinct col) in SQL excludes NULL; per_val counts
-            # the NULL group as a row, so subtract it back out
-            (
-                F.col("n_distinct_nonnull")
-                - F.when(F.col("n_null") > 0, 1).otherwise(0)
+        F.max(
+            F.when(
+                F.col("rn") == 1, F.struct(F.col("value"), F.col("c"))
             )
-            .cast("bigint")
-            .alias("n_distinct"),
-            F.col("n_null").cast("bigint").alias("n_null"),
-            "top_value",
-            F.col("top_cnt").cast("bigint").alias("top_cnt"),
-            F.expr("top_cnt * 1000000 div n_rows").cast("bigint")
-            .alias("top_share_ppm"),
-        )
-        .orderBy("col_name")
+        ).alias("top"),
     )
+    return agg.select(
+        "col_name",
+        # count(distinct col) in SQL excludes NULL; per_val counts
+        # the NULL group as a row, so subtract it back out
+        (
+            F.col("n_distinct_nonnull")
+            - F.when(F.col("n_null") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("top.value").alias("top_value"),
+        F.col("top.c").cast("bigint").alias("top_cnt"),
+        F.expr("top.c * 1000000 div n_rows").cast("bigint")
+        .alias("top_share_ppm"),
+    ).orderBy("col_name")
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from dmds_spark.plans import (
     physical_plan,
     pushed_filters,
     read_schemas,
+    scan_count,
     shuffle_count,
 )
 from dmds_spark.queries import all_queries
@@ -922,3 +923,84 @@ def test_khop_no_data_sized_nested_loop(spark, qs):
     # hop joins are hash equi-joins on c/s
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
         or "ShuffledHashJoin" in plan
+
+
+def test_span_queries_no_nested_loop(spark, qs):
+    """All four span-dedup queries: gram/doc-keyed equi-joins only —
+    an accidental broadcast-nested-loop over the token-stream-sized
+    gram table would be the 100 TB killer."""
+    for name in (
+        "dedup_repeated_ngram_spans",
+        "dedup_duplicated_span_fraction",
+        "dedup_doc_dup_span_topk",
+        "dedup_span_coverage",
+    ):
+        plan = physical_plan(qs[name](spark, SF))
+        assert "NestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_token_rarity_joins_rare_set_only(spark, qs):
+    """The token-keyed join must be against the filtered RARE set (the
+    count<=2 filter sits under the join), not the full frequency
+    table — the filter is what removes the common-word skew pole."""
+    df = qs["text_token_rarity_score"](spark, SF)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan
+    # the rare-set filter (c <= 2) appears below the join
+    assert "<= 2" in plan
+
+
+def test_interval_overlap_query_hash_join(spark, qs):
+    df = qs["join_interval_overlap"](spark, SF)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert "__bin" in plan
+
+
+def test_cardinality_report_single_scan(spark, qs):
+    """Three profiled columns must come from ONE stacked scan of
+    orders, not one scan per column."""
+    df = qs["profile_cardinality_report"](spark, SF)
+    assert scan_count(df) == 1
+
+
+def test_tv_distance_broadcasts_totals(spark, qs):
+    """Per-source totals are |sources|-sized: every totals join must
+    broadcast; the only big shuffles key on (source, token)."""
+    df = qs["text_source_tv_distance"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_lift_broadcasts_marginals(spark, qs):
+    df = qs["events_transition_lift"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "NestedLoop" not in plan or "BuildRight" in plan
+
+
+def test_outlier_iqr_broadcasts_quartiles(spark, qs):
+    """The per-group quartile table is group-count-sized and must
+    broadcast back onto the scan."""
+    df = qs["profile_outlier_iqr"](spark, SF)
+    assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_recall_report_truth_is_equijoin(spark, qs):
+    """The exact-truth side must reach pairs through the shingle
+    inverted index (equi-join on the shingle), never an all-pairs
+    product over documents."""
+    df = qs["dedup_minhash_recall_report"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_advisor_is_two_aggregates(spark, qs):
+    """One key aggregate + one scalar total + a broadcast back: the
+    advisor must stay metadata-cheap (it runs BEFORE the big job)."""
+    df = qs["profile_join_skew_advisor"](spark, SF)
+    assert scan_count(df) <= 2  # key agg + total reuse the same scan
+    assert "NestedLoop" not in physical_plan(df) or "Broadcast" in physical_plan(df)
