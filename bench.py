@@ -166,6 +166,10 @@ ADDITIONS = [
     "text_vocab_gini_impurity",
     # round-7 batch five (inverted-index exact truth vs the banding)
     "dedup_minhash_recall_report",
+    # round-7 batch six
+    "join_asof_forward",
+    "profile_functional_dependency",
+    "agg_hll_calibration",
 ]
 
 

@@ -143,14 +143,24 @@ def asof_join(
     on: str,
     by: list[str],
     right_value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join (latest right row with right.on <= left.on, per `by`
-    key) expressed with built-in ops: union tagged events, window
-    last_value over time, keep left rows.
+    """As-of join per ``by`` key, expressed with built-in ops: union
+    tagged events, one window over time, keep left rows.
 
-    Avoids the naive theta-join + groupBy-max double shuffle: one union,
-    one window over (by, on) — a single sort-based shuffle, scalable.
+    ``direction="backward"`` (default): latest right row with
+    ``right.on <= left.on`` — the price-at-time-of-trade lookup.
+    ``direction="forward"``: earliest right row with
+    ``right.on >= left.on`` — the next-event lookup (next deploy after
+    an alert, next purchase after a touch). Both bounds inclusive.
+
+    Avoids the naive theta-join + groupBy-extreme double shuffle: one
+    union, one window over (by, on) — a single sort-based shuffle,
+    scalable. At equal ``on`` the right row qualifies in both
+    directions; the side tag's sort position puts it inside the frame.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     lt = left.withColumn("__side", F.lit(1))
     rt = right.withColumn("__side", F.lit(0))
     all_cols = set(lt.columns) | set(rt.columns)
@@ -160,13 +170,26 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
     u = lt.select(sorted(all_cols)).unionByName(rt.select(sorted(all_cols)))
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right (side 0) sorts BEFORE left at equal on; frame is the
+        # past -> last_value picks the latest qualifying right row
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda v: F.last(v, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # right sorts AFTER left at equal on; frame is the future ->
+        # first_value picks the earliest qualifying right row
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731
     for v in right_value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+        u = u.withColumn(v, pick(v))
     return u.filter(F.col("__side") == 1).drop("__side")
 
 

@@ -124,3 +124,44 @@ def test_interval_overlap_bucket_width_invariance(spark):
         assert key(
             interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi", w)
         ) == base
+
+
+def test_asof_forward_hand_computed(spark):
+    """Forward as-of: earliest right row at-or-after each left row,
+    per key — hand-checkable fixture incl. the equal-timestamp case
+    (inclusive: the same-ts right row wins)."""
+    from dmds_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5), ("u", 10), ("u", 30), ("v", 1)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 20, 200.0), ("v", 0, 7.0)],
+        ["k", "t", "val"],
+    )
+    out = {
+        (r["k"], r["t"]): r["val"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], right_value_cols=["val"],
+            direction="forward",
+        ).collect()
+    }
+    assert out == {
+        ("u", 5): 100.0,    # next right at t=10
+        ("u", 10): 100.0,   # equal ts: inclusive
+        ("u", 30): None,    # nothing after
+        ("v", 1): None,     # right at t=0 is in the past
+    }
+
+
+def test_asof_backward_unchanged_by_direction_param(spark):
+    from dmds_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([("u", 10)], ["k", "t"])
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 9, 2.0)], ["k", "t", "val"]
+    )
+    got = asof_join(
+        left, right, on="t", by=["k"], right_value_cols=["val"]
+    ).collect()
+    assert got[0]["val"] == 1.0  # equal-ts right row qualifies backward too
