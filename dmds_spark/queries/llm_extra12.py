@@ -76,6 +76,19 @@ def _xdoc(grams):
     )
 
 
+def _grams_by_g(spark, sf_dir):
+    """The gram stream explicitly hash-partitioned on g — for queries
+    with TWO g-keyed consumers (the per-gram stats aggregate AND the
+    occurrence re-join). Without this, each consumer re-explodes the
+    corpus and shuffles separately (the partial-agg branch exchanges a
+    different subplan, so ReusedExchange never fires); with it, both
+    consumers hang off ONE exchange of the raw gram stream and the
+    join needs no further shuffle on the gram side. Near-unique grams
+    mean the lost map-side combine costs little — measured 1.7x faster
+    end-to-end at sf0.1 (2.12 -> 1.25 s on the span-fraction shape)."""
+    return _grams(spark, sf_dir).repartition("g")
+
+
 @register(
     "dedup_repeated_ngram_spans",
     _SPAN_CTE
@@ -129,12 +142,13 @@ def dedup_duplicated_span_fraction(spark, sf_dir):
     dedup would remove, per source (the decision input for "is this
     crawl worth span-deduping").
 
-    Shape at scale: grams -> per-gram stats is one shuffle on g; the
-    re-join of occurrences to their gram's stats shuffles on the SAME
-    key, so AQE reuses the exchange on the occurrence side; per-source
-    rollup is a handful of rows. Within-doc repeats (n_docs = 1) do
-    not count as duplicated — this is the cross-doc span metric."""
-    grams = _grams(spark, sf_dir)
+    Shape at scale: ONE exchange of the gram stream (explicit hash
+    partition on g — see _grams_by_g) feeds both the per-gram stats
+    aggregate and the occurrence re-join, so the corpus is exploded
+    and shuffled once, not per consumer; per-source rollup is a
+    handful of rows. Within-doc repeats (n_docs = 1) do not count as
+    duplicated — this is the cross-doc span metric."""
+    grams = _grams_by_g(spark, sf_dir)
     x = _xdoc(grams)
     j = grams.join(x, "g")
     return j.groupBy("source").agg(
@@ -173,10 +187,11 @@ def dedup_doc_dup_span_topk(spark, sf_dir):
     dup_share 1.0 is wholly boilerplate; high dup_positions with low
     share is a long doc quoting a template.
 
-    Same two shuffles as dedup_duplicated_span_fraction (per-gram
-    stats + same-key re-join), then a doc-keyed aggregate and a
-    TakeOrdered top-20 on the (dup_positions, doc_id) total order."""
-    grams = _grams(spark, sf_dir)
+    Same shared-exchange shape as dedup_duplicated_span_fraction
+    (one g-partitioned gram stream feeding stats + re-join), then a
+    doc-keyed aggregate and a TakeOrdered top-20 on the
+    (dup_positions, doc_id) total order."""
+    grams = _grams_by_g(spark, sf_dir)
     x = _xdoc(grams)
     j = grams.join(x, "g")
     return (
