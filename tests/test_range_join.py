@@ -165,3 +165,41 @@ def test_asof_backward_unchanged_by_direction_param(spark):
         left, right, on="t", by=["k"], right_value_cols=["val"]
     ).collect()
     assert got[0]["val"] == 1.0  # equal-ts right row qualifies backward too
+
+
+def test_interval_overlap_property_random(spark):
+    """Property sweep: random interval sets and bucket widths — the
+    binned join must equal the naive predicate join exactly, with no
+    duplicate pairs, including zero-length and bucket-straddling
+    intervals."""
+    import random
+
+    from dmds_spark.operators.relational import interval_overlap_join
+
+    rnd = random.Random(42)
+    for trial in range(6):
+        w = rnd.choice([1, 3, 16, 97, 10_000])
+        n_a, n_b = rnd.randrange(1, 120), rnd.randrange(1, 120)
+        mk = lambda n, tag: [
+            (i, lo := rnd.randrange(-200, 200),
+             lo + rnd.choice([0, 1, rnd.randrange(0, 150)]))
+            for i in range(n)
+        ]
+        a = spark.createDataFrame(mk(n_a, "a"), ["aid", "alo", "ahi"])
+        b = spark.createDataFrame(mk(n_b, "b"), ["bid", "blo", "bhi"])
+        naive = sorted(
+            (r["aid"], r["bid"])
+            for r in a.join(
+                b,
+                (F.col("alo") <= F.col("bhi"))
+                & (F.col("blo") <= F.col("ahi")),
+            ).select("aid", "bid").collect()
+        )
+        fast = [
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, "alo", "ahi", "blo", "bhi", w
+            ).select("aid", "bid").collect()
+        ]
+        assert sorted(fast) == naive, (trial, w)
+        assert len(fast) == len(set(fast)), (trial, w)

@@ -207,3 +207,66 @@ def test_streaming_decayed_topk_real_stream(spark, tmp_path):
         assert set(got[key]) == set(w), key
         for item in w:
             assert got[key][item] == pytest.approx(w[item], rel=1e-9)
+
+
+def test_decayed_properties_random_streams():
+    """Property sweep (multi-regime, per the sketch-guarantee testing
+    discipline): for ANY event stream, ANY batch split, ANY (k,
+    min_weight) regime — pruning is undercount-only per item, the
+    missing mass is bounded by the cumulative dropped weight, the ref
+    never moves backwards, and with no pruning the fold matches the
+    closed form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),      # item
+                st.integers(min_value=0, max_value=8 * HL),  # ts
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        k=st.integers(min_value=1, max_value=12),
+        min_w=st.sampled_from([0.0, 1e-6, 1e-3, 0.05]),
+        ncuts=st.integers(min_value=0, max_value=4),
+        data=st.data(),
+    )
+    def run(events, k, min_w, ncuts, data):
+        events = sorted(
+            [(str(i), t) for i, t in events], key=lambda e: e[1]
+        )
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(events)),
+                    min_size=ncuts, max_size=ncuts,
+                )
+            )
+        )
+        ref = max(t for _, t in events)
+        want = _true_decayed(events, ref)
+
+        w, r, dropped = {}, 0, 0.0
+        prev = 0
+        for c in [*cuts, len(events)]:
+            w, r2, d = decayed_merge(w, r, events[prev:c], HL, k, min_w)
+            assert r2 >= r  # ref monotone
+            r, dropped, prev = r2, dropped + d, c
+        assert r == ref
+        assert len(w) <= k
+        tol = 1e-9
+        for item, est in w.items():
+            assert est <= want[item] + tol          # undercount only
+        missing = math.fsum(want.values()) - math.fsum(w.values())
+        assert missing <= dropped + tol             # bound holds
+        if k >= 10 and min_w == 0.0:
+            # no pruning possible in this regime: exact (to rounding)
+            for item in want:
+                assert w[item] == __import__("pytest").approx(
+                    want[item], rel=1e-9
+                )
+
+    run()
