@@ -200,6 +200,22 @@ def main() -> int:
               f"micro-batches, {n_pairs} near-dup pairs accumulated "
               f"(== full-corpus recompute, pinned in tests)")
 
+        from dmds_spark.streaming.decayed_topk import streaming_decayed_topk
+
+        _run(
+            streaming_decayed_topk(stream(), halflife="7 days", k=5),
+            "demo_dtk", f"{root}/c9",
+        )
+        dtk = spark.table("demo_dtk")
+        hot = (
+            dtk.orderBy(F.col("ref_ts").desc(), F.col("weight").desc())
+            .limit(1)
+            .collect()[0]
+        )
+        print(f"9. decayed top-k: hottest {hot['key']} item now = user "
+              f"{hot['item']} (decayed weight {hot['weight']:.2f}, "
+              f"pruning error <= {hot['dropped_bound']:.2f})")
+
     print("demo: all streaming stages ran")
     return 0
 
