@@ -76,17 +76,25 @@ def dedup_span_coverage(spark, sf_dir):
     # llm_extra12._grams drops positions; this variant carries them
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", "source", F.split("text", " ").alias("t"))
-    grams = tok.filter(F.size("t") >= _SPAN_N).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {_SPAN_N - 1}),"
-                f" i -> struct(i as pos,"
-                f" concat_ws(' ', slice(t, i, {_SPAN_N})) as g))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "source", "s.pos", "s.g")
+    grams = (
+        tok.filter(F.size("t") >= _SPAN_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SPAN_N - 1}),"
+                    f" i -> struct(i as pos,"
+                    f" concat_ws(' ', slice(t, i, {_SPAN_N})) as g))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "source", "s.pos", "s.g")
+        # one exchange of the gram stream shared by both g-keyed
+        # consumers (dup-stats aggregate + starts join) — same
+        # measured win as llm_extra12._grams_by_g
+        .repartition("g")
+    )
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
