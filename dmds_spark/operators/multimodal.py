@@ -110,26 +110,52 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     distributed (mapInPandas) — the binary is generated executor-side."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                width = 16 + int(n_chars) % 48
-                height = 16 + (int(n_chars) // 7) % 48
-                content = encode_fake_media(width, height, 3, int(doc_id))
-                rows.append(
-                    {
-                        "media_id": int(doc_id),
-                        "kind": "image",
-                        "content": content,
-                        "meta": {
-                            "width": width,
-                            "height": height,
-                            "channels": 3,
-                            "n_bytes": len(content),
-                        },
-                    }
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], "kind": [], "content": [], "meta": []}
                 )
-            yield pd.DataFrame(rows)
+                continue
+            doc_ids = pdf["doc_id"].astype("int64").to_numpy()
+            n_chars = pdf["n_chars"].astype("int64").to_numpy()
+            width = 16 + n_chars % 48
+            height = 16 + (n_chars // 7) % 48
+            # payload byte matrix for the whole batch at once:
+            # byte[i, j] = (seed_i * 31 + j * 7) % 256, truncated per
+            # row to min(w*h*3, 4096) — identical bytes to
+            # encode_fake_media, built with two whole-matrix ops
+            # instead of a Python loop per byte
+            plen = np.minimum(width * height * 3, 4096)
+            maxlen = int(plen.max())
+            j7 = (np.arange(maxlen, dtype=np.int64) * 7)[None, :]
+            mat = ((doc_ids[:, None] * 31 + j7) % 256).astype(np.uint8)
+            headers = [
+                MEDIA_MAGIC + struct.pack(">III", int(w), int(h), 3)
+                for w, h in zip(width, height)
+            ]
+            contents = [
+                h + mat[i, : plen[i]].tobytes()
+                for i, h in enumerate(headers)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": doc_ids,
+                    "kind": ["image"] * n,
+                    "content": contents,
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(h),
+                            "channels": 3,
+                            "n_bytes": int(pl) + 16,
+                        }
+                        for w, h, pl in zip(width, height, plen)
+                    ],
+                }
+            )
 
     return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
 
