@@ -170,6 +170,9 @@ ADDITIONS = [
     "join_asof_forward",
     "profile_functional_dependency",
     "agg_hll_calibration",
+    # round-7 batch seven
+    "parts_xyz_classification",
+    "agg_cms_calibration",
 ]
 
 
