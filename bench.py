@@ -173,6 +173,8 @@ ADDITIONS = [
     # round-7 batch seven
     "parts_xyz_classification",
     "agg_cms_calibration",
+    # round-7 batch eight
+    "join_scd2_lookup",
 ]
 
 
