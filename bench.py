@@ -175,6 +175,8 @@ ADDITIONS = [
     "agg_cms_calibration",
     # round-7 batch eight
     "join_scd2_lookup",
+    # round-7 batch nine
+    "dedup_span_rewrite_stats",
 ]
 
 

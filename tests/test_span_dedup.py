@@ -89,3 +89,23 @@ def test_recall_truth_exact_on_known_neardups(spark, tmp_path):
     assert got["n_truth"] == 2          # (0,1) and (2,3)
     assert got["recall"] == 1.0
     assert got["n_overlap"] == got["n_detected"] == 2
+
+
+def test_span_rewrite_keep_first_hand_count(spark, toy_sf):
+    """Keep-first: doc0 is canonical for the shared gram (min doc_id)
+    and loses nothing; doc1 loses exactly the 8 covered tokens; srcB
+    untouched."""
+    got = {
+        r["source"]: (r["removed_tokens"], r["kept_tokens"],
+                      r["docs_rewritten"])
+        for r in all_queries()["dedup_span_rewrite_stats"](
+            spark, toy_sf
+        ).collect()
+    }
+    assert got == {"srcA": (8, 14, 1), "srcB": (0, 10, 0)}
+    # and the coverage upper bound dominates the keep-first removal
+    cov = {
+        r["source"]: r["covered_tokens"]
+        for r in all_queries()["dedup_span_coverage"](spark, toy_sf).collect()
+    }
+    assert all(got[s][0] <= cov[s] for s in got)
