@@ -177,6 +177,7 @@ ADDITIONS = [
     "join_scd2_lookup",
     # round-7 batch nine
     "dedup_span_rewrite_stats",
+    "rollup_incremental_spans",
 ]
 
 

@@ -202,13 +202,23 @@ class IncrementalRollup:
         group_cols: list[str],
         value_cols: list[str],
         distinct_cols: list[str] | None = None,
+        transform=None,
     ):
+        """``transform`` (optional ``DataFrame -> DataFrame``) maps the
+        raw new rows into the grain the rollup aggregates — e.g.
+        exploding documents into word n-grams, or casting money to
+        cents. It runs on NEW data only (refresh scans only unseen
+        files; fold_batch sees one micro-batch), so any row-local
+        derivation keeps the O(new) maintenance cost; it must be
+        row-local/deterministic (no cross-batch aggregation — that is
+        what the partials are for)."""
         self.spark = spark
         self.source_dir = source_dir
         self.rollup_dir = rollup_dir
         self.group_cols = list(group_cols)
         self.value_cols = list(value_cols)
         self.distinct_cols = list(distinct_cols or [])
+        self.transform = transform
         os.makedirs(rollup_dir, exist_ok=True)
 
     # -- manifest / version pointer ------------------------------------
@@ -285,8 +295,11 @@ class IncrementalRollup:
         new_files = _split_new_and_check(current, seen, "rollup")
         if not new_files:
             return {"new_files": 0, "version": st["version"]}
+        new_df = self.spark.read.parquet(*new_files)
+        if self.transform is not None:
+            new_df = self.transform(new_df)
         fresh = _partial_agg(
-            self.spark.read.parquet(*new_files),
+            new_df,
             self.group_cols,
             self.value_cols,
             self.distinct_cols,
@@ -339,6 +352,8 @@ class IncrementalRollup:
         last = st.get("last_batch_id", -1)
         if batch_id is not None and batch_id <= last:
             return {"skipped": True, "version": st["version"]}
+        if self.transform is not None:
+            df = self.transform(df)
         fresh = _partial_agg(
             df, self.group_cols, self.value_cols, self.distinct_cols
         )

@@ -142,3 +142,92 @@ def dedup_span_rewrite_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental span index: the rollup transform hook carrying the
+# span-dedup grain (gram -> occurrence count + canonical doc)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_incremental_spans",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             UNNEST([array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' ')
+                     for i in range(1, len(t) - {_SPAN_N - 2})]) AS g
+      FROM tok WHERE len(t) >= {_SPAN_N}
+    )
+    SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM grams GROUP BY g
+    ORDER BY n_occ DESC, gram LIMIT 20
+    """,
+)
+def rollup_incremental_spans(spark, sf_dir):
+    """An INCREMENTALLY MAINTAINED span index: the keep-first span
+    dedup's per-gram state (occurrence count + canonical min doc_id)
+    kept in sync with an append-only corpus by the generic
+    IncrementalRollup — the new ``transform`` hook explodes each NEW
+    batch of documents into its word-8-grams before the partial
+    aggregate, so count (sum-decomposable) and canonical
+    (min-decomposable) fold across increments exactly. Seed half the
+    docs, refresh, append the other half, refresh again; the oracle
+    states the FULL-corpus aggregate declaratively, so the hash-match
+    certifies two O(new)-cost increments equal one full recompute —
+    the nightly-crawl maintenance story for span dedup, same
+    versioned-pointer crash discipline as rollup_incremental_orders.
+
+    At 100 TB the group key becomes xxhash64(gram) (same note as
+    _xdoc) and the stored index is what dedup_span_rewrite_stats joins
+    against instead of recomputing the corpus."""
+    import os
+    import uuid
+
+    from dmds_spark.operators.rollup import IncrementalRollup
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch", "spanroll",
+        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
+    )
+    src = f"{root}/src"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def to_grams(df):
+        tok = df.select("doc_id", F.split("text", " ").alias("t"))
+        return tok.filter(F.size("t") >= _SPAN_N).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SPAN_N - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {_SPAN_N})))"
+                )
+            ).alias("gram"),
+        )
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    ru = IncrementalRollup(
+        spark, src, f"{root}/rollup", ["gram"], ["doc_id"],
+        transform=to_grams,
+    )
+    ru.refresh()
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    ru.refresh()
+    return (
+        ru.read()
+        .select(
+            "gram",
+            F.col("cnt").cast("bigint").alias("n_occ"),
+            F.col("min_doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .orderBy(F.col("n_occ").desc(), "gram")
+        .limit(20)
+    )

@@ -379,3 +379,35 @@ def test_flip_survives_midwrite_crash(spark, tmp_path, source, monkeypatch):
 
     assert ru._state() == before          # old pointer intact
     assert ru.read().count() > 0          # versions still reachable
+
+
+def test_transform_hook_incremental_equals_full(spark, tmp_path, source):
+    """transform= maps raw new rows to the aggregated grain (here:
+    value bucketing) before the partial agg; two increments through
+    the transform must equal the full one-shot recompute."""
+    d, orders = source
+    to_buckets = lambda df: df.select(  # noqa: E731
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("bigint") / 1000).cast("bigint")
+        .alias("kbucket"),
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup_t"),
+        ["o_orderstatus", "kbucket"], ["one"], transform=to_buckets,
+    )
+    ru.refresh()
+    _append(orders.filter(F.col("o_orderkey") % 3 == 1), d, "t1")
+    _append(orders.filter(F.col("o_orderkey") % 3 == 2), d, "t2")
+    ru.refresh()
+    got = {
+        (r["o_orderstatus"], r["kbucket"]): r["cnt"]
+        for r in ru.read().collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["kbucket"]): r["c"]
+        for r in to_buckets(spark.read.parquet(d))
+        .groupBy("o_orderstatus", "kbucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
