@@ -178,6 +178,8 @@ ADDITIONS = [
     # round-7 batch nine
     "dedup_span_rewrite_stats",
     "rollup_incremental_spans",
+    # round-7 batch ten
+    "embedding_pca_power",
 ]
 
 

@@ -24,6 +24,7 @@ from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 EMB_DIM = 64
 
@@ -501,3 +502,72 @@ def semdedup_prune(
         .distinct()
     )
     return vecs.join(doomed, id_col, "left_anti").select(id_col, "cluster")
+
+
+PCA_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("g", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def principal_component(
+    emb: DataFrame, vec_col: str, dim: int = EMB_DIM, iters: int = 256
+):
+    """Dominant principal component of an embedding column by power
+    iteration: one Arrow pass emits per-task Gram partials (count,
+    column sums, flattened X^T X — d + d^2 doubles per task, whole-
+    matrix numpy, no per-row Python), the O(tasks) partials fold on
+    the driver into the d x d covariance, and the iteration runs
+    driver-side on that tiny matrix. This is the scale shape for
+    spectral embedding health: the DATA pass is one scan however many
+    rows there are; only d^2 state moves.
+
+    Materializing the 2080 upper-triangle product aggregates as
+    Catalyst expressions instead would repeat the round-2
+    constant-heavy-plan mistake (thousands of expression nodes) — the
+    Gram partial via mapInPandas IS the right tool here.
+
+    Returns (eigenvalue, loadings ndarray, explained_ratio, n). Sign
+    convention: the largest-magnitude loading is positive
+    (deterministic across runs). Float sums depend on partition order,
+    so results are tolerance-stable, not bit-stable — engine-side only
+    (rows-only class), pinned against numpy eigh in tests."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        emb.select(vec_col).mapInPandas(part, PCA_PARTIAL_SCHEMA).collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum(
+        [np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    eigval = float(v @ cov @ v)
+    explained = eigval / float(np.trace(cov))
+    return eigval, v, explained, n

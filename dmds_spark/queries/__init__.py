@@ -277,5 +277,6 @@ def _load():
     from dmds_spark.queries import llm_extra18  # noqa: F401
     from dmds_spark.queries import llm_extra19  # noqa: F401
     from dmds_spark.queries import llm_extra20  # noqa: F401
+    from dmds_spark.queries import llm_extra21  # noqa: F401
 
     _LOADED = True

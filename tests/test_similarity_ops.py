@@ -269,3 +269,34 @@ def test_semdedup_prune_matches_numpy_bruteforce(spark):
     # of the threshold on this corpus, so the sets must be identical
     assert got == survivors
     assert 300 < len(got) < 500  # prune is non-trivial and non-total
+
+
+def test_principal_component_matches_numpy(spark):
+    """Power-iteration dominant component == numpy eigh's (up to the
+    shared sign convention), eigenvalue and explained ratio within
+    tolerance; partition count must not change the answer."""
+    import numpy as np
+
+    from dmds_spark.operators.similarity import principal_component
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eig1, v1, expl1, n1 = principal_component(emb.coalesce(1), "embedding")
+    eig2, v2, expl2, n2 = principal_component(
+        emb.repartition(9), "embedding"
+    )
+    assert n1 == n2 == emb.count()
+    assert abs(eig1 - eig2) < 1e-8 * max(abs(eig1), 1)
+    assert np.max(np.abs(v1 - v2)) < 1e-7
+
+    m = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    # near-degenerate spectrum (random embeddings): convergence is
+    # gap-limited, so tolerances are calibrated, not tight
+    assert abs(eig1 - w[-1]) < 1e-5 * max(w[-1], 1)
+    assert np.max(np.abs(v1 - top)) < 1e-2
+    assert abs(float(v1 @ top)) > 0.999  # direction agreement
+    assert 0 < expl1 <= 1
