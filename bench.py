@@ -180,6 +180,9 @@ ADDITIONS = [
     "rollup_incremental_spans",
     # round-7 batch ten
     "embedding_pca_power",
+    # round-7 batch eleven
+    "events_survival_curve",
+    "embedding_centroid_drift",
 ]
 
 
