@@ -566,3 +566,46 @@ def test_audio_vad_segments_hand_computed(spark):
     lens = sorted(r["seg_len"] for r in segs)
     # burst one spans ~10 hops (+ frame bleed), burst two ~5
     assert lens[0] in range(4, 9) and lens[1] in range(9, 14)
+
+
+def test_phash_banding_recall_property(spark):
+    """Property sweep: for random payloads with random small
+    perturbations, EVERY pair at hamming < 4 must appear in the banded
+    candidates (pigeonhole over 4x16-bit bands), across several
+    corpora — not just the constructed in-band flips."""
+    import random
+
+    from dmds_spark.operators.multimodal import (
+        perceptual_hashes,
+        phash_candidate_pairs,
+    )
+
+    for trial in range(3):
+        rnd = random.Random(100 + trial)
+        payloads = []
+        for _ in range(6):
+            base = bytes(rnd.randrange(256) for _ in range(1024))
+            payloads.append(base)
+            for _ in range(2):  # noised variants of each base
+                nb = bytearray(base)
+                for pos in rnd.sample(range(1024), rnd.randrange(1, 6)):
+                    nb[pos] ^= rnd.randrange(1, 256)
+                payloads.append(bytes(nb))
+        df = _media_from_payloads(spark, payloads)
+        hashes = perceptual_hashes(df)
+        h = {r["media_id"]: r["phash"] for r in hashes.collect()}
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in phash_candidate_pairs(hashes).collect()
+        }
+        ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+        n = len(payloads)
+        close = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if ham(h[a], h[b]) < 4
+        ]
+        assert close, trial  # the regime must actually produce close pairs
+        for pair in close:
+            assert pair in cands, (trial, pair, ham(h[pair[0]], h[pair[1]]))

@@ -203,3 +203,56 @@ def test_interval_overlap_property_random(spark):
         ]
         assert sorted(fast) == naive, (trial, w)
         assert len(fast) == len(set(fast)), (trial, w)
+
+
+def test_asof_both_directions_property_random(spark):
+    """Property sweep: random (key, time) frames — both as-of
+    directions must equal the brute-force definition (backward: max
+    right.on <= left.on; forward: min right.on >= left.on), including
+    equal-timestamp and no-match edges."""
+    import random
+
+    from dmds_spark.operators.relational import asof_join
+
+    rnd = random.Random(77)
+    for trial in range(4):
+        left = [
+            (f"k{rnd.randrange(4)}", rnd.randrange(0, 40))
+            for _ in range(60)
+        ]
+        right = {}
+        for _ in range(30):  # unique (k, t) on the right: defined pick
+            right[(f"k{rnd.randrange(4)}", rnd.randrange(0, 40))] = None
+        right = [
+            (k, t, float(i)) for i, (k, t) in enumerate(sorted(right))
+        ]
+        ldf = spark.createDataFrame(left, ["k", "t"])
+        rdf = spark.createDataFrame(right, ["k", "t", "val"])
+
+        def brute(direction):
+            out = {}
+            for k, t in left:
+                cands = [
+                    (rt, v) for (rk, rt, v) in right
+                    if rk == k and (rt <= t if direction == "backward"
+                                    else rt >= t)
+                ]
+                if not cands:
+                    out[(k, t)] = None
+                elif direction == "backward":
+                    out[(k, t)] = max(cands)[1]
+                else:
+                    out[(k, t)] = min(cands)[1]
+            return out
+
+        for direction in ("backward", "forward"):
+            got = {
+                (r["k"], r["t"]): r["val"]
+                for r in asof_join(
+                    ldf.dropDuplicates(), rdf, on="t", by=["k"],
+                    right_value_cols=["val"], direction=direction,
+                ).collect()
+            }
+            want = brute(direction)
+            want = {kk: want[kk] for kk in {(k, t) for k, t in left}}
+            assert got == want, (trial, direction)
