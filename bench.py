@@ -183,6 +183,7 @@ ADDITIONS = [
     # round-7 batch eleven
     "events_survival_curve",
     "embedding_centroid_drift",
+    "agg_approx_percentile_calibration",
 ]
 
 

@@ -172,3 +172,48 @@ def embedding_centroid_drift(spark, sf_dir):
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch approx-percentile calibration (rows-only, completes the
+# quantile side of the sketch-calibration family)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_approx_percentile_calibration", None)
+def agg_approx_percentile_calibration(spark, sf_dir):
+    """Batch quantile-sketch calibration: per order status, the EXACT
+    p50/p90 of integer cents against approx_percentile's estimate at
+    accuracy 10000 (error <= n/accuracy ranks), with the absolute
+    value gap — the acceptance row for every dashboard that will use
+    the approx form at 100 TB (where the exact percentile's full sort
+    per group is the thing being avoided). Rows-only: the sketch is
+    Spark's GK implementation; the exact side anchors it. The
+    STREAMING quantile family (streaming/quantiles.py) carries its own
+    hard rank guarantee; this is the batch twin's measured check."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = v.groupBy("o_orderstatus").agg(
+        F.expr("percentile(cents, 0.5)").alias("exact_p50"),
+        F.expr("percentile(cents, 0.9)").alias("exact_p90"),
+        F.expr("approx_percentile(cents, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(cents, 0.9, 10000)").alias("approx_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("exact_p50").cast("double").alias("exact_p50"),
+        F.col("approx_p50").cast("bigint").alias("approx_p50"),
+        F.abs(F.col("exact_p50") - F.col("approx_p50"))
+        .cast("double").alias("gap_p50"),
+        F.col("exact_p90").cast("double").alias("exact_p90"),
+        F.col("approx_p90").cast("bigint").alias("approx_p90"),
+        F.abs(F.col("exact_p90") - F.col("approx_p90"))
+        .cast("double").alias("gap_p90"),
+    ).orderBy("o_orderstatus")
