@@ -256,3 +256,38 @@ def test_asof_both_directions_property_random(spark):
             want = brute(direction)
             want = {kk: want[kk] for kk in {(k, t) for k, t in left}}
             assert got == want, (trial, direction)
+
+
+def test_interval_overlap_by_keys(spark):
+    """The per-key variant must equal the naive per-key overlap join
+    (pairs only match within the same key), and the join keys must
+    include the by column (hot-bin sharding)."""
+    import random
+
+    from dmds_spark.operators.relational import interval_overlap_join
+
+    rnd = random.Random(13)
+    mk = lambda n: [
+        (i, f"t{rnd.randrange(3)}", lo := rnd.randrange(0, 300),
+         lo + rnd.randrange(0, 80))
+        for i in range(n)
+    ]
+    a = spark.createDataFrame(mk(80), ["aid", "tenant", "alo", "ahi"])
+    b = spark.createDataFrame(mk(60), ["bid", "tenant2", "blo", "bhi"])
+    b2 = b.withColumnRenamed("tenant2", "tenant")
+    naive = sorted(
+        (r["aid"], r["bid"])
+        for r in a.join(
+            b,
+            (a.tenant == b.tenant2)
+            & (F.col("alo") <= F.col("bhi"))
+            & (F.col("blo") <= F.col("ahi")),
+        ).select("aid", "bid").collect()
+    )
+    fast = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, b2, "alo", "ahi", "blo", "bhi", 32, by=["tenant"]
+        ).select("aid", "bid").collect()
+    )
+    assert fast == naive and len(fast) > 0
