@@ -185,17 +185,50 @@ _CHECKED_R06: frozenset[str] = frozenset({
     "tokens_vocab_truncation_loss", "window_ewma_pow2",
 })
 
+# round 7 (CORRECTNESS_r07.json): 50 rows — 43 hash-green, 7 rows-only
+# by design (no oracle SQL: sketch calibrations, phash/VAD binary
+# plumbing, PCA power iteration). Covered all 31 round-7 additions
+# plus 19 rotated round-1-vintage queries.
+_CHECKED_R07: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_approx_percentile_calibration",
+    "agg_cms_calibration", "agg_cube", "agg_grouping_sets",
+    "agg_having", "agg_hll_calibration", "agg_rollup",
+    "dedup_doc_dup_span_topk", "dedup_duplicated_span_fraction",
+    "dedup_minhash_recall_report", "dedup_repeated_ngram_spans",
+    "dedup_span_coverage", "dedup_span_rewrite_stats",
+    "distinct_projection", "embedding_centroid_drift",
+    "embedding_pca_power", "events_survival_curve",
+    "events_transition_lift", "join_asof_forward",
+    "join_interval_overlap", "join_scd2_lookup",
+    "multimodal_audio_vad", "multimodal_phash_neardup",
+    "orders_seasonality_decomposition", "parts_xyz_classification",
+    "pivot_conditional", "profile_cardinality_report",
+    "profile_functional_dependency", "profile_join_skew_advisor",
+    "profile_outlier_iqr", "profile_partition_size_planner",
+    "rollup_incremental_spans", "sample_neyman_allocation",
+    "setop_except", "setop_intersect", "setop_union_all",
+    "setop_union_distinct", "similarity_mips_topk",
+    "sort_limit_topn", "sort_nulls_ordering",
+    "text_source_tv_distance", "text_token_rarity_score",
+    "text_vocab_gini_impurity", "topk_per_group", "window_lag_lead",
+    "window_range_between", "window_rank_dense_ntile",
+    "window_row_number", "window_running_sum",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
-    _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06,
-    _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06,
-    _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06,
-    _CHECKED_R05 - _CHECKED_R06,
-    _CHECKED_R06,
+    _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
+    - _CHECKED_R07,
+    _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
+    - _CHECKED_R07,
+    _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07,
+    _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07,
+    _CHECKED_R06 - _CHECKED_R07,
+    _CHECKED_R07,
 )
 _DRIVER_CHECKED: frozenset[str] = (
     _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
-    | _CHECKED_R06
+    | _CHECKED_R06 | _CHECKED_R07
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
