@@ -262,21 +262,26 @@ def tokens_vocab_truncation_loss(spark, sf_dir):
     tokens). Exact stream/type counts; rank ties break on the token
     string so both engines cut the same boundary.
 
-    Shape at scale: the type-frequency table is vocabulary-sized; its
-    global rank is the only full sort (run it through the sharded
-    global rank at web vocab sizes); the N-way coverage sums fold in
-    one pass over the ranked types."""
+    Shape at scale: only types ranked <= max(vocab_size) can enter any
+    coverage sum, so the rank input is TakeOrdered top-k (per-partition
+    heap + k-row merge), never a vocabulary-sized sort — at web scale
+    the type inventory is 1e8+ rows (Heaps' law; text_vocab_growth
+    measures it) and a single-partition rank over it would be one task
+    sorting the whole vocabulary. The window that assigns rnk runs
+    post-limit over k rows, bounded by construction. Totals (stream
+    size, type count) fold over the full count table in parallel."""
     d = _docs(spark, sf_dir)
     cnt = (
         d.select(F.explode(F.split("text", " ")).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        # vocabulary-sized; TWO consumers (rank + totals) — without the
-        # barrier each re-scans and re-counts the token stream
+        # vocabulary-sized; TWO consumers (top-k + totals) — without
+        # the barrier each re-scans and re-counts the token stream
         # (plan-pinned single-scan in test_plans.py)
         .localCheckpoint(eager=True)
     )
-    ranked = cnt.select(
+    topk = cnt.orderBy(F.col("c").desc(), "t").limit(max(_VOCAB_SIZES))
+    ranked = topk.select(
         "c",
         F.row_number()
         .over(W.orderBy(F.col("c").desc(), "t"))

@@ -864,16 +864,24 @@ def test_pii_counts_single_scan_partial_agg(spark, qs):
 
 
 def test_vocab_truncation_single_type_rank(spark, qs):
-    """The only sort ranks the vocabulary-sized type table; the sweep
-    over candidate sizes is a broadcast grid, not extra scans."""
+    """The rank input must be TakeOrdered top-k, never a
+    vocabulary-sized single-partition sort: the only Window in the
+    plan runs post-limit over max(_VOCAB_SIZES) rows. The sweep over
+    candidate sizes is a broadcast grid, not extra scans."""
     from dmds_spark.plans import scan_count
 
     df = qs["tokens_vocab_truncation_loss"](spark, SF)
     # counts materialize once behind the vocabulary-sized barrier
-    # (rank + totals consumers); >1 means a consumer re-counts the
+    # (top-k + totals consumers); >1 means a consumer re-counts the
     # token stream
     assert scan_count(df) <= 1
     assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    # the distributed top-k (per-partition heap + k-row merge) feeds
+    # the rank; without it row_number sorts the whole vocabulary
+    # through one task
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") <= 1
 
 
 def test_supplier_jaccard_broadcasts_degrees(spark, qs):
