@@ -215,20 +215,49 @@ _CHECKED_R07: frozenset[str] = frozenset({
     "window_row_number", "window_running_sum",
 })
 
+# round 8 (CORRECTNESS_r08.json): 50 rows — all hash-green (the driver
+# window rotated the oldest r01/r02-vintage evidence: TPC-H tail,
+# scalar/semi-structured, sampling, dedup and similarity batteries).
+_CHECKED_R08: frozenset[str] = frozenset({
+    "agg_percentiles", "dedup_cluster_assign",
+    "dedup_embedding_neardup", "dedup_exact", "dedup_exact_keep_first",
+    "dedup_jaccard_verify", "dedup_minhash_keep_first",
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dmds_crud_snapshot",
+    "q11_important_parts", "q12_priority_lateness",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_bracket_revenue", "q20_promotion_suppliers",
+    "q21_late_suppliers", "q22_idle_customers", "q2_min_cost_supplier",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "sample_bucket_distribution",
+    "sample_hash_10pct", "sample_referential",
+    "sample_stratified_events", "sample_train_val_test",
+    "sample_weighted_quality", "scalar_conditional", "scalar_date",
+    "scalar_math", "scalar_string", "semi_array_explode",
+    "semi_array_ops", "semi_json_extract", "similarity_ann_lsh_topk",
+    "similarity_cosine_topk", "similarity_ivf_topk",
+    "similarity_pairs_threshold", "text_bpe_token_count",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_rolling_fingerprint", "text_token_stats",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
     _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07,
+    - _CHECKED_R07 - _CHECKED_R08,
     _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07,
-    _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07,
-    _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07,
-    _CHECKED_R06 - _CHECKED_R07,
-    _CHECKED_R07,
+    - _CHECKED_R07 - _CHECKED_R08,
+    _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07
+    - _CHECKED_R08,
+    _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08,
+    _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08,
+    _CHECKED_R07 - _CHECKED_R08,
+    _CHECKED_R08,
 )
 _DRIVER_CHECKED: frozenset[str] = (
     _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
-    | _CHECKED_R06 | _CHECKED_R07
+    | _CHECKED_R06 | _CHECKED_R07 | _CHECKED_R08
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
