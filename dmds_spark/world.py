@@ -456,10 +456,16 @@ class World:
         self._pending_limit = limit
 
     def _append_op(self, kind: str, df: DataFrame) -> None:
-        if not self._writer_ref:     # one ref per World, O(1) after
-            self._writer_lock.acquire()  # WorldLockedError if another
-            self._writer_ref = True      # process is writing
         with self._lock:
+            # check-and-acquire under the shared path mutex: two
+            # threads racing the FIRST mutating op on one World must
+            # not both refcount into the writer token (that left
+            # refs=2 with one release at close(), orphaning the lock
+            # file for the process lifetime). One ref per World; O(1)
+            # after the first op.
+            if not self._writer_ref:
+                self._writer_lock.acquire()  # WorldLockedError if
+                self._writer_ref = True      # another process writes
             self._seq += 1
             self._ops.append((self._seq, kind, df))
             over = (
@@ -966,9 +972,13 @@ class World:
         pure no-op."""
         if self._ops:
             self.flush()
-        if self._writer_ref:
-            self._writer_ref = False
-            self._writer_lock.release()
+        with self._lock:
+            # mirror of the _append_op acquire: ref handoff under the
+            # same mutex so a close racing a first write cannot drop a
+            # ref the writer thread is still establishing
+            if self._writer_ref:
+                self._writer_ref = False
+                self._writer_lock.release()
 
     def __enter__(self) -> "World":
         return self

@@ -222,3 +222,62 @@ def test_release_leaves_foreign_token_alone(tmp_path):
     lk.release()
     assert os.path.exists(lk.path)  # the other writer's token survives
     os.unlink(lk.path)
+
+
+def test_racing_first_writes_take_exactly_one_ref(spark, tmp_path):
+    """Two threads racing the FIRST mutating op on one World must
+    refcount into the writer token exactly once (world.py _append_op:
+    the check-and-acquire runs under the shared path mutex). The
+    pre-fix failure mode was refs=2 with a single release at close(),
+    orphaning the lock file for the process lifetime."""
+    import threading
+    import time
+
+    path = str(tmp_path / "w")
+    w = World(spark, SPEC, path, validate="off")
+    df_a = spark.createDataFrame([(1, 2, 10)], "x long, y long, v long")
+    df_b = spark.createDataFrame([(2, 3, 20)], "x long, y long, v long")
+
+    # widen the race window deterministically: the first thread to
+    # reach acquire() parks inside it, so an unguarded check in the
+    # second thread would also see _writer_ref == False and acquire
+    orig_acquire = w._writer_lock.acquire
+    calls = []
+
+    def slow_acquire():
+        calls.append(threading.get_ident())
+        time.sleep(0.3)
+        orig_acquire()
+
+    w._writer_lock.acquire = slow_acquire
+    try:
+        errs = []
+
+        def write(df):
+            try:
+                w.upsert(df)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=write, args=(d,)) for d in (df_a, df_b)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert not errs, errs
+    finally:
+        w._writer_lock.acquire = orig_acquire
+
+    assert len(calls) == 1, "both racers entered acquire()"
+    assert w._writer_lock._refs == 1
+    w.close()
+    assert w._writer_lock._refs == 0
+    assert not os.path.exists(os.path.join(path, WriterLock.FILENAME))
+    # the path is genuinely free for the next writer process
+    nxt = _try_acquire_in_subprocess(path)
+    assert nxt["acquired"] is True
+    got = {
+        (r["x"], r["y"], r["v"])
+        for r in spark.read.parquet(path).select("x", "y", "v").collect()
+    }
+    assert got == {(1, 2, 10), (2, 3, 20)}
