@@ -74,18 +74,29 @@ def _list_source_files(spark: SparkSession, source_dir: str) -> dict[str, int]:
     SourceMutatedError. FileStatus.getLen is the stable truth, and the
     listing is pure namenode/driver metadata (no data scan). Hidden
     and metadata files (``_SUCCESS``, ``.crc``, ``_metadata``) are
-    excluded, matching Spark's own InMemoryFileIndex filter."""
+    excluded, matching Spark's own InMemoryFileIndex filter — and the
+    filter applies to EVERY path segment below ``source_dir``, not just
+    the leaf: ``listFiles(recursive=True)`` descends into in-flight
+    commit dirs (``_temporary/``, ``.spark-staging-*/``) whose part
+    files have clean leaf names, and folding those would double-count
+    rows (or read incomplete parquet) when a refresh races an append."""
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path(source_dir)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
     out: dict[str, int] = {}
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         status = it.next()
-        name = status.getPath().getName()
-        if name.startswith(("_", ".")):
+        p = status.getPath()
+        upath = p.toUri().getPath()
+        if upath.startswith(root + "/"):
+            segments = upath[len(root) + 1:].split("/")
+        else:  # foreign qualification (not expected): leaf-only check
+            segments = [p.getName()]
+        if any(s.startswith(("_", ".")) for s in segments):
             continue
-        out[_norm_path(status.getPath().toString())] = int(status.getLen())
+        out[_norm_path(p.toString())] = int(status.getLen())
     return out
 
 

@@ -411,3 +411,44 @@ def test_transform_hook_incremental_equals_full(spark, tmp_path, source):
         .collect()
     }
     assert got == want
+
+
+def test_in_flight_commit_dirs_are_ignored(spark, tmp_path, source):
+    """Part files under hidden DIRECTORIES (``_temporary/``,
+    ``.spark-staging-*/``) have clean leaf names, but they are an
+    in-flight commit, not data: a refresh racing an append must not
+    fold them (double-count once the commit finishes, or a read of an
+    incomplete parquet). The hidden filter applies to every path
+    segment, not just the basename."""
+    import shutil
+
+    d, orders = source
+    ru = IncrementalRollup(
+        spark, d, str(tmp_path / "rollup"), ["o_orderstatus"], ["o_totalprice"]
+    )
+    ru.refresh()
+    before = _rows(ru.read())
+
+    # plant a clean-named part file inside staging dirs, as a running
+    # writer's committer would
+    extra = orders.filter(F.col("o_orderkey") % 3 == 1)
+    tmp = str(tmp_path / "stage_src")
+    extra.coalesce(1).write.parquet(tmp)
+    import glob
+
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    for sub in ("_temporary/0/task_0", ".spark-staging-123"):
+        os.makedirs(f"{d}/{sub}", exist_ok=True)
+        shutil.copy(part, f"{d}/{sub}/part-00000.parquet")
+
+    r = ru.refresh()
+    assert r["new_files"] == 0, "staged files must not be folded"
+    assert _rows(ru.read()) == before
+
+    # once the commit lands the file at the top level, it IS new data
+    shutil.move(f"{d}/_temporary/0/task_0/part-00000.parquet",
+                f"{d}/append-committed-0.parquet")
+    shutil.rmtree(f"{d}/_temporary")
+    r2 = ru.refresh()
+    assert r2["new_files"] == 1
+    assert _rows(ru.read()) == _rows(_full(spark, d))
