@@ -158,6 +158,15 @@ def asof_join(
     union, one window over (by, on) — a single sort-based shuffle,
     scalable. At equal ``on`` the right row qualifies in both
     directions; the side tag's sort position puts it inside the frame.
+
+    The pick is a single STRUCT of all right value columns, non-null
+    exactly on right-side rows: ``last/first(ignorenulls=True)`` then
+    skips interleaved LEFT rows (whose struct is NULL) but never a
+    genuinely NULL right VALUE — the nearest right row wins and its
+    NULLs survive, matching SQL ASOF semantics. Picking each value
+    column independently would fall through to a farther row whenever
+    the nearest one holds a NULL (and costs one window per column
+    instead of one total).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -188,9 +197,16 @@ def asof_join(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         pick = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731
+    u = u.withColumn(
+        "__rv",
+        F.when(
+            F.col("__side") == 0,
+            F.struct(*[F.col(v).alias(v) for v in right_value_cols]),
+        ),
+    ).withColumn("__rvp", pick("__rv"))
     for v in right_value_cols:
-        u = u.withColumn(v, pick(v))
-    return u.filter(F.col("__side") == 1).drop("__side")
+        u = u.withColumn(v, F.col("__rvp")[v])
+    return u.filter(F.col("__side") == 1).drop("__side", "__rv", "__rvp")
 
 
 def global_row_number(

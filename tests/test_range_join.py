@@ -291,3 +291,41 @@ def test_interval_overlap_by_keys(spark):
         ).select("aid", "bid").collect()
     )
     assert fast == naive and len(fast) > 0
+
+
+def test_asof_null_right_values_nearest_row_wins(spark):
+    """A genuinely NULL right VALUE must survive the pick: the nearest
+    qualifying right row wins even when some (or all) of its value
+    columns are NULL — matching SQL ASOF semantics (DuckDB keeps the
+    NULL). Per-column ignorenulls picking would fall through to a
+    farther row's value; the struct pick must also keep multiple value
+    columns from the SAME row, never mix rows."""
+    from dmds_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([("u", 10), ("u", 25)], ["k", "t"])
+    right = spark.createDataFrame(
+        [("u", 1, 1.0, "a"), ("u", 8, None, "b"), ("u", 20, 3.0, None)],
+        "k string, t long, val double, tag string",
+    )
+    back = {
+        (r["k"], r["t"]): (r["val"], r["tag"])
+        for r in asof_join(
+            left, right, on="t", by=["k"],
+            right_value_cols=["val", "tag"],
+        ).collect()
+    }
+    # t=10 -> nearest past row is t=8: val NULL (NOT 1.0 from t=1), tag "b"
+    # t=25 -> nearest past row is t=20: val 3.0, tag NULL (NOT "b")
+    assert back == {("u", 10): (None, "b"), ("u", 25): (3.0, None)}
+
+    fwd_left = spark.createDataFrame([("u", 5), ("u", 15)], ["k", "t"])
+    fwd = {
+        (r["k"], r["t"]): (r["val"], r["tag"])
+        for r in asof_join(
+            fwd_left, right, on="t", by=["k"],
+            right_value_cols=["val", "tag"], direction="forward",
+        ).collect()
+    }
+    # t=5 -> nearest future row is t=8: val NULL, tag "b"
+    # t=15 -> nearest future row is t=20: val 3.0, tag NULL
+    assert fwd == {("u", 5): (None, "b"), ("u", 15): (3.0, None)}
