@@ -418,8 +418,13 @@ def perceptual_hashes(media: DataFrame, bits: int = 64) -> DataFrame:
     int64 column, so the candidate join shuffles 8-byte keys."""
     import numpy as np
 
-    if bits % 8 != 0:
-        raise ValueError(f"bits must be a multiple of 8, got {bits}")
+    if bits % 8 != 0 or not 8 <= bits <= 64:
+        # the packed hash must fit the int64 output column (and the
+        # shiftrightunsigned band slicing downstream): reject instead
+        # of silently truncating a wider hash to a wrong value
+        raise ValueError(
+            f"bits must be a multiple of 8 in [8, 64], got {bits}"
+        )
 
     def one(payload: bytes) -> int:
         arr = np.frombuffer(payload, dtype=np.uint8)
@@ -428,7 +433,9 @@ def perceptual_hashes(media: DataFrame, bits: int = 64) -> DataFrame:
         arr = arr[: len(arr) // bits * bits]
         cells = arr.reshape(bits, -1).mean(axis=1)
         packed = np.packbits(cells > arr.mean()).tobytes()
-        return int(np.frombuffer(packed, dtype=">i8")[0])
+        if bits == 64:  # signed view: bit 63 may be set
+            return int(np.frombuffer(packed, dtype=">i8")[0])
+        return int.from_bytes(packed, "big")  # < 2^63: fits unsigned
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

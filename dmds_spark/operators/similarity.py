@@ -556,18 +556,38 @@ def principal_component(
         emb.select(vec_col).mapInPandas(part, PCA_PARTIAL_SCHEMA).collect()
     )
     n = sum(r["n"] for r in rows)
+    if n == 0:
+        raise ValueError(
+            "principal_component: no embedding rows (empty input)"
+        )
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     g = np.sum(
         [np.array(r["g"]).reshape(dim, dim) for r in rows], axis=0
     )
     mean = s / n
     cov = g / n - np.outer(mean, mean)
+    trace = float(np.trace(cov))
+    if trace <= 0.0:
+        # all-constant input: zero covariance, no variance direction.
+        # Documented convention: eigenvalue 0, loadings e_0 (the unit
+        # vector on coordinate 0), explained ratio 0 — deterministic
+        # and NaN-free instead of a 0/0 power iteration.
+        e0 = np.zeros(dim)
+        e0[0] = 1.0
+        return 0.0, e0, 0.0, n
     v = np.full(dim, 1.0 / np.sqrt(dim))
     for _ in range(iters):
         v = cov @ v
-        v /= np.linalg.norm(v)
+        nrm = float(np.linalg.norm(v))
+        if nrm == 0.0:
+            # the iterate landed in the nullspace (start vector
+            # orthogonal to the range): the d x d problem is tiny and
+            # driver-side — solve it directly instead of dividing by 0
+            v = np.linalg.eigh(cov)[1][:, -1]
+            break
+        v /= nrm
     if v[np.argmax(np.abs(v))] < 0:
         v = -v
     eigval = float(v @ cov @ v)
-    explained = eigval / float(np.trace(cov))
+    explained = eigval / trace
     return eigval, v, explained, n

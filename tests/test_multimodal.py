@@ -609,3 +609,38 @@ def test_phash_banding_recall_property(spark):
         assert close, trial  # the regime must actually produce close pairs
         for pair in close:
             assert pair in cands, (trial, pair, ham(h[pair[0]], h[pair[1]]))
+
+
+def test_phash_bits_contract(spark):
+    """Non-64 widths either hash correctly (multiples of 8 up to 64,
+    hash in the LOW ``bits`` bits so the band slicing still applies)
+    or raise cleanly — never silently truncate to a wrong hash."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dmds_spark.operators.multimodal import perceptual_hashes
+
+    rnd = random.Random(23)
+    payload = bytes(rnd.randrange(256) for _ in range(512))
+    df = _media_from_payloads(spark, [payload])
+
+    for bad in (12, 0, 72, 128, -8):
+        with _pytest.raises(ValueError, match="bits"):
+            perceptual_hashes(df, bits=bad)
+
+    for bits in (8, 16, 32, 64):
+        got = perceptual_hashes(df, bits=bits).collect()[0]["phash"]
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        arr = arr[: len(arr) // bits * bits]
+        cells = arr.reshape(bits, -1).mean(axis=1)
+        want_bits = (cells > arr.mean()).astype(int)
+        want = 0
+        for b in want_bits:
+            want = (want << 1) | int(b)
+        if bits == 64 and want >= 2**63:
+            want -= 2**64  # signed int64 view
+        assert got == want, bits
+        if bits < 64:
+            assert 0 <= got < (1 << bits)

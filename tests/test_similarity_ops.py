@@ -300,3 +300,34 @@ def test_principal_component_matches_numpy(spark):
     assert np.max(np.abs(v1 - top)) < 1e-2
     assert abs(float(v1 @ top)) > 0.999  # direction agreement
     assert 0 < expl1 <= 1
+
+
+def test_principal_component_empty_input_raises(spark):
+    """n=0 must raise a clear ValueError, not divide 0/0 into NaNs."""
+    import pytest as _pytest
+
+    from dmds_spark.operators.similarity import principal_component
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = emb.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="no embedding rows"):
+        principal_component(empty, "embedding")
+
+
+def test_principal_component_constant_input_zero_convention(spark):
+    """All-constant input has zero covariance: the documented
+    convention is (eigval 0, loadings e_0, explained 0, n) — finite
+    and deterministic, no zero-norm power iteration."""
+    import numpy as np
+
+    from dmds_spark.operators.similarity import principal_component
+
+    dim = 8
+    const = spark.range(12).select(
+        F.array(*[F.lit(float(i)) for i in range(dim)]).alias("embedding")
+    )
+    eig, v, expl, n = principal_component(const, "embedding", dim=dim)
+    assert eig == 0.0 and expl == 0.0 and n == 12
+    e0 = np.zeros(dim)
+    e0[0] = 1.0
+    assert np.array_equal(v, e0)
