@@ -116,7 +116,18 @@ def dedup_fuzzy_fingerprint_pairs_fast(spark, sf_dir):
     fingerprint projection itself is ~10x cheaper; both variants are
     benched so the trade-off stays of record. Shared pairs carry
     identical edit distances and per-variant ground-truth recall is
-    pinned in tests/test_fuzzy_fingerprint.py."""
+    pinned in tests/test_fuzzy_fingerprint.py.
+
+    Verify-cost floor (round-9 measurement at sf0.1): the thresholded
+    DP is 13.4 s of the 17 s total over 215k candidates; the
+    length-difference bound |len_a-len_b| <= 50 is already in the
+    candidate filter (llm_extra5 fuzzy_pairs_blocked). Two further
+    zero-recall-loss prunes were measured and REJECTED: a char-
+    histogram L1/2 lower bound passes 90% of candidates (threshold 50
+    on ~300-char same-corpus docs is too loose) while costing +6 s of
+    26-way replace() counting, and distinct-text verify dedup saves
+    nothing (4992/5000 texts distinct). The remaining cost is the
+    operator's honest price at this blocking recall."""
     from dmds_spark.functions.text import rolling_fingerprint_fast
     from dmds_spark.queries.llm_extra5 import _FP_NGRAM, fuzzy_pairs_blocked
 

@@ -881,7 +881,11 @@ def test_vocab_truncation_single_type_rank(spark, qs):
     # the rank; without it row_number sorts the whole vocabulary
     # through one task
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Window") <= 1
+    # whole-node match: a WindowGroupLimit (rank-limit pushdown) or
+    # other Window-prefixed node is not an extra window exchange
+    import re
+
+    assert len(re.findall(r"\bWindow\b", plan)) <= 1
 
 
 def test_supplier_jaccard_broadcasts_degrees(spark, qs):
@@ -900,7 +904,11 @@ def test_ewma_single_window_sort(spark, qs):
     df = qs["window_ewma_pow2"](spark, SF)
     assert shuffle_count(df) <= 2  # the window exchange (+AQE read)
     plan = physical_plan(df)
-    assert plan.count("Window") <= 2  # one logical window operator
+    import re
+
+    # one logical window operator (whole-node match: WindowGroupLimit
+    # and friends don't count as extra exchanges)
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2
 
 
 def test_semdedup_blocks_on_cluster(spark, qs):
