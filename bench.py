@@ -244,7 +244,11 @@ def main() -> int:
     # queries are sub-6 s when healthy, so extra passes are cheap
     # insurance that at least one pass lands in a quiet window.
     run_phase(baseline_order, min_passes=4)
-    run_phase(additions, min_passes=4)
+    # SPARK_GRAFT_BENCH_PHASE=baseline: comparable-21 only (fast
+    # re-measure for round-over-round drift checks). The driver sets
+    # nothing, so its per-round record always covers the full set.
+    if os.environ.get("SPARK_GRAFT_BENCH_PHASE", "all") != "baseline":
+        run_phase(additions, min_passes=4)
 
     total = round(sum(times[k] for k in baseline_order), 4)
     # key order matters: the driver records only the LAST ~2000 chars of

@@ -57,12 +57,24 @@ class DimSpec:
 
     ``name`` is the DataFrame column this dimension binds to (the
     reference has no column names — dims are positional u64s; naming is
-    our DataFrame-native extension)."""
+    our DataFrame-native extension).
+
+    ``u64=True`` opts the dimension into the reference's FULL u64
+    domain (src/range.rs:129 normalizes unbounded ends to u64::MAX):
+    the DataFrame column becomes DECIMAL(20,0) — exact over
+    [0, 2^64) — instead of LongType, and every planner literal /
+    chunk-routing expression is emitted in exact decimal arithmetic.
+    The planner math in this module is Python-int exact either way;
+    the flag only widens the COLUMN domain. Constraints: start >= 0,
+    end <= u64::MAX, and the chunk-index space must still fit a long
+    (chunk indices, partition columns, and pruning predicates stay
+    LongType on either path)."""
 
     name: str
     start: int
     end: int
     items_per_chunk: int
+    u64: bool = False
 
     def __post_init__(self):
         if self.end < self.start:
@@ -77,6 +89,25 @@ class DimSpec:
                 f"{self.name}: range width {width} not divisible by "
                 f"items_per_chunk {self.items_per_chunk}"
             )
+        if self.u64:
+            if self.start < 0:
+                raise WorldSpecError(
+                    f"{self.name}: u64 dims are unsigned (start >= 0)"
+                )
+            if self.end > U64_MAX:
+                raise WorldSpecError(
+                    f"{self.name}: end {self.end} exceeds u64::MAX"
+                )
+            if self.chunks_len - 1 > LONG_MAX:
+                raise WorldSpecError(
+                    f"{self.name}: {self.chunks_len} chunks exceed the "
+                    "long chunk-index space; raise items_per_chunk"
+                )
+
+    @property
+    def spark_type(self) -> str:
+        """DDL type of the dim's DataFrame column."""
+        return "decimal(20,0)" if self.u64 else "bigint"
 
     @property
     def spacing(self) -> int:
@@ -141,10 +172,11 @@ class WorldSpec:
         if len(set(names)) != len(names):
             raise WorldSpecError(f"duplicate dim names: {names}")
         for d in self.dims:
-            if d.end > LONG_MAX:
+            if not d.u64 and d.end > LONG_MAX:
                 raise WorldSpecError(
                     f"{d.name}: end {d.end} exceeds Spark LongType domain "
-                    f"[0, 2^63); use a smaller declared range"
+                    f"[0, 2^63); declare the dim with u64=True "
+                    f"(DECIMAL(20,0) column) or use a smaller range"
                 )
 
     @property

@@ -290,8 +290,16 @@ class Select:
         """Exact value predicate: OR over boxes of AND over dims of
         closed-interval comparisons, AND id IN-list if hinted. Built
         from Column expressions only — stays inside whole-stage
-        codegen, and Catalyst pushes it into the parquet scan."""
+        codegen, and Catalyst pushes it into the parquet scan. u64
+        dims compare against DECIMAL(20,0) literals (a bound past 2^63
+        doesn't fit a long literal); pushdown into the parquet scan
+        carries over — decimal min/max stats prune the same way."""
         from pyspark.sql import functions as F
+
+        def lit(d, v):
+            if d.u64:
+                return F.expr(f"CAST('{int(v)}' AS DECIMAL(20,0))")
+            return F.lit(int(v))
 
         if not self.boxes:
             return F.lit(False)
@@ -302,13 +310,26 @@ class Select:
                 if lo == d.start and hi == d.end:
                     continue  # full-range dim contributes no filter
                 c = F.col(d.name)
-                p = (c >= lo) & (c <= hi) if lo != hi else (c == lo)
+                p = (
+                    (c >= lit(d, lo)) & (c <= lit(d, hi))
+                    if lo != hi
+                    else (c == lit(d, lo))
+                )
                 box_pred = p if box_pred is None else (box_pred & p)
             if box_pred is None:
                 box_pred = F.lit(True)
             pred = box_pred if pred is None else (pred | box_pred)
         if self.hint_ids:
-            pred = pred & F.col(self.spec.id_dim.name).isin(*[int(i) for i in self.hint_ids])
+            id_dim = self.spec.id_dim
+            c = F.col(id_dim.name)
+            if id_dim.u64:
+                in_list = None
+                for i in sorted(self.hint_ids):
+                    eq = c == lit(id_dim, i)
+                    in_list = eq if in_list is None else (in_list | eq)
+                pred = pred & in_list
+            else:
+                pred = pred & c.isin(*[int(i) for i in self.hint_ids])
         return pred
 
     def to_partition_predicate(self):

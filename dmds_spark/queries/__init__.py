@@ -340,5 +340,8 @@ def _load():
     from dmds_spark.queries import llm_extra19  # noqa: F401
     from dmds_spark.queries import llm_extra20  # noqa: F401
     from dmds_spark.queries import llm_extra21  # noqa: F401
+    # round-9 additions: every pre-existing query has driver evidence
+    # (256/256 after r08), so these lead the round-9 window
+    from dmds_spark.queries import round9  # noqa: F401
 
     _LOADED = True

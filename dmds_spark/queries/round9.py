@@ -1,0 +1,93 @@
+"""Round-9 queries: driver-checked evidence for the full-u64 dimension
+path (DimSpec(u64=True) -> DECIMAL(20,0) dim columns, exact div chunk
+routing — closing the last documented domain divergence with the
+reference, src/range.rs:129 u64::MAX domains).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+
+# 2^63: one past LongType — every id in the world lives beyond it
+_U63 = "9223372036854775808"
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch", kind,
+        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
+    )
+
+
+@register(
+    "dmds_u64_snapshot",
+    f"""
+    SELECT CAST({_U63} + doc_id * 1024 AS VARCHAR) AS id_str,
+           CAST(CASE WHEN doc_id < 50
+                     THEN (doc_id % 1024 + 512) % 1024
+                     ELSE doc_id % 1024 END AS BIGINT) AS t,
+           n_chars
+    FROM documents
+    WHERE doc_id <= 4000 AND NOT (doc_id >= 100 AND doc_id < 200)
+    """,
+)
+def dmds_u64_snapshot(spark, sf_dir):
+    """The dmds_crud_snapshot write path on a FULL-u64 world: every id
+    sits past 2^63 (DECIMAL(20,0) dim column, DimSpec(u64=True)), the
+    relocation moves t-chunks, the delete removes a u64 id range, and
+    the final read is a range select whose bounds don't fit a long —
+    so decimal planner literals, exact div chunk routing, and decimal
+    partition pruning are all on the driver-checked path. DuckDB's
+    HUGEINT arithmetic states the same end-state declaratively; ids
+    are emitted as digit strings per the exactness contract (both
+    engines print the same 19-20 digits; doubles would drift).
+
+    Reference parity: dims are u64 to u64::MAX (src/range.rs:129);
+    this closes SURVEY §7's documented [0, 2^63) restriction."""
+    from dmds_spark.core.dims import DimSpec, WorldSpec
+    from dmds_spark.world import World
+
+    spec = WorldSpec(
+        dims=(
+            # 2^20 chunks of 8192 ids starting at 2^63; physical
+            # factors bound the dir count as usual
+            DimSpec("id", 2**63, 2**63 + 2**33 - 1, 8192, u64=True),
+            DimSpec("t", 0, 1023, 16),
+        )
+    )
+    world = World(spark, spec, _scratch(sf_dir, "u64_world"))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    id_expr = F.expr(
+        f"CAST('{_U63}' AS DECIMAL(20,0)) + CAST(doc_id AS DECIMAL(20,0)) * 1024"
+    ).alias("id")
+    base = docs.select(
+        id_expr, (F.col("doc_id") % 1024).alias("t"), "n_chars"
+    )
+    world.upsert(base)
+    world.flush()
+    # relocation: doc_id < 50 moves to a different t chunk
+    moved = docs.filter(F.col("doc_id") < 50).select(
+        id_expr,
+        ((F.col("doc_id") % 1024 + 512) % 1024).alias("t"),
+        "n_chars",
+    )
+    world.upsert(moved)
+    # u64 delete: ids for doc_id 100..199
+    world.delete_ids([2**63 + i * 1024 for i in range(100, 200)])
+    world.flush()
+    # range select with a past-2^63 upper bound (inclusive)
+    sel = world.select(0, (2**63, 2**63 + 4000 * 1024))
+    return world.read(sel).select(
+        F.col("id").cast("string").alias("id_str"), "t", "n_chars"
+    )

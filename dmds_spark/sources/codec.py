@@ -108,12 +108,25 @@ def read_chunk_tree(
     ndims = spec.ndims
     if payload_schema is None:
         payload_schema = T.StructType([T.StructField("payload", T.BinaryType())])
+    # the wire format is u64 LE either way (src/world.rs:96-122); only
+    # the COLUMN type differs — u64 dims surface as DECIMAL(20,0)
+    # (values past 2^63 don't fit a long), long dims stay LongType
     schema = T.StructType(
-        [T.StructField(d.name, T.LongType()) for d in spec.dims]
+        [
+            T.StructField(
+                d.name, T.DecimalType(20, 0) if d.u64 else T.LongType()
+            )
+            for d in spec.dims
+        ]
         + [T.StructField("version", T.IntegerType())]
         + list(payload_schema.fields)
     )
     dim_names = spec.dim_names()
+    from decimal import Decimal
+
+    conv = [
+        (lambda v: Decimal(v)) if d.u64 else (lambda v: v) for d in spec.dims
+    ]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,7 +134,7 @@ def read_chunk_tree(
             for content in pdf["content"]:
                 version, items = decode_items(bytes(content), ndims)
                 for dims, payload in items:
-                    row = {n: v for n, v in zip(dim_names, dims)}
+                    row = {n: c(v) for n, c, v in zip(dim_names, conv, dims)}
                     row["version"] = version
                     row.update(decoder(version, dims, payload))
                     rows.append(row)
@@ -154,9 +167,15 @@ def write_chunk_tree(
     chunk_cols = [f"__c{i}" for i in range(spec.ndims)]
     with_pos = df
     for i, d in enumerate(spec.dims):
+        # exact integer div, never double division: floor((v-s)/spacing)
+        # over doubles mis-buckets past the 53-bit mantissa, and u64
+        # dims (DECIMAL(20,0) columns) don't fit a double at all
+        start = (
+            f"CAST('{d.start}' AS DECIMAL(20,0))" if d.u64 else f"{d.start}L"
+        )
         with_pos = with_pos.withColumn(
             chunk_cols[i],
-            F.floor((F.col(d.name) - F.lit(d.start)) / F.lit(d.spacing)).cast("long"),
+            F.expr(f"(`{d.name}` - {start}) div {d.spacing}").cast("long"),
         )
 
     out_schema = T.StructType(

@@ -273,6 +273,7 @@ class World:
     ):
         self.spark = spark
         self.spec = spec
+        self._dim_index = {d.name: i for i, d in enumerate(spec.dims)}
         self.path = path
         if physical_factors is None:
             # default: bound physical partition count to ~4096 dirs total
@@ -330,13 +331,35 @@ class World:
     def partition_cols(self) -> list[str]:
         return [f"c{i}" for i in range(self.spec.ndims)]
 
+    @staticmethod
+    def _dim_lit(d, v: int):
+        """Typed literal in the dim's column domain: DECIMAL(20,0) for
+        u64 dims (values past 2^63 don't fit a long literal), plain
+        long otherwise."""
+        if d.u64:
+            return F.expr(f"CAST('{int(v)}' AS DECIMAL(20,0))")
+        return F.lit(int(v))
+
     def _with_partition_cols(self, df: DataFrame) -> DataFrame:
         """Append physical partition columns computed from dim values —
         the reference's ``chunk_pos_of_data`` routing
-        (src/world.rs:544-551) divided by the grouping factor."""
+        (src/world.rs:544-551) divided by the grouping factor.
+
+        Integer ``div`` end to end, never double division: floor((v-s)/
+        spacing) over doubles mis-buckets once v-s exceeds the 53-bit
+        mantissa (a value just below a chunk boundary rounds up across
+        it), and u64 dims don't fit a double at all. ``div`` is exact
+        on both long and decimal operands and returns a long."""
         for i, (d, f) in enumerate(zip(self.spec.dims, self.factors)):
-            chunk = F.floor((F.col(d.name) - F.lit(d.start)) / F.lit(d.spacing))
-            df = df.withColumn(f"c{i}", (chunk / F.lit(f)).cast("long"))
+            start = (
+                f"CAST('{d.start}' AS DECIMAL(20,0))" if d.u64 else f"{d.start}L"
+            )
+            df = df.withColumn(
+                f"c{i}",
+                F.expr(
+                    f"((`{d.name}` - {start}) div {d.spacing}) div {int(f)}"
+                ).cast("long"),
+            )
         return df
 
     def _physical_partition_predicate(self, shape: Shape):
@@ -376,7 +399,10 @@ class World:
         force the batch to be computed once here and again at flush;
         the default ``validate="flush"`` mode avoids that."""
         conds = [
-            (F.min(F.col(d.name) >= F.lit(d.start)) & F.min(F.col(d.name) <= F.lit(d.end))).alias(d.name)
+            (
+                F.min(F.col(d.name) >= self._dim_lit(d, d.start))
+                & F.min(F.col(d.name) <= self._dim_lit(d, d.end))
+            ).alias(d.name)
             for d in self.spec.dims
         ]
         row = df.agg(*conds).collect()[0]
@@ -397,7 +423,9 @@ class World:
         cols = []
         for i, d in enumerate(self.spec.dims):
             c = F.col(d.name)
-            bad = c.isNotNull() & ((c < F.lit(d.start)) | (c > F.lit(d.end)))
+            bad = c.isNotNull() & (
+                (c < self._dim_lit(d, d.start)) | (c > self._dim_lit(d, d.end))
+            )
             msg = F.concat(
                 F.lit(f"{self._GUARD_MARK}:{i}:{d.start}:{d.end}:"),
                 c.cast("string"),
@@ -475,18 +503,48 @@ class World:
         if over:
             self.flush()
 
+    def _cast_dims(self, df: DataFrame) -> DataFrame:
+        """Normalize dim columns to their declared Spark types (long,
+        or DECIMAL(20,0) for u64 dims) so every pending op carries one
+        schema regardless of how the caller built the batch (inferred
+        longs, wider decimals, Arrow ints)."""
+        return df.select(
+            *[
+                F.col(c).cast(self.spec.dims[self._dim_index[c]].spark_type).alias(c)
+                if c in self._dim_index
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     def upsert(self, df: DataFrame) -> None:
         """Batch upsert keyed on dim 0 (reference ``World::insert``,
         src/world.rs:553-567: replace-by-id). Later batches win over
         earlier ones; within a batch, ids must be unique."""
         self._validate_dims(df)
+        df = self._cast_dims(df)
         if self.validate == "eager":
             self._check_domain(df)
         self._append_op("upsert", df)
 
     def insert_rows(self, rows: Iterable[dict]) -> None:
-        """Convenience: upsert a small batch of row dicts (tests, REPL)."""
-        df = self.spark.createDataFrame(list(rows))
+        """Convenience: upsert a small batch of row dicts (tests, REPL).
+        Ints destined for u64 dim columns are converted to Decimal
+        before schema inference (a Python int past 2^63 won't fit the
+        inferred LongType)."""
+        rows = list(rows)
+        u64_dims = {d.name for d in self.spec.dims if d.u64}
+        if u64_dims:
+            from decimal import Decimal
+
+            rows = [
+                {
+                    k: Decimal(v) if k in u64_dims and isinstance(v, int) else v
+                    for k, v in r.items()
+                }
+                for r in rows
+            ]
+        df = self.spark.createDataFrame(rows)
         self.upsert(df)
 
     def try_insert(self, df: DataFrame) -> None:
@@ -494,6 +552,7 @@ class World:
         src/world.rs:569-584): rows whose id already exists — on disk or
         pending — are dropped, not replaced."""
         self._validate_dims(df)
+        df = self._cast_dims(df)
         if self.validate == "eager":
             self._check_domain(df)
         id_col = self.spec.id_dim.name
@@ -504,10 +563,16 @@ class World:
     def delete_ids(self, ids: Iterable[int]) -> None:
         """Delete by id (reference ``Chunk::remove`` / ``Lazy::destroy``,
         src/world.rs:77-87, src/world/iter.rs:254-265)."""
-        id_col = self.spec.id_dim.name
-        df = self.spark.createDataFrame(
-            [(int(i),) for i in ids], T.StructType([T.StructField(id_col, T.LongType())])
-        )
+        id_dim = self.spec.id_dim
+        if id_dim.u64:
+            from decimal import Decimal
+
+            field = T.StructField(id_dim.name, T.DecimalType(20, 0))
+            rows = [(Decimal(int(i)),) for i in ids]
+        else:
+            field = T.StructField(id_dim.name, T.LongType())
+            rows = [(int(i),) for i in ids]
+        df = self.spark.createDataFrame(rows, T.StructType([field]))
         self._append_op("delete", df)
 
     def delete_where(self, sel: Select) -> None:
@@ -565,7 +630,7 @@ class World:
         # give it the full dim schema so downstream plans resolve
         for d in self.spec.dims:
             if d.name not in live.columns:
-                live = live.withColumn(d.name, F.lit(None).cast("long"))
+                live = live.withColumn(d.name, F.lit(None).cast(d.spark_type))
         return live, touched
 
     @staticmethod
@@ -835,9 +900,24 @@ class World:
         ndims = self.spec.ndims
         bits = 63 // ndims
         z = F.lit(0).cast("long")
-        for b in range(bits):
-            for i, d in enumerate(self.spec.dims):
-                off = (F.col(d.name) - F.lit(d.start)).cast("long")
+        for i, d in enumerate(self.spec.dims):
+            # only the low ``bits`` bits of each offset feed the key:
+            # reduce mod 2^bits in the column's exact domain first (a
+            # u64 offset doesn't fit a long; the reduction is exact in
+            # decimal and changes nothing for long dims). At ndims=1
+            # the modulus 2^63 is itself past the long-literal domain:
+            # a long offset is already < 2^63 (no reduction needed),
+            # a u64 offset reduces against a decimal literal.
+            delta = F.col(d.name) - self._dim_lit(d, d.start)
+            if d.u64:
+                off = F.pmod(
+                    delta, F.expr(f"CAST('{2**bits}' AS DECIMAL(20,0))")
+                ).cast("long")
+            elif bits >= 63:
+                off = delta.cast("long")
+            else:
+                off = F.pmod(delta, F.lit(2**bits)).cast("long")
+            for b in range(bits):
                 bit = F.shiftright(off, b).bitwiseAND(F.lit(1))
                 z = z.bitwiseOR(F.shiftleft(bit, b * ndims + i))
         return z
@@ -927,6 +1007,9 @@ class World:
         ``chunk_states()``'s job."""
         pcols = self.partition_cols()
         id_col = self.spec.id_dim.name
+        id_type = (
+            T.DecimalType(20, 0) if self.spec.id_dim.u64 else T.LongType()
+        )
         base = self._base()
         if base is None:
             schema = T.StructType(
@@ -935,8 +1018,8 @@ class World:
                     T.StructField("n_rows", T.LongType()),
                     T.StructField("n_files", T.LongType()),
                     T.StructField("approx_bytes", T.LongType()),
-                    T.StructField("min_id", T.LongType()),
-                    T.StructField("max_id", T.LongType()),
+                    T.StructField("min_id", id_type),
+                    T.StructField("max_id", id_type),
                 ]
             )
             return self.spark.createDataFrame([], schema)
@@ -957,8 +1040,8 @@ class World:
             F.sum("__rows").cast("long").alias("n_rows"),
             F.countDistinct("__f").cast("long").alias("n_files"),
             F.sum("__bl").cast("long").alias("approx_bytes"),
-            F.min("__min_id").cast("long").alias("min_id"),
-            F.max("__max_id").cast("long").alias("max_id"),
+            F.min("__min_id").cast(self.spec.id_dim.spark_type).alias("min_id"),
+            F.max("__max_id").cast(self.spec.id_dim.spark_type).alias("max_id"),
         )
 
 
