@@ -184,6 +184,11 @@ ADDITIONS = [
     "events_survival_curve",
     "embedding_centroid_drift",
     "agg_approx_percentile_calibration",
+    # round-9 additions: the u64 world write path (scratch-world CRUD
+    # end to end, the dmds_crud shape at DECIMAL(20,0)) and the PII
+    # rewrite (single codegen projection over the text column)
+    "dmds_u64_snapshot",
+    "text_pii_redact",
 ]
 
 

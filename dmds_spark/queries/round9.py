@@ -1,7 +1,9 @@
 """Round-9 queries: driver-checked evidence for the full-u64 dimension
 path (DimSpec(u64=True) -> DECIMAL(20,0) dim columns, exact div chunk
 routing — closing the last documented domain divergence with the
-reference, src/range.rs:129 u64::MAX domains).
+reference, src/range.rs:129 u64::MAX domains), plus the PII redaction
+REWRITE (the counts pass, text_pii_counts, has been driver-green since
+round 6; this is the rewrite it sizes).
 """
 
 from __future__ import annotations
@@ -91,3 +93,63 @@ def dmds_u64_snapshot(spark, sf_dir):
     return world.read(sel).select(
         F.col("id").cast("string").alias("id_str"), "t", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction rewrite (the counts pass text_pii_counts sizes this)
+# ---------------------------------------------------------------------------
+
+# same Java/RE2-identical dialect subset as text_pii_counts
+# (llm_extra10._PII_PATTERNS); application ORDER is part of the
+# contract — email first so its digits never leak into digit_run
+_REDACT_ORDER = [
+    ("EMAIL", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+    ("PHONEISH", "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"),
+    ("DIGIT_RUN", "[0-9]{6,}"),
+    ("HEX_TOKEN", "0x[0-9a-fA-F]{8,}"),
+]
+
+# deterministic PII injection so EVERY row exercises the rewrite (the
+# word-soup corpus itself is nearly hit-free; redaction evidence on an
+# all-identity rewrite would be vacuous) — same expression both sides
+# up to the string cast's spelling (Spark: STRING, DuckDB: VARCHAR)
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS {S})"
+    " || '@example.com tel 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS {S}), 4, '0')"
+    " || ' ref ' || CAST(doc_id * 1234567 AS {S})"
+)
+
+
+def _redact_sql() -> str:
+    expr = "t"
+    for name, p in _REDACT_ORDER:
+        expr = f"regexp_replace({expr}, '{p}', '<{name}>', 'g')"
+    aug = _AUG_SQL.format(S="VARCHAR")
+    return f"""
+    WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+    SELECT doc_id, {expr} AS redacted FROM aug
+    """
+
+
+@register("text_pii_redact", _redact_sql())
+def text_pii_redact(spark, sf_dir):
+    """PII redaction as a corpus REWRITE, hash-verified byte-for-byte
+    against DuckDB: each pattern class replaces with a typed
+    placeholder, applied in a fixed order (email before digit_run so
+    an address's digits are consumed by <EMAIL>, never half-redacted).
+    Placeholders are letter-only tokens no later pattern can re-match.
+    The deterministic augmentation plants an email, a phone-shaped
+    number, and a long digit run derived from doc_id in every row, so
+    the driver hash certifies the actual rewrite, not a no-op.
+
+    Shape at scale: one projection — regexp_replace chains fuse into a
+    single whole-stage-codegen pass over the text column; no shuffle,
+    no UDF. This is the production anonymization pass: the counts
+    query (text_pii_counts) sizes it, this one ships the rewritten
+    corpus."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    red = F.expr(_AUG_SQL.format(S="STRING"))
+    for name, p in _REDACT_ORDER:
+        red = F.regexp_replace(red, p, f"<{name}>")
+    return d.select("doc_id", red.alias("redacted"))
