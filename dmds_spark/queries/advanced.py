@@ -317,7 +317,6 @@ def join_bucketed_colocated(spark, sf_dir):
     the pay-the-shuffle-at-write-time pattern every repeated fact-fact
     join at 100 TB should use."""
     import os
-    import uuid
 
     from dmds_spark.operators.bucketing import bucketed_join, write_bucketed
     from dmds_spark.operators.sampling import hash_sample
@@ -327,14 +326,10 @@ def join_bucketed_colocated(spark, sf_dir):
     # a shared path or catalog entry. The uuid only names artifacts —
     # results stay deterministic. Dirs are tiny (two projected columns
     # of a 20% slice) and die with the session temp dir.
-    tag = (
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        + "_" + uuid.uuid4().hex[:12]
-    )
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch", "bucketed", tag,
-    )
+    from dmds_spark.core.scratch import scratch_dir
+
+    root = scratch_dir("bucketed", sf_dir)
+    tag = os.path.basename(root).replace(".", "_")
     so = hash_sample(
         T(spark, sf_dir, "orders"), F.col("o_orderkey"), 0.20
     ).select("o_orderkey", "o_totalprice")

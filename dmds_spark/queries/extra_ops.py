@@ -108,16 +108,12 @@ def dmds_crud_snapshot(spark, sf_dir):
             DimSpec("user_id", 0, 2047, 64),
         )
     )
-    import uuid
+    from dmds_spark.core.scratch import scratch_dir
 
-    # per-invocation world dir: concurrent evaluations (bench loop
-    # overlapping the correctness driver) must not rmtree each other's
-    # live chunk tree mid-read
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch", "crud_world",
-        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
-    )
+    # per-invocation world dir (stale siblings swept): concurrent
+    # evaluations (bench loop overlapping the correctness driver) must
+    # not rmtree each other's live chunk tree mid-read
+    root = scratch_dir("crud_world", sf_dir)
     world = World(spark, spec, root)
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")

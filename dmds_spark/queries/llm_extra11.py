@@ -459,18 +459,11 @@ def dmds_world_maintenance(spark, sf_dir):
     dmds_crud_snapshot does for CRUD). Rows-only: stats() reflects
     physical layout, which no SQL oracle models."""
     import os
-    import uuid
-
     from dmds_spark.core.dims import DimSpec, WorldSpec
+    from dmds_spark.core.scratch import scratch_dir
     from dmds_spark.world import World
 
-    root = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".scratch", "world_maint",
-        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
-    )
+    root = scratch_dir("world_maint", sf_dir)
     spec = WorldSpec(
         dims=(DimSpec("id", 0, 8191, 64), DimSpec("grp", 0, 63, 8))
     )

@@ -185,17 +185,10 @@ def rollup_incremental_spans(spark, sf_dir):
     _xdoc) and the stored index is what dedup_span_rewrite_stats joins
     against instead of recomputing the corpus."""
     import os
-    import uuid
-
+    from dmds_spark.core.scratch import scratch_dir
     from dmds_spark.operators.rollup import IncrementalRollup
 
-    root = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".scratch", "spanroll",
-        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
-    )
+    root = scratch_dir("spanroll", sf_dir)
     src = f"{root}/src"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"

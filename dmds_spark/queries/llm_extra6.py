@@ -875,18 +875,10 @@ def rollup_incremental_orders(spark, sf_dir):
     Same scratch-dir discipline as dmds_crud_snapshot: per-invocation
     directory under .scratch/ (gitignored), never shared between
     concurrent evaluations."""
-    import os
-    import uuid
-
+    from dmds_spark.core.scratch import scratch_dir
     from dmds_spark.operators.rollup import IncrementalRollup
 
-    root = os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".scratch", "rollup",
-        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
-    )
+    root = scratch_dir("rollup", sf_dir)
     src = f"{root}/src"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("vc")

@@ -12,7 +12,6 @@ window.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import functions as F
 
@@ -33,14 +32,11 @@ def _docs(spark, sf_dir):
 def _scratch(sf_dir: str, kind: str) -> str:
     """Per-invocation scratch dir under .scratch/ (gitignored), same
     discipline as dmds_crud_snapshot / rollup_incremental_orders:
-    never shared between concurrent evaluations."""
-    return os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".scratch", kind,
-        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
-    )
+    never shared between concurrent evaluations; stale siblings are
+    swept (core/scratch.py)."""
+    from dmds_spark.core.scratch import scratch_dir
+
+    return scratch_dir(kind, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,6 @@ round 6; this is the rewrite it sizes).
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import functions as F
 
@@ -20,13 +19,9 @@ _U63 = "9223372036854775808"
 
 
 def _scratch(sf_dir: str, kind: str) -> str:
-    return os.path.join(
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-        ".scratch", kind,
-        os.path.basename(sf_dir.rstrip("/")) + "_" + uuid.uuid4().hex[:12],
-    )
+    from dmds_spark.core.scratch import scratch_dir
+
+    return scratch_dir(kind, sf_dir)
 
 
 @register(
