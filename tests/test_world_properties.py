@@ -57,3 +57,48 @@ def test_world_matches_model(spark, tmp_path_factory, ops):
     sel = w.select(1, (lo, hi))
     read = {(r["d0"], r["d1"]) for r in w.read(sel).select("d0", "d1").collect()}
     assert read == {(k, x) for k, x in model.items() if lo <= x <= hi}
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS)
+def test_u64_world_matches_model(spark, tmp_path_factory, ops):
+    """The same dict-model equivalence on a FULL-u64 world: ids live
+    past 2^63 (DECIMAL(20,0) dim column), the secondary dim relocates,
+    and every upsert/delete/flush interleaving must agree with the
+    model — the decimal write path earns the same property guarantee
+    as the long one."""
+    base = 2**63  # every id beyond LongType
+    spec = WorldSpec(
+        [
+            DimSpec("d0", base, base + 2**20 - 1, 2**12, u64=True),
+            DimSpec("d1", 0, 255, 16),
+        ]
+    )
+    w = World(spark, spec, str(tmp_path_factory.mktemp("pu")) + "/world")
+    model: dict[int, int] = {}
+    for kind, i, v in ops:
+        uid = base + i * 4099  # spread across chunks, all past 2^63
+        if kind == "upsert":
+            w.insert_rows([{"d0": uid, "d1": v}])
+            model[uid] = v
+        elif kind == "delete":
+            w.delete_ids([uid])
+            model.pop(uid, None)
+        else:
+            w.flush()
+    got = {
+        (int(r["d0"]), r["d1"])
+        for r in w.snapshot().select("d0", "d1").collect()
+    }
+    assert got == set(model.items())
+    lo, hi = 64, 191
+    sel = w.select(1, (lo, hi))
+    read = {
+        (int(r["d0"]), r["d1"])
+        for r in w.read(sel).select("d0", "d1").collect()
+    }
+    assert read == {(k, x) for k, x in model.items() if lo <= x <= hi}
