@@ -217,3 +217,30 @@ def test_long_dim_chunk_routing_exact_past_2_53(spark, tmp_path):
     got_c0 = int(base.select("c0").collect()[0]["c0"])
     assert got_c0 == spec.dims[0].chunk_of(tricky) == k - 1
     w.close()
+
+
+def test_u64_zorder_compact_roundtrip(spark, tmp_path):
+    """compact(order="zorder") on a u64 world: the Morton key's
+    decimal branch (offset reduced mod 2^bits in decimal before the
+    long cast) must produce a valid sort key — all rows survive the
+    rewrite and reads still prune."""
+    w = World(spark, SPEC, str(tmp_path / "zw"), validate="off")
+    # four t-chunks, hit by BOTH flushes -> >1 file per partition
+    rows = [
+        {"id": 2**63 + i * 2**31, "t": (i % 4) * 16, "v": i}
+        for i in range(24)
+    ]
+    # two flushes -> fragmented partitions worth compacting
+    w.insert_rows(rows[:12])
+    w.flush()
+    w.insert_rows(rows[12:])
+    w.flush()
+    before = _rows(w)
+    n = w.compact(max_files_per_partition=1, order="zorder")
+    assert n >= 1
+    assert _rows(w) == before
+    got = w.read(w.select(0, (2**63 + 5 * 2**31, None))).select("id")
+    assert {int(r["id"]) for r in got.collect()} == {
+        2**63 + i * 2**31 for i in range(5, 24)
+    }
+    w.close()
