@@ -170,6 +170,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    if not right_value_cols:
+        raise ValueError("right_value_cols must be non-empty")
     lt = left.withColumn("__side", F.lit(1))
     rt = right.withColumn("__side", F.lit(0))
     all_cols = set(lt.columns) | set(rt.columns)
