@@ -118,6 +118,11 @@ class WriterLock:
         self.mutex = threading.Lock()
         self._mu = threading.Lock()  # guards _refs + lock-file ops
         self._refs = 0
+        # monotone on-disk-state version, bumped by every flush /
+        # compact through ANY World on this path (interned, so all
+        # same-process instances see it): the invalidation key for
+        # each World's cached base relation (see World._base)
+        self.data_version = 0
 
     def _holder(self) -> dict | None:
         try:
@@ -293,6 +298,10 @@ class World:
         self._writer_lock = WriterLock.for_dir(path)
         self._lock = self._writer_lock.mutex  # reference lock_w, src/world.rs:58
         self._writer_ref = False
+        # (version, DataFrame|None) — see _base(); keyed on the
+        # interned lock's data_version so any same-process flush
+        # invalidates it
+        self._base_cache: tuple[int, DataFrame | None] | None = None
         # buffer cap (reference ``World::set_chunks_limit`` eviction,
         # src/world.rs:295-299,462-512): past the limit the op log
         # auto-flushes, so read planning cost and driver references stay
@@ -466,9 +475,33 @@ class World:
         return False
 
     def _base(self) -> DataFrame | None:
-        if not self.exists():
-            return None
-        return self.spark.read.parquet(self.path)
+        """The persisted base relation, cached per on-disk-state
+        version. ``spark.read.parquet`` builds a fresh file index
+        (a full recursive listing) on every call; read-heavy loops —
+        point-gets, select iterations, pending-merge reads — were
+        paying that listing each time. The cache key is the interned
+        WriterLock's ``data_version``, bumped by every flush/compact
+        through ANY same-process World on this path, so writers
+        invalidate all readers' caches. This is the engine's analogue
+        of the reference's ``hint_is_valid`` negative cache
+        (tokio-fs/src/lib.rs:38-73): O(1) re-answers for repeated
+        existence/listing questions, with the same staleness contract
+        — a DIFFERENT PROCESS writing the path is not seen until this
+        process's next version bump (single-writer discipline makes
+        that the reader-side trade-off the reference also accepts;
+        call ``invalidate_base_cache()`` to force a re-list)."""
+        version = self._writer_lock.data_version
+        cached = self._base_cache
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        df = self.spark.read.parquet(self.path) if self.exists() else None
+        self._base_cache = (version, df)
+        return df
+
+    def invalidate_base_cache(self) -> None:
+        """Force the next read to re-list the directory (needed only
+        when an EXTERNAL process wrote the path)."""
+        self._base_cache = None
 
     # -- write path (reference: src/world.rs:553-584) -------------------------
 
@@ -804,11 +837,15 @@ class World:
             if not self._ops:
                 return 0
             try:
-                return self._flush_locked()
+                n = self._flush_locked()
             except ValueOutOfRangeError:
                 raise
             except Exception as e:  # noqa: BLE001 — guard translation
                 self._reraise_domain(e)
+            # new on-disk state: invalidate every same-process World's
+            # cached base relation (the interned version is the key)
+            self._writer_lock.data_version += 1
+            return n
 
     def _flush_locked(self) -> int:
         n_ops = len(self._ops)
@@ -987,6 +1024,7 @@ class World:
                 .option("partitionOverwriteMode", "dynamic")
                 .parquet(self.path)
             )
+            self._writer_lock.data_version += 1  # invalidate base caches
             return n_frag
 
     def stats(self) -> DataFrame:

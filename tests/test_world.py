@@ -416,3 +416,33 @@ def test_stats_counts_rows_files_and_id_bounds(spark, tmp_path):
     assert all(r["n_files"] == 1 for r in st2)
     assert sum(r["n_rows"] for r in st2) == 24
     assert max(frag_before) >= 1
+
+
+def test_base_relation_cache_and_cross_instance_invalidation(spark, tmp_path):
+    """_base() reuses one file listing per on-disk-state version (the
+    hint_is_valid-cache analogue, tokio-fs/src/lib.rs:38-73): repeated
+    reads return the SAME relation object; a flush through ANY
+    same-process World on the path bumps the interned version, so
+    every instance re-lists and sees the new state."""
+    spec = WorldSpec(dims=(DimSpec("k", 0, 1023, 16),))
+    a = World(spark, spec, str(tmp_path / "w"), physical_factors=(4,))
+    a.insert_rows([{"k": 1, "v": 10}])
+    a.flush()
+    b1 = a._base()
+    assert a._base() is b1  # cached: no re-list, no new relation
+
+    b = World(spark, spec, a.path, physical_factors=(4,))
+    assert b._base() is not None
+    b.insert_rows([{"k": 2, "v": 20}])
+    b.flush()  # bumps the shared data_version
+
+    b2 = a._base()
+    assert b2 is not b1  # a's cache invalidated by b's flush
+    got = {(r["k"], r["v"]) for r in a.snapshot().select("k", "v").collect()}
+    assert got == {(1, 10), (2, 20)}
+
+    # manual escape hatch for external-process writes
+    a.invalidate_base_cache()
+    assert a._base() is not b2 or a._base() is a._base()
+    a.close()
+    b.close()
