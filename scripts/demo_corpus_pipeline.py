@@ -64,6 +64,23 @@ def main() -> int:
         print(f"1. world: 200 rows, score in [500,600) -> {hits} hits; "
               f"relocated row visible in new chunk -> {moved} hit(s)")
 
+    # -- 1b. Full-u64 world (DimSpec(u64=True)) -----------------------
+    with tempfile.TemporaryDirectory() as root:
+        uspec = WorldSpec(
+            dims=(
+                DimSpec("id", 0, 2**64 - 1, 2**32, u64=True),
+                DimSpec("score", 0, 1023, 64),
+            )
+        )
+        uw = World(spark, uspec, root)
+        uw.insert_rows(
+            [{"id": 2**63 + i * 2**33, "score": i} for i in range(32)]
+        )
+        uw.flush()
+        top = uw.read(uw.select(0, (2**63 + 16 * 2**33, None))).count()
+        print(f"1b. u64 world: 32 rows past 2^63 (DECIMAL(20,0) ids), "
+              f"top-half range select -> {top} hits")
+
     # -- 2. Curation --------------------------------------------------
     kept = qs["pipeline_curation"](spark, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
