@@ -67,3 +67,131 @@ def export_sharded(
             indent=1,
         )
     return manifest
+
+
+WDS_RESULT_SCHEMA = (
+    "shard long, file string, samples long, n_bytes long"
+)
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    shards: int,
+    key_col: str,
+    content_cols: dict[str, str],
+    key_width: int = 12,
+) -> list[dict]:
+    """Write ``df`` as WebDataset-style tar shards — the sequential-
+    read sample format LLM training loaders consume: ``shards`` files
+    ``shard-00000.tar ...``, each holding one member
+    ``<key>.<ext>`` per (row, extension), all members of a sample
+    adjacent, samples sorted by key within the shard.
+
+    ``content_cols`` maps tar extension -> source column; string
+    columns are utf-8 encoded, binary columns written as-is — so a
+    (text, image-bytes, metadata-json) multimodal sample is
+    ``{"txt": "text", "jpg": "content", "json": "meta"}``.
+
+    Determinism and layout:
+    - shard assignment is ``xxhash64(key) pmod shards`` — stable
+      across runs, partitionings, and cluster sizes (same contract as
+      operators/sampling.py);
+    - tar members carry zeroed mtime/uid/gid and sorted sample order,
+      so a re-export is BYTE-IDENTICAL (pinned in tests) — shard
+      files can be content-hashed for integrity manifests;
+    - each shard is written by exactly one task
+      (``groupBy(shard).applyInPandas``), to ``<name>.tmp`` then
+      ``os.replace`` — a crashed export leaves tmp garbage, never a
+      torn ``.tar`` a loader would read.
+
+    Scale: one hash shuffle on the shard id; pick ``shards`` so a
+    shard is the usual 100 MB–1 GB webdataset unit (a whole shard is
+    materialized in its writer task — that is the format's own design
+    point: shards ARE the streaming-read unit, so they are sized to
+    fit). Returns the manifest entries (also written to
+    ``_manifest.json``)."""
+    import pandas as pd
+
+    if not content_cols:
+        raise ValueError("content_cols must be non-empty")
+    os.makedirs(path, exist_ok=True)
+    exts = list(content_cols)
+    sel = df.select(
+        F.col(key_col).alias("__key"),
+        *[F.col(c).alias(f"__c_{e}") for e, c in content_cols.items()],
+    ).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col("__key")), F.lit(shards))
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        shard = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values("__key", kind="mergesort")
+        name = f"shard-{shard:05d}.tar"
+        tmp = os.path.join(path, name + ".tmp")
+        n = 0
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                k = row["__key"]
+                base = (
+                    f"{int(k):0{key_width}d}"
+                    if isinstance(k, (int,)) or hasattr(k, "__int__")
+                    else str(k)
+                )
+                for e in exts:
+                    v = row[f"__c_{e}"]
+                    if v is None:
+                        continue
+                    data = (
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    )
+                    info = tarfile.TarInfo(f"{base}.{e}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                n += 1
+        os.replace(tmp, os.path.join(path, name))
+        return pd.DataFrame(
+            [{
+                "shard": shard,
+                "file": name,
+                "samples": n,
+                "n_bytes": os.path.getsize(os.path.join(path, name)),
+            }]
+        )
+
+    rows = (
+        sel.groupBy("__shard")
+        .applyInPandas(write_shard, WDS_RESULT_SCHEMA)
+        .collect()
+    )
+    manifest = sorted(
+        (
+            {
+                "shard": int(r["shard"]),
+                "file": r["file"],
+                "samples": int(r["samples"]),
+                "bytes": int(r["n_bytes"]),
+            }
+            for r in rows
+        ),
+        key=lambda e: e["shard"],
+    )
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "webdataset",
+                "shards": shards,
+                "key_col": key_col,
+                "extensions": exts,
+                "files": manifest,
+            },
+            fh,
+            indent=1,
+        )
+    return manifest
