@@ -148,3 +148,38 @@ def text_pii_redact(spark, sf_dir):
     for name, p in _REDACT_ORDER:
         red = F.regexp_replace(red, p, f"<{name}>")
     return d.select("doc_id", red.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# WebDataset export, driver-visible
+# ---------------------------------------------------------------------------
+
+
+@register("sink_webdataset_manifest", None)
+def sink_webdataset_manifest(spark, sf_dir):
+    """Runs the WebDataset tar-shard export end to end on the
+    documents table and returns its manifest as rows (shard, samples,
+    n_bytes) — deterministic by construction: shard assignment is
+    xxhash64 pmod (stable across partitionings) and the tar writer
+    zeroes all metadata, so even n_bytes is reproducible run to run
+    (byte-identical shards, pinned in tests/test_formats.py).
+    Rows-only: xxhash64 has no DuckDB twin. Sink: sources/sinks.py
+    export_webdataset."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from dmds_spark.sources.sinks import export_webdataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out = _scratch(sf_dir, "wds")
+    manifest = export_webdataset(
+        docs, out, shards=8, key_col="doc_id",
+        content_cols={"txt": "text", "src": "source"},
+    )
+    return spark.createDataFrame(
+        [(e["shard"], e["samples"], e["bytes"]) for e in manifest],
+        "shard long, samples long, n_bytes long",
+    ).orderBy("shard")
