@@ -195,3 +195,81 @@ def export_webdataset(
             indent=1,
         )
     return manifest
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    extensions: list[str] | None = None,
+    text_exts: tuple[str, ...] = (),
+) -> DataFrame:
+    """Read WebDataset tar shards back into a DataFrame: one row per
+    sample key, one column per extension (``bytes``; extensions named
+    in ``text_exts`` decode to string) — the loader side of
+    ``export_webdataset``, so Spark jobs can consume shard archives
+    produced here or by any webdataset-convention writer.
+
+    ``extensions`` defaults to the ``_manifest.json`` the exporter
+    wrote (a DataFrame needs a static schema; a foreign archive
+    without a manifest must pass them explicitly).
+
+    Scale shape: one binaryFile scan — each task parses whole shard
+    tars in memory (shards are sized to be the streaming-read unit,
+    the format's own contract) through an Arrow ``mapInPandas``; no
+    driver-side file walks, no per-member FS round trips."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    if extensions is None:
+        with open(os.path.join(path, "_manifest.json")) as fh:
+            extensions = _json.load(fh)["extensions"]
+    exts = list(extensions)
+    schema = T.StructType(
+        [T.StructField("key", T.StringType())]
+        + [
+            T.StructField(
+                e, T.StringType() if e in text_exts else T.BinaryType()
+            )
+            for e in exts
+        ]
+    )
+
+    def parse(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    samples: dict[str, dict] = {}
+                    for m in tar.getmembers():
+                        if "." not in m.name:
+                            continue
+                        base, ext = m.name.rsplit(".", 1)
+                        if ext not in exts:
+                            continue
+                        data = tar.extractfile(m).read()
+                        samples.setdefault(base, {})[ext] = data
+                    for base, d in samples.items():
+                        row = {"key": base}
+                        for e in exts:
+                            v = d.get(e)
+                            if v is not None and e in text_exts:
+                                v = v.decode("utf-8")
+                            row[e] = v
+                        rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse, schema)
+    )

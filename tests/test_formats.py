@@ -177,3 +177,30 @@ class TestWebdatasetExport:
         assert members[f"{2:012d}.bin"] == b"\x01raw2"
         assert f"{3:012d}.bin" not in members
         assert members[f"{3:012d}.txt"] == b"gamma"
+
+    def test_read_webdataset_roundtrip(self, spark, tmp_path):
+        """read_webdataset inverts the export: same samples, text
+        extensions decoded, binary pass-through, extensions resolved
+        from the manifest."""
+        from dmds_spark.sources.sinks import (
+            export_webdataset,
+            read_webdataset,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text", "source")
+        path = str(tmp_path / "wds_rt")
+        export_webdataset(
+            docs, path, shards=4, key_col="doc_id",
+            content_cols={"txt": "text", "src": "source"},
+        )
+        back = read_webdataset(spark, path, text_exts=("txt", "src"))
+        got = {
+            int(r["key"]): (r["txt"], r["src"]) for r in back.collect()
+        }
+        want = {
+            int(r["doc_id"]): (r["text"], r["source"])
+            for r in docs.collect()
+        }
+        assert got == want
