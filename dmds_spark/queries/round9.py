@@ -183,3 +183,36 @@ def sink_webdataset_manifest(spark, sf_dir):
         [(e["shard"], e["samples"], e["bytes"]) for e in manifest],
         "shard long, samples long, n_bytes long",
     ).orderBy("shard")
+
+
+@register(
+    "sink_webdataset_roundtrip",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_rt
+    FROM documents
+    """,
+)
+def sink_webdataset_roundtrip(spark, sf_dir):
+    """Tar-shard round trip as an oracle-checked claim: export the
+    corpus to WebDataset shards, read it back through the binaryFile
+    + Arrow tar parser, and return each doc's read-back text length —
+    hash-compared against DuckDB's view of the ORIGINAL table, so the
+    driver certifies the sink+loader pair preserves every document
+    (same keys, same content length) through the archive format.
+    Sink/loader: sources/sinks.py export_webdataset/read_webdataset;
+    byte-identity of the shards themselves is pinned in
+    tests/test_formats.py."""
+    from dmds_spark.sources.sinks import export_webdataset, read_webdataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = _scratch(sf_dir, "wds_rt")
+    export_webdataset(
+        docs, out, shards=8, key_col="doc_id", content_cols={"txt": "text"}
+    )
+    back = read_webdataset(spark, out, text_exts=("txt",))
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.length("txt").cast("long").alias("n_chars_rt"),
+    )
