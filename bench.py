@@ -189,6 +189,9 @@ ADDITIONS = [
     # rewrite (single codegen projection over the text column)
     "dmds_u64_snapshot",
     "text_pii_redact",
+    # the WebDataset sink+loader round trip (tar shards written and
+    # re-parsed end to end each pass)
+    "sink_webdataset_roundtrip",
 ]
 
 
