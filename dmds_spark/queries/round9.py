@@ -216,3 +216,64 @@ def sink_webdataset_roundtrip(spark, sf_dir):
         F.col("key").cast("long").alias("doc_id"),
         F.length("txt").cast("long").alias("n_chars_rt"),
     )
+
+
+@register(
+    "join_asof_nulls",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM (
+        SELECT user_id, ts, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, CAST(p.v AS DOUBLE) AS prev_purchase
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_nulls(spark, sf_dir):
+    """join_asof with genuinely NULL right VALUES (every third
+    purchase's value nulled deterministically): the nearest right row
+    must win and its NULL must SURVIVE the pick — DuckDB's native
+    ASOF JOIN keeps the NULL, and the operator's struct pick
+    (operators/relational.py asof_join) now matches; the pre-round-9
+    per-column ignorenulls pick fell through to a farther non-null
+    row, which this driver row would catch as a hash mismatch."""
+    from pyspark.sql import Window as W
+
+    from dmds_spark.queries.relational import T
+    from dmds_spark.operators.relational import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_id") % 3 == 0, F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("prev_purchase"),
+        )
+    )
+    out = asof_join(
+        clicks, purch, on="ts", by=["user_id"],
+        right_value_cols=["prev_purchase"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("prev_purchase").cast("double").alias("prev_purchase"),
+    )
