@@ -130,6 +130,17 @@ def export_webdataset(
 
         shard = int(pdf["__shard"].iloc[0])
         pdf = pdf.sort_values("__key", kind="mergesort")
+        dup = pdf["__key"].duplicated()
+        if dup.any():
+            # duplicate sample keys would write colliding tar member
+            # names — a loader silently keeps one and drops the rest;
+            # fail loudly instead (dedup upstream, or derive a unique
+            # key)
+            raise ValueError(
+                "export_webdataset: duplicate sample keys in shard "
+                f"{shard} (first: {pdf['__key'][dup].iloc[0]!r}); "
+                "keys must be unique"
+            )
         name = f"shard-{shard:05d}.tar"
         tmp = os.path.join(path, name + ".tmp")
         n = 0

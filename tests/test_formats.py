@@ -204,3 +204,42 @@ class TestWebdatasetExport:
             for r in docs.collect()
         }
         assert got == want
+
+    def test_edge_payloads_and_duplicate_keys(self, spark, tmp_path):
+        """Empty strings/bytes and unicode survive the round trip;
+        duplicate sample keys fail loudly (colliding tar member names
+        would silently drop samples in any loader)."""
+        import pytest as _pytest
+
+        from dmds_spark.sources.sinks import (
+            export_webdataset,
+            read_webdataset,
+        )
+
+        rows = [
+            (1, "", bytearray(b"")),
+            (2, "café 中文 \U0001f600", bytearray(b"\x00" * 64)),
+            (3, "plain", bytearray(b"\xff")),
+        ]
+        df = spark.createDataFrame(rows, "k long, t string, b binary")
+        path = str(tmp_path / "wde")
+        export_webdataset(
+            df, path, shards=2, key_col="k",
+            content_cols={"txt": "t", "bin": "b"},
+        )
+        back = {
+            int(r["key"]): (r["txt"], bytes(r["bin"]))
+            for r in read_webdataset(
+                spark, path, text_exts=("txt",)
+            ).collect()
+        }
+        assert back == {k: (t, bytes(b)) for k, t, b in rows}
+
+        dupdf = spark.createDataFrame(
+            [(7, "a"), (7, "b")], "k long, t string"
+        )
+        with _pytest.raises(Exception, match="duplicate sample keys"):
+            export_webdataset(
+                dupdf, str(tmp_path / "wdd"), shards=1, key_col="k",
+                content_cols={"txt": "t"},
+            )
