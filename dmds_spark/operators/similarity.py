@@ -40,6 +40,11 @@ def dot(x: Column, y: Column) -> Column:
 
 
 def cosine(x: Column, y: Column) -> Column:
+    """Cosine similarity in double. A zero-norm input yields NaN (0/0
+    under IEEE division) — the conventional undefined-similarity
+    marker; callers over corpora that may contain zero vectors should
+    filter them or coalesce the NaN (the fixture embeddings and every
+    oracle-checked query are zero-free)."""
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
@@ -404,12 +409,18 @@ def kmeans_assign(
     same elementwise zip_with/left-fold arithmetic and the same
     least-by-(d, c) tie-break as the unfolded expression, so
     assignments are bit-identical."""
+    if k < 1:
+        raise ValueError(f"kmeans_assign: k must be >= 1, got {k}")
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_assign: empty input (no seed vectors)")
+    # fewer rows than k: every row is its own seed and the extra
+    # clusters simply never exist — valid, documented degeneracy
     centers = [
         (c, [float(v) for v in row[vec_col]]) for c, row in enumerate(seeds)
     ]

@@ -331,3 +331,20 @@ def test_principal_component_constant_input_zero_convention(spark):
     e0 = np.zeros(dim)
     e0[0] = 1.0
     assert np.array_equal(v, e0)
+
+
+def test_kmeans_degenerate_inputs(spark):
+    import pytest as _pytest
+
+    from dmds_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        kmeans_assign(emb, "vec_id", "embedding", k=0)
+    with _pytest.raises(ValueError, match="empty input"):
+        kmeans_assign(emb.filter(F.lit(False)), "vec_id", "embedding", k=4)
+    # fewer rows than k: every row seeds its own cluster, no crash
+    few = emb.limit(3)
+    out = kmeans_assign(few, "vec_id", "embedding", k=8, iters=1)
+    assert out.count() == 3
+    assert out.select("cluster").distinct().count() <= 3
