@@ -192,6 +192,13 @@ ADDITIONS = [
     # the WebDataset sink+loader round trip (tar shards written and
     # re-parsed end to end each pass)
     "sink_webdataset_roundtrip",
+    # round-9 batch two: rational-BM25 ranked retrieval (tokenize +
+    # tf/df + TakeOrdered top-k), SFT conversation packing (ordered
+    # array_sort pack + md5 per conversation), and the leakage-safe
+    # cluster split (text-partition representative window)
+    "text_bm25_topk",
+    "sft_pack_conversations",
+    "sample_split_leakage_safe",
 ]
 
 

@@ -343,5 +343,6 @@ def _load():
     # round-9 additions: every pre-existing query has driver evidence
     # (256/256 after r08), so these lead the round-9 window
     from dmds_spark.queries import round9  # noqa: F401
+    from dmds_spark.queries import round9b  # noqa: F401
 
     _LOADED = True

@@ -1020,3 +1020,50 @@ def test_skew_advisor_is_two_aggregates(spark, qs):
     df = qs["profile_join_skew_advisor"](spark, SF)
     assert scan_count(df) <= 2  # key agg + total reuse the same scan
     assert "NestedLoop" not in physical_plan(df) or "Broadcast" in physical_plan(df)
+
+
+def test_bm25_takeordered_topk(spark, qs):
+    """The BM25 final top-k must be a distributed TakeOrdered, and the
+    only Window in the plan runs over the k survivors — never a
+    corpus-sized single-partition rank sort. df and corpus totals are
+    broadcast back onto the tf stream."""
+    import re
+
+    df = qs["text_bm25_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\bWindow\b", plan)) <= 1
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sft_pack_no_window(spark, qs):
+    """Packing orders turns via array_sort inside ONE conv_id
+    aggregate — no per-turn window exchange, one data-sized shuffle."""
+    df = qs["sft_pack_conversations"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert shuffle_count(df) <= 2  # the conv_id agg exchange (+AQE)
+
+
+def test_sft_family_single_window(spark, qs):
+    """Each per-turn SFT operator is one conv_id-partitioned window
+    over one scan — a second exchange means the window and groupBy
+    stopped sharing the partitioning."""
+    import re
+
+    for name in ("sft_role_alternation", "sft_truncate_to_budget",
+                 "sft_loss_mask_spans"):
+        df = qs[name](spark, SF)
+        plan = physical_plan(df)
+        assert len(re.findall(r"\bWindow\b", plan)) <= 1, name
+        assert scan_count(df) == 1, name
+        assert shuffle_count(df) <= 2, name
+
+
+def test_leakage_split_single_shuffle(spark, qs):
+    """The representative window is the only shuffle: the split itself
+    is a projection on top (no second exchange, no join)."""
+    df = qs["sample_split_leakage_safe"](spark, SF)
+    assert shuffle_count(df) <= 2
+    assert scan_count(df) == 1
