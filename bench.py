@@ -199,6 +199,13 @@ ADDITIONS = [
     "text_bm25_topk",
     "sft_pack_conversations",
     "sample_split_leakage_safe",
+    # round-9 batch three: DPO pairing (dual rank windows on one
+    # exchange), the per-epoch shuffle order (3x replicated corpus
+    # through the range-partitioned global rank), and the curriculum
+    # NTILE (sharded rank + closed form)
+    "sft_preference_pairs",
+    "tokens_epoch_shuffle_order",
+    "sample_ntile_curriculum",
 ]
 
 

@@ -344,5 +344,6 @@ def _load():
     # (256/256 after r08), so these lead the round-9 window
     from dmds_spark.queries import round9  # noqa: F401
     from dmds_spark.queries import round9b  # noqa: F401
+    from dmds_spark.queries import round9c  # noqa: F401
 
     _LOADED = True

@@ -1067,3 +1067,69 @@ def test_leakage_split_single_shuffle(spark, qs):
     df = qs["sample_split_leakage_safe"](spark, SF)
     assert shuffle_count(df) <= 2
     assert scan_count(df) == 1
+
+
+def test_preference_pairs_one_exchange(spark, qs):
+    """Both rank windows and the pair aggregate share the conv_id
+    partitioning — one data-sized exchange, one scan, no join."""
+    df = qs["sft_preference_pairs"](spark, SF)
+    plan = physical_plan(df)
+    assert scan_count(df) == 1
+    assert shuffle_count(df) <= 2
+    assert "Join" not in plan
+
+
+def test_reply_dedup_single_agg(spark, qs):
+    """Keep-first is a MIN inside the md5 groupBy: no window, no
+    second pass over the replies."""
+    df = qs["sft_reply_dedup"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert scan_count(df) == 1
+    assert shuffle_count(df) <= 2
+
+
+def test_decontaminate_convs_broadcast_probe(spark, qs):
+    """The benchmark shingle set broadcasts onto the corpus shingle
+    stream; the corpus side never shuffles for the probe."""
+    df = qs["sft_decontaminate_convs"](spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_plan_broadcast_totals(spark, qs):
+    """The 1-row totals frame joins broadcast; nothing data-sized
+    shuffles twice (source agg + tiny re-agg only)."""
+    df = qs["tokens_epoch_plan"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_order_no_global_window(spark, qs):
+    """Per-epoch position comes from the range-partitioned
+    global_row_number: every Window in the plan is partitioned by the
+    pinned shard id, never a single-partition rank over the corpus."""
+    import re
+
+    df = qs["tokens_epoch_shuffle_order"](spark, SF)
+    plan = physical_plan(df)
+    n_windows = len(re.findall(r"\bWindow\b", plan))
+    n_pid_windows = len(
+        re.findall(r"windowspecdefinition\(__pid#", plan)
+    )
+    assert n_windows == n_pid_windows
+
+
+def test_ntile_curriculum_no_per_source_sort_task(spark, qs):
+    """The NTILE comes from the closed form over the sharded rank plus
+    a broadcast per-source count — acceptable plans are the small-input
+    fast path (plain (source) window at test scale) or the sharded
+    ((source, __pid)) window; either way counts broadcast and there is
+    no second data-sized exchange beyond the rank's."""
+    df = qs["sample_ntile_curriculum"](spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+    assert scan_count(df) <= 2  # rank input + per-source counts
