@@ -389,6 +389,36 @@ def sharded_exclusive_running_max(
     )
 
 
+def ntile_from_group_rank(r0, n, k: int):
+    """Exact NTILE(k) bucket (1-based) from a 0-based rank column and a
+    per-GROUP row-count COLUMN — the column-``n`` twin of
+    ``ntile_from_rn`` (whose total count is a driver-side scalar).
+    Pair with ``sharded_exclusive_cumsum`` of ones for the rank and a
+    broadcast per-group count: NTILE over corpus-sized groups without
+    serializing each group through one window task.
+
+    SQL-standard allocation: with q = n div k and m = n mod k, the
+    first m buckets take q+1 rows. All integer arithmetic on bigint
+    columns (q+1 >= 1 always; the q == 0 branch never divides by q), so
+    buckets are exact at any group size."""
+    kk = F.lit(k).cast("long")
+    q = (n.cast("long") - F.pmod(n.cast("long"), kk)) / kk  # n div k
+    q = q.cast("long")
+    m = F.pmod(n.cast("long"), kk)
+    big = m * (q + 1)  # rows living in the first m (larger) buckets
+
+    def floordiv(a, b):
+        return ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
+    r0 = r0.cast("long")
+    return (
+        F.when(q == 0, r0)  # fewer rows than buckets: bucket-1 == rank
+        .when(r0 < big, floordiv(r0, q + 1))
+        .otherwise(m + floordiv(r0 - big, q))
+        + 1
+    ).cast("bigint")
+
+
 def ntile_from_rn(rn, n_rows: int, k: int):
     """Exact NTILE(k) bucket from a global row number and the total row
     count: the first ``n_rows % k`` buckets get ``n_rows//k + 1`` rows,

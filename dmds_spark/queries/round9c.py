@@ -464,11 +464,13 @@ def sample_ntile_curriculum(spark, sf_dir):
     NTILE window serializes each source (corpus-sized groups, a
     handful of keys) through ONE task. Instead the rank comes from
     sharded_exclusive_cumsum (range-shard the order, rank locally, add
-    broadcast per-shard offsets) and NTILE's tile boundary is applied
-    as its CLOSED FORM over (rank, group size): with q = n div k and
-    m = n mod k, the first m tiles take q+1 rows. Bit-identical to the
-    window for any total order, but every shuffle is even."""
-    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+    broadcast per-shard offsets) and the tile is ntile_from_group_rank
+    — NTILE's closed form over (rank, group size). Bit-identical to
+    the window for any total order, but every shuffle is even."""
+    from dmds_spark.operators.relational import (
+        ntile_from_group_rank,
+        sharded_exclusive_cumsum,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "source", _ttr_col())
     one = d.withColumn("__one", F.lit(1).cast("long"))
@@ -476,22 +478,12 @@ def sample_ntile_curriculum(spark, sf_dir):
         one, "source", ["score", "doc_id"], "__one", out="__r"
     )
     n = d.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
-    k = F.lit(N_STAGES).cast("long")
     j = r.join(F.broadcast(n), "source")
-    q = F.expr("__n DIV %d" % N_STAGES)
-    m = F.pmod(F.col("__n"), k)
-    big = m * (q + 1)  # rows in the first m (larger) tiles
-    stage = (
-        F.when(F.col("__r") < big, F.expr("__r DIV (__n DIV %d + 1)" % N_STAGES))
-        .otherwise(
-            m + F.expr("(__r - (__n %% %d) * (__n DIV %d + 1)) DIV (__n DIV %d)"
-                       % (N_STAGES, N_STAGES, N_STAGES))
-        )
-        + 1
-    )
     return j.select(
         "doc_id",
         "source",
         F.col("score").cast("bigint").alias("score"),
-        stage.cast("bigint").alias("stage"),
+        ntile_from_group_rank(F.col("__r"), F.col("__n"), N_STAGES).alias(
+            "stage"
+        ),
     )

@@ -1,0 +1,206 @@
+"""Semantic invariants of the round-9 SFT / retrieval / curriculum
+family, beyond the DuckDB hash equality the oracle gate already pins:
+
+- ntile_from_group_rank is bit-identical to NTILE(k) OVER (PARTITION
+  BY g ORDER BY ...) for adversarial group sizes (n < k, n % k != 0,
+  ties broken by key), with the sharded rank path FORCED.
+- loss-mask spans slice the packed conversation string to exactly the
+  assistant pieces (the packer and the masker agree byte-for-byte).
+- budget truncation keeps the MAXIMAL suffix: kept tokens fit the
+  budget and adding the next-older turn would exceed it.
+- per-epoch shuffle order is a permutation (positions 1..N each
+  epoch) and epochs are actually reshuffled relative to each other.
+- preference pairs: chosen strictly outscores rejected and both turns
+  exist in the conversation as assistant turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _qs():
+    return all_queries()
+
+
+# ---------------------------------------------------------------------------
+# ntile_from_group_rank == NTILE window, sharded rank forced
+# ---------------------------------------------------------------------------
+
+
+def test_group_ntile_matches_window(spark):
+    from dmds_spark.operators.relational import (
+        ntile_from_group_rank,
+        sharded_exclusive_cumsum,
+    )
+
+    # group sizes 1..9 (below, at, and above k; remainders of every
+    # class), deterministic values with ties
+    rows = []
+    rid = 0
+    for g, size in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 40, 41]):
+        for i in range(size):
+            rows.append((f"g{g}", rid, (rid * 37) % 7))
+            rid += 1
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+
+    for k in (2, 3, 4, 5):
+        one = df.withColumn("__one", F.lit(1).cast("long"))
+        r = sharded_exclusive_cumsum(
+            one, "g", ["v", "id"], "__one", out="__r", num_ranges=5
+        )
+        n = df.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+        got = {
+            (row["g"], row["id"]): row["t"]
+            for row in r.join(F.broadcast(n), "g")
+            .select(
+                "g",
+                "id",
+                ntile_from_group_rank(F.col("__r"), F.col("__n"), k).alias(
+                    "t"
+                ),
+            )
+            .collect()
+        }
+        want = {
+            (row["g"], row["id"]): row["t"]
+            for row in df.select(
+                "g",
+                "id",
+                F.ntile(k)
+                .over(W.partitionBy("g").orderBy("v", "id"))
+                .cast("bigint")
+                .alias("t"),
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+# ---------------------------------------------------------------------------
+# packer / masker byte agreement
+# ---------------------------------------------------------------------------
+
+
+def test_loss_mask_spans_slice_assistant_pieces(spark):
+    from dmds_spark.queries.round9b import _conv
+
+    qs = _qs()
+    spans = {
+        (r["conv_id"], r["turn"]): (r["start_char"], r["end_char"])
+        for r in qs["sft_loss_mask_spans"](spark, SF).collect()
+    }
+    conv = {
+        (r["conv_id"], r["turn"]): (r["role"], r["text"])
+        for r in _conv(spark, SF).collect()
+    }
+    # rebuild each packed string exactly as sft_pack_conversations does
+    packed: dict[int, str] = {}
+    for (cid, turn) in sorted(conv):
+        role, text = conv[(cid, turn)]
+        piece = f"<|{role}|>{text}"
+        packed[cid] = packed.get(cid, "") + ("\n" if cid in packed else "") + piece
+    assert spans, "no assistant spans at sf0.001?"
+    for (cid, turn), (lo, hi) in spans.items():
+        role, text = conv[(cid, turn)]
+        assert role == "assistant"
+        assert packed[cid][lo:hi] == f"<|{role}|>{text}"
+
+
+def test_pack_md5_matches_rebuilt_string(spark):
+    import hashlib
+
+    from dmds_spark.queries.round9b import _conv
+
+    qs = _qs()
+    got = {
+        r["conv_id"]: (r["packed_md5"], r["packed_len"])
+        for r in qs["sft_pack_conversations"](spark, SF).collect()
+    }
+    conv = {}
+    for r in _conv(spark, SF).collect():
+        conv.setdefault(r["conv_id"], []).append(
+            (r["turn"], f"<|{r['role']}|>{r['text']}")
+        )
+    for cid, pieces in conv.items():
+        s = "\n".join(p for _, p in sorted(pieces))
+        assert got[cid] == (hashlib.md5(s.encode()).hexdigest(), len(s)), cid
+
+
+# ---------------------------------------------------------------------------
+# truncation keeps the maximal suffix
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_suffix_is_maximal(spark):
+    from dmds_spark.queries.round9b import SFT_TOKEN_BUDGET, _conv
+
+    qs = _qs()
+    kept = {}
+    for r in qs["sft_truncate_to_budget"](spark, SF).collect():
+        kept.setdefault(r["conv_id"], {})[r["turn"]] = r["tok"]
+    toks = {}
+    for r in _conv(spark, SF).collect():
+        toks.setdefault(r["conv_id"], {})[r["turn"]] = r["tok"]
+    for cid, turns in toks.items():
+        k = kept.get(cid, {})
+        if k:
+            # kept turns are a suffix of the conversation
+            turn_list = sorted(turns)
+            assert sorted(k) == turn_list[-len(k):], cid
+            assert sum(k.values()) <= SFT_TOKEN_BUDGET, cid
+        # maximality: one more (older) turn would blow the budget
+        dropped = sorted(set(turns) - set(k))
+        if dropped:
+            nxt = turns[dropped[-1]] + sum(k.values())
+            assert nxt > SFT_TOKEN_BUDGET, cid
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle: per-epoch permutation, epochs differ
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_permutation_and_reshuffles(spark):
+    from dmds_spark.queries.round9c import N_EPOCHS
+
+    qs = _qs()
+    rows = qs["tokens_epoch_shuffle_order"](spark, SF).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert sorted(by_epoch) == list(range(N_EPOCHS))
+    n = len(by_epoch[0])
+    orders = []
+    for e, pos in by_epoch.items():
+        assert sorted(pos.values()) == list(range(1, n + 1)), e
+        orders.append(tuple(sorted(pos, key=pos.get)))
+    # epochs are independent permutations — all distinct
+    assert len(set(orders)) == N_EPOCHS
+
+
+# ---------------------------------------------------------------------------
+# preference pairs: margin real, turns are assistant turns of the conv
+# ---------------------------------------------------------------------------
+
+
+def test_preference_pairs_members_and_margin(spark):
+    from dmds_spark.queries.round9b import _conv
+
+    qs = _qs()
+    pairs = qs["sft_preference_pairs"](spark, SF).collect()
+    assert pairs, "no preference pairs at sf0.001?"
+    roles = {
+        (r["conv_id"], r["turn"]): r["role"]
+        for r in _conv(spark, SF).collect()
+    }
+    for r in pairs:
+        assert r["margin"] > 0
+        assert r["chosen_turn"] != r["rejected_turn"]
+        assert roles[(r["conv_id"], r["chosen_turn"])] == "assistant"
+        assert roles[(r["conv_id"], r["rejected_turn"])] == "assistant"
+        assert r["chosen_md5"] != r["rejected_md5"] or r["margin"] == 0
