@@ -206,6 +206,11 @@ ADDITIONS = [
     "sft_preference_pairs",
     "tokens_epoch_shuffle_order",
     "sample_ntile_curriculum",
+    # round-9 batch four: per-type OLS trend (two stacked aggregates)
+    # and dense-grid linear interpolation (grid join + shared fill
+    # exchange)
+    "events_regression_trend",
+    "timeseries_interp_linear",
 ]
 
 

@@ -1133,3 +1133,27 @@ def test_ntile_curriculum_no_per_source_sort_task(spark, qs):
     assert broadcast_join_count(df) >= 1
     assert "CartesianProduct" not in plan
     assert scan_count(df) <= 2  # rank input + per-source counts
+
+
+def test_regression_trend_no_window_no_join(spark, qs):
+    """Two stacked aggregates (daily rollup, moment sums) on one scan:
+    the regression never windows or joins."""
+    df = qs["events_regression_trend"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert scan_count(df) == 1
+
+
+def test_interp_linear_one_fill_exchange(spark, qs):
+    """Both fill windows (backward LAST, forward FIRST) share the
+    (event_type, hw) ordering — one exchange feeds them; the grid side
+    broadcasts its bounds and the hourly join is the only data-sized
+    shuffle pair."""
+    import re
+
+    df = qs["timeseries_interp_linear"](spark, SF)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 4  # hourly agg + grid/hourly join + fill
