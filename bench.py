@@ -211,6 +211,9 @@ ADDITIONS = [
     # exchange)
     "events_regression_trend",
     "timeseries_interp_linear",
+    # round-9 batch five: the end-to-end SFT corpus composite
+    # (validate -> decontaminate -> truncate -> pack -> split)
+    "pipeline_sft_corpus",
 ]
 
 

@@ -346,5 +346,6 @@ def _load():
     from dmds_spark.queries import round9b  # noqa: F401
     from dmds_spark.queries import round9c  # noqa: F401
     from dmds_spark.queries import round9d  # noqa: F401
+    from dmds_spark.queries import round9e  # noqa: F401
 
     _LOADED = True

@@ -5,6 +5,7 @@ from dmds_spark.streaming.attribution import (
     split_touch_streams,
 )
 from dmds_spark.streaming.decayed_topk import streaming_decayed_topk
+from dmds_spark.streaming.decontaminate import contamination_probe
 from dmds_spark.streaming.funnel import streaming_funnel
 from dmds_spark.streaming.heavy_hitters import streaming_heavy_hitters
 from dmds_spark.streaming.quantiles import streaming_quantiles
@@ -36,6 +37,7 @@ __all__ = [
     "streaming_daily_anomalies",
     "streaming_heavy_hitters",
     "streaming_decayed_topk",
+    "contamination_probe",
     "streaming_quantiles",
     "attribution_candidates",
     "last_touch",

@@ -1,0 +1,73 @@
+"""Streaming benchmark decontamination: flag documents sharing a word
+k-gram with a broadcast benchmark set AT INGEST, so contaminated
+training data never lands in the corpus store (the batch
+text_contamination_ngram / sft_decontaminate_convs gate moved to the
+stream side).
+
+Design for scale: the probe is STATELESS. Benchmarks are MBs (MMLU et
+al. are thousands of rows), so the eval gram set broadcasts once to
+every executor and each micro-batch is an embarrassingly-parallel
+Arrow `mapInPandas` scan — no state store, no watermark bookkeeping,
+no shuffle, works in append mode at any input rate. A stream-static
+join would shuffle the exploded gram stream every micro-batch for the
+same answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _doc_kgrams(text: str, k: int) -> set[str]:
+    """Distinct word k-grams, identical to operators.dedup
+    word_kgram_rows (whitespace split; < k words -> none)."""
+    toks = text.split(" ")
+    return {
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    }
+
+
+def contamination_probe(
+    docs: DataFrame,
+    eval_grams: Iterable[str],
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_clean: bool = False,
+) -> DataFrame:
+    """Per-document contamination flags for a (streaming or batch)
+    document frame: ``(id_col, n_shared)`` where ``n_shared`` counts
+    DISTINCT benchmark k-grams the document contains (a doc repeating
+    one eval gram 50x counts once — same dedup-before-count contract
+    as the batch probe). By default only contaminated documents are
+    emitted (the drop list); ``keep_clean=True`` emits every document
+    with its count (the audit view).
+
+    ``eval_grams`` is materialized to a frozenset on the driver and
+    broadcast once; pass the collected gram column of the benchmark
+    slice. Works identically on ``readStream`` input (stateless
+    projection -> append mode, no watermark) and on batch frames (the
+    equivalence tests run both)."""
+    spark = docs.sparkSession
+    gram_set = frozenset(eval_grams)
+    bc = spark.sparkContext.broadcast(gram_set)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grams = bc.value
+        for pdf in batches:
+            n = [
+                len(_doc_kgrams(t, k) & grams)
+                for t in pdf[text_col].astype(str)
+            ]
+            out = pd.DataFrame(
+                {id_col: pdf[id_col], "n_shared": pd.Series(n, dtype="int64")}
+            )
+            if not keep_clean:
+                out = out[out["n_shared"] > 0]
+            yield out
+
+    schema = f"{id_col} long, n_shared long"
+    return docs.select(id_col, text_col).mapInPandas(probe, schema)

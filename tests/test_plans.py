@@ -1157,3 +1157,19 @@ def test_interp_linear_one_fill_exchange(spark, qs):
     assert len(re.findall(r"\bWindow\b", plan)) <= 2
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 4  # hourly agg + grid/hourly join + fill
+
+
+def test_sft_pipeline_broadcasts_and_no_global_sort(spark, qs):
+    """The composite's eval gram set broadcasts; the anti-joins and the
+    pack/representative stages never sort the corpus globally (no
+    partition-less Window, no CartesianProduct)."""
+    import re
+
+    df = qs["pipeline_sft_corpus"](spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plan
+    # every window is keyed (conv_id / packed_md5) — a partition-less
+    # windowspecdefinition() starts with the ordering spec directly
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert not spec.lstrip().startswith("turn#"), spec
