@@ -145,6 +145,14 @@ def main() -> int:
     print(f"8. health: max KS drift {worst}={ks[worst]:.3f}; "
           f"weighted median price (cents) by flag {wm}")
 
+    # -- 9. SFT data prep: composite build + DPO pairs -----------------
+    sft = qs["pipeline_sft_corpus"](spark, sf_dir)
+    splits = {r["split"]: r["n"] for r in
+              sft.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    pairs = qs["sft_preference_pairs"](spark, sf_dir).count()
+    print(f"9. sft: corpus build kept {sum(splits.values())} conversations "
+          f"{splits}; {pairs} DPO preference pairs")
+
     print("demo: all stages ran")
     return 0
 

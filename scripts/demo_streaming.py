@@ -216,6 +216,32 @@ def main() -> int:
               f"{hot['item']} (decayed weight {hot['weight']:.2f}, "
               f"pruning error <= {hot['dropped_bound']:.2f})")
 
+    # -- 10. ingest-time decontamination (stateless broadcast probe) --
+    from dmds_spark.operators.dedup import word_kgram_rows
+    from dmds_spark.streaming.decontaminate import contamination_probe
+
+    with tempfile.TemporaryDirectory() as d10:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.repartition(2).write.parquet(f"{d10}/docs")
+        ev_grams = [
+            r["sh"]
+            for r in word_kgram_rows(docs, "text", "doc_id", 8, col="sh")
+            .filter(F.pmod(F.expr("doc_id DIV 8"), F.lit(50)) == 0)
+            .select("sh")
+            .distinct()
+            .collect()
+        ]
+        dstream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d10}/docs")
+        )
+        flags = contamination_probe(dstream, ev_grams, k=8)
+        _run(flags, "contam_demo", f"{d10}/ckpt")
+        n = spark.table("contam_demo").count()
+        print(f"10. ingest decontamination: {n} contaminated docs flagged "
+              f"in-stream against {len(ev_grams)} benchmark 8-grams")
+
     print("demo: all streaming stages ran")
     return 0
 

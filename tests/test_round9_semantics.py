@@ -12,6 +12,10 @@ family, beyond the DuckDB hash equality the oracle gate already pins:
   epoch) and epochs are actually reshuffled relative to each other.
 - preference pairs: chosen strictly outscores rejected and both turns
   exist in the conversation as assistant turns.
+- the fixed-point rational BM25 ranks exactly like the textbook float
+  form (k1=1.2, b=0.75, rational idf) on real data.
+- linear interpolation passes observed rows through, stays between
+  its neighbors, and equals the truncated integer line exactly.
 """
 
 from __future__ import annotations
@@ -204,3 +208,96 @@ def test_preference_pairs_members_and_margin(spark):
         assert roles[(r["conv_id"], r["chosen_turn"])] == "assistant"
         assert roles[(r["conv_id"], r["rejected_turn"])] == "assistant"
         assert r["chosen_md5"] != r["rejected_md5"] or r["margin"] == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25: the cleared-fraction algebra matches a straight float reference
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_float_reference_ranking(spark):
+    """The rational fixed-point BM25 (22*tf*D / (10*tf*D + 3*D + 9*dl*N)
+    etc.) must rank like the textbook float form with k1=1.2, b=0.75
+    and the rational idf (2(N-df)+1)/(2df+1) — the fraction-clearing
+    derivation, checked end to end on real data."""
+    from dmds_spark.queries.round9b import BM25_TERMS, BM25_TOPK
+
+    qs = _qs()
+    got = [
+        r["doc_id"]
+        for r in qs["text_bm25_topk"](spark, SF)
+        .orderBy("rnk")
+        .collect()
+    ]
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    d_tot = sum(len(t) for t in docs.values())
+    df = {
+        term: sum(1 for t in docs.values() if term in t)
+        for term in BM25_TERMS
+    }
+    k1, b = 1.2, 0.75
+    scores = {}
+    for doc_id, toks in docs.items():
+        dl = len(toks)
+        s = 0.0
+        for term in BM25_TERMS:
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            idf = (2 * (n_docs - df[term]) + 1) / (2 * df[term] + 1)
+            tfp = (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b) + k1 * b * dl * n_docs / d_tot
+            )
+            s += idf * tfp
+        if s > 0:
+            scores[doc_id] = s
+    want = sorted(scores, key=lambda d: (-scores[d], d))[:BM25_TOPK]
+    # fixed-point truncation can swap float-equal neighbors only; on
+    # this corpus the ordering is strict, so require exact agreement
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# interpolation: pass-through, betweenness, boundary clamp
+# ---------------------------------------------------------------------------
+
+
+def test_interp_linear_bounds_and_passthrough(spark):
+    qs = _qs()
+    rows = qs["timeseries_interp_linear"](spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["hw"])
+        obs = [(r["hw"], r["value_interp_c"]) for r in rs if r["observed"]]
+        assert obs, t
+        for r in rs:
+            if r["observed"]:
+                continue
+            # neighbors in the observed sequence
+            prev = max(
+                ((h, v) for h, v in obs if h < r["hw"]), default=None
+            )
+            nxt = min(
+                ((h, v) for h, v in obs if h > r["hw"]), default=None
+            )
+            if prev is None:
+                assert r["value_interp_c"] == nxt[1], (t, r["hw"])
+            elif nxt is None:
+                assert r["value_interp_c"] == prev[1], (t, r["hw"])
+            else:
+                lo, hi = sorted((prev[1], nxt[1]))
+                assert lo <= r["value_interp_c"] <= hi, (t, r["hw"])
+                # exact truncated line between the neighbors
+                num = (nxt[1] - prev[1]) * (r["hw"] - prev[0])
+                den = nxt[0] - prev[0]
+                q = abs(num) // den
+                want = prev[1] + (q if num >= 0 else -q)
+                assert r["value_interp_c"] == want, (t, r["hw"])
