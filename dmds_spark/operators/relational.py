@@ -401,14 +401,17 @@ def ntile_from_group_rank(r0, n, k: int):
     first m buckets take q+1 rows. All integer arithmetic on bigint
     columns (q+1 >= 1 always; the q == 0 branch never divides by q), so
     buckets are exact at any group size."""
+    def floordiv(a, b):
+        # exact at any magnitude: subtracting the remainder makes the
+        # numerator an exact multiple, and decimal(38,0) division of an
+        # exact multiple is lossless (a double quotient would shift
+        # bucket boundaries once operands pass 2^53 — see ntile_from_rn)
+        return ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
     kk = F.lit(k).cast("long")
-    q = (n.cast("long") - F.pmod(n.cast("long"), kk)) / kk  # n div k
-    q = q.cast("long")
+    q = floordiv(n.cast("long"), kk)  # n div k
     m = F.pmod(n.cast("long"), kk)
     big = m * (q + 1)  # rows living in the first m (larger) buckets
-
-    def floordiv(a, b):
-        return ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
 
     r0 = r0.cast("long")
     return (

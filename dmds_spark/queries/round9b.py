@@ -15,10 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
-
-_BUCKET_SQL = (
-    "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 10000)"
-)
+from dmds_spark.queries.llm_extra import _BUCKET_SQL  # hash_bucket's SQL twin
 
 
 def _docs(spark, sf_dir):

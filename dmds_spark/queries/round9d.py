@@ -173,7 +173,15 @@ def timeseries_interp_linear(spark, sf_dir):
     ev = _events(spark, sf_dir)
     hour_us = 3_600_000_000
     hourly = ev.groupBy(
-        (F.unix_micros(F.window("ts", "1 hour").start) / hour_us)
+        # decimal, not float /: a double quotient rounds past 2^53
+        # micros and drifts from the oracle's //. The window start is
+        # hour-aligned, so it is an exact multiple of hour_us and the
+        # decimal division is lossless at any magnitude.
+        (
+            F.unix_micros(F.window("ts", "1 hour").start)
+            .cast("decimal(38,0)")
+            / hour_us
+        )
         .cast("long")
         .alias("hw"),
         "event_type",

@@ -26,6 +26,9 @@ MAX_VIOL = 2  # tolerated adjacent same-role pairs per conversation
 
 
 def _pipeline_sql() -> str:
+    from dmds_spark.queries.llm_extra import _BUCKET_SQL
+
+    b = _BUCKET_SQL.format(k="rep_id")
     return f"""
     WITH conv AS ({_CONV_SQL}),
     viol AS (
@@ -75,10 +78,8 @@ def _pipeline_sql() -> str:
       FROM packed
     )
     SELECT conv_id,
-           CASE WHEN (('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15))
-                      ::BIGINT % 10000) < 8000 THEN 'train'
-                WHEN (('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15))
-                      ::BIGINT % 10000) < 9000 THEN 'val'
+           CASE WHEN {b} < 8000 THEN 'train'
+                WHEN {b} < 9000 THEN 'val'
                 ELSE 'test' END AS split,
            n_turns, total_tok, packed_md5,
            CAST(rep_id AS BIGINT) AS rep_id

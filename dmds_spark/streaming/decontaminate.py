@@ -69,5 +69,6 @@ def contamination_probe(
                 out = out[out["n_shared"] > 0]
             yield out
 
-    schema = f"{id_col} long, n_shared long"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_shared long"
     return docs.select(id_col, text_col).mapInPandas(probe, schema)

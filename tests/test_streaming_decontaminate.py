@@ -98,3 +98,19 @@ def test_short_docs_never_flag(spark, eval_grams):
         ["doc_id", "text"],
     )
     assert contamination_probe(d, eval_grams, k=K).count() == 0
+
+
+def test_string_id_column(spark, eval_grams):
+    """The output schema follows id_col's actual type (regression: it
+    was hardcoded to long, crashing string/url-keyed corpora)."""
+    d = spark.createDataFrame(
+        [("u1", " ".join(eval_grams[0].split(" ") + ["tail"]))],
+        ["url", "text"],
+    )
+    out = contamination_probe(d, eval_grams, k=K, id_col="url")
+    assert dict(out.dtypes)["url"] == "string"
+    assert canon_by(out, "url") == [("u1", 1)]
+
+
+def canon_by(df, idc):
+    return sorted((r[idc], r["n_shared"]) for r in df.collect())
