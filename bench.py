@@ -214,6 +214,9 @@ ADDITIONS = [
     # round-9 batch five: the end-to-end SFT corpus composite
     # (validate -> decontaminate -> truncate -> pack -> split)
     "pipeline_sft_corpus",
+    # round-9 batch six: the composite's survivors packed into
+    # training sequences (split-keyed sharded cumsum on top)
+    "sft_pack_training_sequences",
 ]
 
 

@@ -347,5 +347,6 @@ def _load():
     from dmds_spark.queries import round9c  # noqa: F401
     from dmds_spark.queries import round9d  # noqa: F401
     from dmds_spark.queries import round9e  # noqa: F401
+    from dmds_spark.queries import round9f  # noqa: F401
 
     _LOADED = True

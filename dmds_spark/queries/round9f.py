@@ -1,0 +1,144 @@
+"""Round-9 batch six: column-profile drift between corpus halves (the
+tabular data-quality twin of embedding_centroid_drift) and SFT
+training-sequence packing — the composite's survivors packed into
+fixed-length sequences per split, with per-conversation boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.round9e import _pipeline_sql
+
+SEQ_LEN = 256  # SFT sequence budget (conversations are <= 96 tok each)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Column-profile drift between deterministic corpus halves
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("lang", "source", "n_chars")
+
+_HALF_SQL = (
+    "CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 10000) < 5000 THEN 'a' ELSE 'b' END"
+)
+
+
+def _drift_sql() -> str:
+    sel = []
+    for c in _PROFILE_COLS:
+        sel.append(f"""
+        SELECT '{c}' AS col, {_HALF_SQL} AS half,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s
+        FROM documents GROUP BY 2
+        """)
+    return " UNION ALL ".join(sel)
+
+
+@register("profile_schema_drift", _drift_sql())
+def profile_schema_drift(spark, sf_dir):
+    """Column-profile drift report: per column and deterministic corpus
+    half (md5 hash split, engine-portable), the row count, null count,
+    distinct count and min/max rendered as strings — the tabular
+    data-quality monitor a pipeline diffs between corpus drops before
+    retraining (a language that vanished, a source whose id range
+    jumped, a null-rate regression — all visible as an a-vs-b delta in
+    this one long-format frame). Swap the hash split for drop ids in
+    production; the profile is unchanged.
+
+    Shape at scale: per column, one map-side-combined groupBy on the
+    2-value half key; COUNT(DISTINCT) is Spark's two-phase
+    partial-distinct expand, never a driver collect. Columns are
+    independent aggregates over one cached scan (Catalyst shares it);
+    the output is #cols x 2 rows."""
+    d = _docs(spark, sf_dir)
+    from dmds_spark.operators.sampling import hash_bucket
+
+    half = F.when(hash_bucket(F.col("doc_id")) < 5000, "a").otherwise("b")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            d.groupBy(half.alias("half")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
+                    "n_null"
+                ),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            ).select(
+                F.lit(c).alias("col"), "half", "n", "n_null",
+                "n_distinct", "min_s", "max_s",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SFT training-sequence packing over the composite's survivors
+# ---------------------------------------------------------------------------
+
+
+def _seq_sql() -> str:
+    return f"""
+    WITH corpus AS ({_pipeline_sql()})
+    SELECT conv_id, split,
+           CAST(total_tok AS BIGINT) AS total_tok,
+           CAST(cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cb % {SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM (
+      SELECT conv_id, split, total_tok,
+             COALESCE(SUM(total_tok) OVER (
+               PARTITION BY split ORDER BY conv_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM corpus
+    )
+    """
+
+
+@register("sft_pack_training_sequences", _seq_sql())
+def sft_pack_training_sequences(spark, sf_dir):
+    """SFT batch packing: the composite's surviving conversations
+    concat-and-chunked into fixed SEQ_LEN-token training sequences PER
+    SPLIT, emitting each conversation's (seq_id, seq_offset) — the
+    boundary map the trainer turns into a block-diagonal attention
+    mask so packed conversations cannot attend to each other. Packing
+    never crosses a split (train sequences contain only train
+    conversations), and the conv_id ordering makes the layout
+    reproducible across runs and partitionings.
+
+    Shape at scale: the exclusive cumsum is the two-level sharded form
+    keyed by split (sharded_exclusive_cumsum — even range shards +
+    broadcast offsets; 3 split values would otherwise serialize the
+    corpus through 3 window tasks). Sequence ids are dense per split
+    by construction."""
+    from dmds_spark.operators.relational import sharded_exclusive_cumsum
+    from dmds_spark.queries.round9e import pipeline_sft_corpus
+
+    corpus = pipeline_sft_corpus(spark, sf_dir).select(
+        "conv_id", "split", "total_tok"
+    )
+    packed = sharded_exclusive_cumsum(
+        corpus, "split", ["conv_id"], "total_tok", out="cb"
+    )
+    return packed.select(
+        "conv_id",
+        "split",
+        F.col("total_tok").cast("bigint").alias("total_tok"),
+        F.expr(f"CAST(cb DIV {SEQ_LEN} AS BIGINT)").alias("seq_id"),
+        F.pmod("cb", F.lit(SEQ_LEN)).cast("bigint").alias("seq_offset"),
+    )

@@ -1173,3 +1173,29 @@ def test_sft_pipeline_broadcasts_and_no_global_sort(spark, qs):
     # windowspecdefinition() starts with the ordering spec directly
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert not spec.lstrip().startswith("turn#"), spec
+
+
+def test_schema_drift_no_join_no_window(spark, qs):
+    """Per-column profiles are independent aggregates unioned — no
+    join, no window, bounded output."""
+    df = qs["profile_schema_drift"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert scan_count(df) <= 3  # one aggregate per profiled column
+
+
+def test_sft_sequence_packing_keyed_windows_only(spark, qs):
+    """The packing cumsum is split-keyed (sharded or small-input plain
+    form) — never a partition-less window over the corpus."""
+    import re
+
+    df = qs["sft_pack_training_sequences"](spark, SF)
+    plan = physical_plan(df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # a partition-less window's spec STARTS with an ordering entry
+        # (carries ASC/DESC); keyed windows lead with bare partition
+        # columns
+        head = spec.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, spec
+    assert "CartesianProduct" not in plan

@@ -301,3 +301,30 @@ def test_interp_linear_bounds_and_passthrough(spark):
                 q = abs(num) // den
                 want = prev[1] + (q if num >= 0 else -q)
                 assert r["value_interp_c"] == want, (t, r["hw"])
+
+
+# ---------------------------------------------------------------------------
+# SFT sequence packing: dense per-split prefix sums, splits never mix
+# ---------------------------------------------------------------------------
+
+
+def test_sft_sequence_packing_dense_and_split_pure(spark):
+    from dmds_spark.queries.round9f import SEQ_LEN
+
+    qs = _qs()
+    rows = qs["sft_pack_training_sequences"](spark, SF).collect()
+    assert rows
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    for split, rs in by_split.items():
+        rs.sort(key=lambda r: r["conv_id"])
+        cb = 0
+        for r in rs:
+            # (seq_id, seq_offset) is exactly the running prefix sum —
+            # dense concat-and-chunk, no gaps, reproducible layout
+            assert (r["seq_id"], r["seq_offset"]) == divmod(cb, SEQ_LEN), (
+                split,
+                r["conv_id"],
+            )
+            cb += r["total_tok"]
