@@ -111,7 +111,12 @@ def pipeline_sft_corpus(spark, sf_dir):
     sides; the truncation window, the pack aggregate and the
     representative window all share the conv_id/packed_md5 hash
     partitionings (bounded groups). Nothing corpus-sized sorts
-    globally."""
+    globally. The gram stream deliberately does NOT persist for its
+    two consumers (unlike pipeline_pretrain_corpus's 3-gram set):
+    measured at sf0.1, caching the larger 8-gram distinct output costs
+    MORE than recomputing it (2.6 s vs 2.2 s warm) — the
+    materialization write/read exceeds the tokenize+kgram recompute at
+    this gram width."""
     from dmds_spark.operators.dedup import word_kgram_rows
     from dmds_spark.operators.sampling import hash_bucket
 
