@@ -217,6 +217,8 @@ ADDITIONS = [
     # round-9 batch six: the composite's survivors packed into
     # training sequences (split-keyed sharded cumsum on top)
     "sft_pack_training_sequences",
+    # nearest as-of: two keyed as-of passes + one event_id hash join
+    "join_asof_nearest",
 ]
 
 

@@ -235,3 +235,122 @@ def timeseries_interp_linear(spark, sf_dir):
         F.col("value_c").isNotNull().cast("bigint").alias("observed"),
         interp.cast("bigint").alias("value_interp_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join: closest right row in EITHER direction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), b AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.value AS pval
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ), f AS (
+      SELECT c.event_id, p.ts AS nts, p.value AS nval
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN pts IS NULL AND nts IS NULL THEN NULL
+                WHEN nts IS NULL THEN 'prev'
+                WHEN pts IS NULL THEN 'next'
+                WHEN epoch_us(b.ts) - epoch_us(pts)
+                     <= epoch_us(nts) - epoch_us(b.ts) THEN 'prev'
+                ELSE 'next' END AS side,
+           CAST(CASE WHEN pts IS NULL AND nts IS NULL THEN NULL
+                WHEN nts IS NULL THEN epoch_us(b.ts) - epoch_us(pts)
+                WHEN pts IS NULL THEN epoch_us(nts) - epoch_us(b.ts)
+                WHEN epoch_us(b.ts) - epoch_us(pts)
+                     <= epoch_us(nts) - epoch_us(b.ts)
+                  THEN epoch_us(b.ts) - epoch_us(pts)
+                ELSE epoch_us(nts) - epoch_us(b.ts) END AS BIGINT) AS dt_us,
+           CAST(CASE WHEN pts IS NULL AND nts IS NULL THEN NULL
+                WHEN nts IS NULL THEN pval
+                WHEN pts IS NULL THEN nval
+                WHEN epoch_us(b.ts) - epoch_us(pts)
+                     <= epoch_us(nts) - epoch_us(b.ts) THEN pval
+                ELSE nval END AS DOUBLE) AS nearest_purchase
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: for each click, the CLOSEST purchase in
+    time per user in EITHER direction (ties and exact-timestamp
+    matches resolve to the backward side), with the signed-side tag
+    and the distance in micros — the sensor-alignment / fuzzy-
+    timestamp-correlation variant neither single-direction as-of
+    expresses, and one DuckDB's native ASOF lacks (the oracle states
+    it as backward ASOF + forward ASOF + a distance CASE, which is
+    also exactly the operator composition here).
+
+    Shape at scale: two asof_join passes (each ONE union +
+    (user, ts)-keyed sort window — never a theta join) picking the
+    matched timestamp alongside the value as one struct, then a single
+    hash join on event_id to compare distances. Left rows with no
+    purchase on either side survive with NULLs (left semantics)."""
+    from dmds_spark.operators.relational import asof_join
+    from dmds_spark.queries.relational import T
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("ts").alias("m_ts"), "value")
+    )
+    b = asof_join(
+        clicks, purch, on="ts", by=["user_id"],
+        right_value_cols=["m_ts", "value"], direction="backward",
+    ).withColumnsRenamed({"m_ts": "pts", "value": "pval"})
+    f = asof_join(
+        clicks, purch, on="ts", by=["user_id"],
+        right_value_cols=["m_ts", "value"], direction="forward",
+    ).select(
+        "event_id",
+        F.col("m_ts").alias("nts"),
+        F.col("value").alias("nval"),
+    )
+    j = b.join(f, "event_id")
+    dtb = F.unix_micros("ts") - F.unix_micros("pts")
+    dtf = F.unix_micros("nts") - F.unix_micros("ts")
+    none = F.col("pts").isNull() & F.col("nts").isNull()
+    prev = F.col("nts").isNull() | (
+        F.col("pts").isNotNull() & (dtb <= dtf)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(none, F.lit(None).cast("string"))
+        .when(prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("side"),
+        F.when(none, F.lit(None))
+        .when(prev, dtb)
+        .otherwise(dtf)
+        .cast("bigint")
+        .alias("dt_us"),
+        F.when(none, F.lit(None))
+        .when(prev, F.col("pval"))
+        .otherwise(F.col("nval"))
+        .cast("double")
+        .alias("nearest_purchase"),
+    )

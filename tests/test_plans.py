@@ -1199,3 +1199,18 @@ def test_sft_sequence_packing_keyed_windows_only(spark, qs):
         head = spec.split(",")[0]
         assert " ASC" not in head and " DESC" not in head, spec
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_no_theta_join(spark, qs):
+    """Both directions are union+keyed-window as-of passes; the only
+    join is the event_id hash join comparing distances — no
+    theta/nested-loop pair generator anywhere."""
+    df = qs["join_asof_nearest"](spark, SF)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, spec
