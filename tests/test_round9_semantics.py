@@ -328,3 +328,56 @@ def test_sft_sequence_packing_dense_and_split_pure(spark):
                 r["conv_id"],
             )
             cb += r["total_tok"]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis sweep: group NTILE closed form vs the window, random shapes
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=97), min_size=1,
+                   max_size=8),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_group_ntile_random_shapes(spark, sizes, k):
+    from dmds_spark.operators.relational import (
+        ntile_from_group_rank,
+        sharded_exclusive_cumsum,
+    )
+
+    rows, rid = [], 0
+    for g, size in enumerate(sizes):
+        for _ in range(size):
+            rows.append((f"g{g}", rid, (rid * 61) % 5))
+            rid += 1
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    one = df.withColumn("__one", F.lit(1).cast("long"))
+    r = sharded_exclusive_cumsum(
+        one, "g", ["v", "id"], "__one", out="__r", num_ranges=4
+    )
+    n = df.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+    got = {
+        (row["g"], row["id"]): row["t"]
+        for row in r.join(F.broadcast(n), "g").select(
+            "g", "id",
+            ntile_from_group_rank(F.col("__r"), F.col("__n"), k).alias("t"),
+        ).collect()
+    }
+    want = {
+        (row["g"], row["id"]): row["t"]
+        for row in df.select(
+            "g", "id",
+            F.ntile(k).over(W.partitionBy("g").orderBy("v", "id"))
+            .cast("bigint").alias("t"),
+        ).collect()
+    }
+    assert got == want
