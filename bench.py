@@ -219,6 +219,8 @@ ADDITIONS = [
     "sft_pack_training_sequences",
     # nearest as-of: two keyed as-of passes + one event_id hash join
     "join_asof_nearest",
+    # whole-document FFD packing: one Arrow task per hash shard
+    "tokens_bin_pack_ffd",
 ]
 
 

@@ -142,3 +142,41 @@ def sft_pack_training_sequences(spark, sf_dir):
         F.expr(f"CAST(cb DIV {SEQ_LEN} AS BIGINT)").alias("seq_id"),
         F.pmod("cb", F.lit(SEQ_LEN)).cast("bigint").alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-document FFD bin packing (rows-only: FFD is sequential per
+# shard — no SQL oracle; pinned against the shared Python reference
+# in tests/test_bin_packing.py)
+# ---------------------------------------------------------------------------
+
+FFD_CAPACITY = 512
+FFD_SHARDS = 16
+
+
+@register("tokens_bin_pack_ffd", None)
+def tokens_bin_pack_ffd(spark, sf_dir):
+    """Whole-document training-batch packing: first-fit-decreasing
+    into FFD_CAPACITY-token bins, never splitting a document — the
+    quality/efficiency trade against concat-and-chunk
+    (tokens_pack_sequences), which wastes nothing but slices documents
+    across sequence boundaries. Emits (doc_id, n_tokens, shard, bin);
+    oversized documents are excluded (they belong to the chunking
+    path).
+
+    Shape at scale: hash-shard then pack each shard in ONE Arrow
+    applyInPandas task over two int64 columns (ids + weights, never
+    text); quality is lost only at shard boundaries (< 1 wasted bin
+    per shard vs global packing) while the sequential FFD work
+    distributes. Rows-only by design: FFD's first-fit probe order is
+    inherently sequential — the distributed result is pinned
+    bit-exact to the shared pure-Python reference, and the 11/9 OPT
+    + 1 FFD guarantee is asserted per shard in the test suite."""
+    from dmds_spark.operators.packing import bin_pack_ffd
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return bin_pack_ffd(
+        d, "n_tokens", "doc_id", FFD_CAPACITY, shards=FFD_SHARDS
+    )
