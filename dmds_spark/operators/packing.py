@@ -63,16 +63,24 @@ def bin_pack_ffd(
     ``(id_col, weight_col, shard, bin)`` where ``bin`` is global
     (``shard * 2^32 + local_bin``). Items with weight > capacity are
     EXCLUDED (they belong to the chunking path — concat-and-chunk
-    splits them; FFD by definition cannot)."""
+    splits them; FFD by definition cannot), as are rows with a NULL id
+    or weight (a null id cannot be addressed, a null weight cannot be
+    packed). The id keeps its native type end to end — string/url keys
+    work (same contract as streaming contamination_probe)."""
     from dmds_spark.operators.sampling import hash_bucket
 
     if shard_key is None:
         shard_key = hash_bucket(F.col(id_col), shards)
+    id_type = df.schema[id_col].dataType.simpleString()
     keyed = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         F.col(weight_col).cast("long").alias("__w"),
         shard_key.cast("long").alias("__shard"),
-    ).filter(F.col("__w") <= capacity)
+    ).filter(
+        F.col("__id").isNotNull()
+        & F.col("__w").isNotNull()
+        & (F.col("__w") <= capacity)
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         assign = ffd_pack(pdf["__id"], pdf["__w"], capacity)
@@ -88,7 +96,7 @@ def bin_pack_ffd(
             }
         )
 
-    schema = "__id long, __w long, __shard long, __bin long"
+    schema = f"__id {id_type}, __w long, __shard long, __bin long"
     packed = keyed.groupBy("__shard").applyInPandas(pack, schema)
     return packed.select(
         F.col("__id").alias(id_col),

@@ -389,6 +389,21 @@ def sharded_exclusive_running_max(
     )
 
 
+def exact_floordiv(num, den, out_type: str = "decimal(38,0)"):
+    """Exact floor division of NON-NEGATIVE column expressions at any
+    magnitude a decimal(38,0) can hold: subtract the remainder so the
+    numerator is an exact multiple, then decimal division is lossless
+    (a double quotient shifts results once operands pass 2^53; a
+    narrow decimal cast overflows to NULL and silently drops rows).
+    The single home of the pmod trick — callers must not re-derive it
+    with a narrower output cast. For SIGNED numerators use DIV, which
+    truncates toward zero identically in Spark and DuckDB (pmod is
+    always non-negative, so this helper floors only non-negatives
+    correctly)."""
+    num = num.cast("decimal(38,0)")
+    return ((num - F.pmod(num, den)) / den).cast(out_type)
+
+
 def ntile_from_group_rank(r0, n, k: int):
     """Exact NTILE(k) bucket (1-based) from a 0-based rank column and a
     per-GROUP row-count COLUMN — the column-``n`` twin of
@@ -402,11 +417,7 @@ def ntile_from_group_rank(r0, n, k: int):
     columns (q+1 >= 1 always; the q == 0 branch never divides by q), so
     buckets are exact at any group size."""
     def floordiv(a, b):
-        # exact at any magnitude: subtracting the remainder makes the
-        # numerator an exact multiple, and decimal(38,0) division of an
-        # exact multiple is lossless (a double quotient would shift
-        # bucket boundaries once operands pass 2^53 — see ntile_from_rn)
-        return ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+        return exact_floordiv(a, b, out_type="long")
 
     kk = F.lit(k).cast("long")
     q = floordiv(n.cast("long"), kk)  # n div k

@@ -106,11 +106,11 @@ def text_bm25_topk(spark, sf_dir):
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    def floordiv(num, den):
-        # exact: subtract the remainder, then decimal division is
-        # lossless (same trick as text_tfidf_topk)
-        num = num.cast("decimal(38,0)")
-        return ((num - F.pmod(num, den)) / den).cast("decimal(18,0)")
+    # shared exact floor division — full decimal(38,0) range on BOTH
+    # factors: a narrower cast (the original decimal(18,0)) overflows
+    # idf_s to NULL once (2(N-df)+1)*1e6 passes 1e18 (~1.5e12 docs for
+    # a df=1 term) and SUM silently drops the term, mis-ranking
+    from dmds_spark.operators.relational import exact_floordiv as floordiv
 
     # build products in DECIMAL from the first multiply so the
     # intermediates stay exact at web-corpus N (long would overflow)

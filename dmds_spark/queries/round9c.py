@@ -322,9 +322,7 @@ def tokens_epoch_plan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_src"),
     )
 
-    def floordiv(num, den):
-        num = num.cast("decimal(38,0)")
-        return ((num - F.pmod(num, den)) / den).cast("decimal(38,0)")
+    from dmds_spark.operators.relational import exact_floordiv as floordiv
 
     p = s.crossJoin(F.broadcast(t)).select(
         "source",

@@ -56,35 +56,36 @@ def profile_schema_drift(spark, sf_dir):
     this one long-format frame). Swap the hash split for drop ids in
     production; the profile is unchanged.
 
-    Shape at scale: per column, one map-side-combined groupBy on the
-    2-value half key; COUNT(DISTINCT) is Spark's two-phase
-    partial-distinct expand, never a driver collect. Columns are
-    independent aggregates over one cached scan (Catalyst shares it);
-    the output is #cols x 2 rows."""
+    Shape at scale: ONE groupBy on the 2-value half key aggregates
+    every column's null count, distinct count and min/max in a single
+    pass (multi-column COUNT DISTINCT is Spark's two-phase expand,
+    never a driver collect); the long format comes from a stack() over
+    the two result rows. One scan total — a union of per-column
+    aggregates would read the corpus once per profiled column."""
     d = _docs(spark, sf_dir)
     from dmds_spark.operators.sampling import hash_bucket
 
     half = F.when(hash_bucket(F.col("doc_id")) < 5000, "a").otherwise("b")
-    parts = []
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for c in _PROFILE_COLS:
-        parts.append(
-            d.groupBy(half.alias("half")).agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
-                    "n_null"
-                ),
-                F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                F.min(c).cast("string").alias("min_s"),
-                F.max(c).cast("string").alias("max_s"),
-            ).select(
-                F.lit(c).alias("col"), "half", "n", "n_null",
-                "n_distinct", "min_s", "max_s",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = d.groupBy(half.alias("half")).agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack})"
+            " AS (col, n_null, n_distinct, min_s, max_s)"
+        ),
+        "half",
+        "n",
+    ).select("col", "half", "n", "n_null", "n_distinct", "min_s", "max_s")
 
 
 # ---------------------------------------------------------------------------

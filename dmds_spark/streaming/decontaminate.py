@@ -58,9 +58,12 @@ def contamination_probe(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         grams = bc.value
         for pdf in batches:
+            # NULL text contributes no k-grams (astype(str) would turn
+            # it into the literal word 'None' — diverging from the
+            # batch twin, whose split(NULL) emits no rows)
             n = [
-                len(_doc_kgrams(t, k) & grams)
-                for t in pdf[text_col].astype(str)
+                len(_doc_kgrams(t, k) & grams) if isinstance(t, str) else 0
+                for t in pdf[text_col]
             ]
             out = pd.DataFrame(
                 {id_col: pdf[id_col], "n_shared": pd.Series(n, dtype="int64")}

@@ -1175,14 +1175,15 @@ def test_sft_pipeline_broadcasts_and_no_global_sort(spark, qs):
         assert not spec.lstrip().startswith("turn#"), spec
 
 
-def test_schema_drift_no_join_no_window(spark, qs):
-    """Per-column profiles are independent aggregates unioned — no
-    join, no window, bounded output."""
+def test_schema_drift_single_scan(spark, qs):
+    """All columns' profiles aggregate in ONE pass over ONE scan (the
+    per-column-union form read the corpus once per column); no join,
+    no window."""
     df = qs["profile_schema_drift"](spark, SF)
     plan = physical_plan(df)
     assert "Window" not in plan
     assert "Join" not in plan
-    assert scan_count(df) <= 3  # one aggregate per profiled column
+    assert scan_count(df) == 1
 
 
 def test_sft_sequence_packing_keyed_windows_only(spark, qs):
