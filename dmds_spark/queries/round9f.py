@@ -1,7 +1,8 @@
 """Round-9 batch six: column-profile drift between corpus halves (the
-tabular data-quality twin of embedding_centroid_drift) and SFT
-training-sequence packing — the composite's survivors packed into
-fixed-length sequences per split, with per-conversation boundaries.
+tabular data-quality twin of embedding_centroid_drift), SFT
+training-sequence packing (the composite's survivors packed into
+fixed-length sequences per split, with per-conversation boundaries),
+whole-document FFD bin packing, and the temporal holdout split.
 """
 
 from __future__ import annotations
@@ -171,8 +172,9 @@ def tokens_bin_pack_ffd(spark, sf_dir):
     per shard vs global packing) while the sequential FFD work
     distributes. Rows-only by design: FFD's first-fit probe order is
     inherently sequential — the distributed result is pinned
-    bit-exact to the shared pure-Python reference, and the 11/9 OPT
-    + 1 FFD guarantee is asserted per shard in the test suite."""
+    bit-exact to the shared pure-Python reference, and the sound
+    any-fit property (at most one bin per shard under half full) is
+    asserted in the test suite."""
     from dmds_spark.operators.packing import bin_pack_ffd
 
     d = _docs(spark, sf_dir).select(
@@ -180,4 +182,59 @@ def tokens_bin_pack_ffd(spark, sf_dir):
     )
     return bin_pack_ffd(
         d, "n_tokens", "doc_id", FFD_CAPACITY, shards=FFD_SHARDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal holdout split: train on the past, evaluate on the future
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_split_temporal",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    )
+    SELECT event_id,
+           CASE WHEN epoch_us(ts) < mn + (mx - mn) * 8 // 10 THEN 'train'
+                WHEN epoch_us(ts) < mn + (mx - mn) * 9 // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events CROSS JOIN bounds
+    """,
+)
+def sample_split_temporal(spark, sf_dir):
+    """Temporal holdout split (80/10/10 of the observed time span):
+    train strictly precedes validation, which strictly precedes test —
+    the split policy for anything with temporal drift (forecasting,
+    recommendation, event models), where a hash split leaks the future
+    into training and overstates accuracy. Completes the engine's
+    split family: hash (sample_train_val_test), duplicate-group-safe
+    (sample_split_leakage_safe), temporal (this). Boundaries are exact
+    integer micros (span * 8 // 10 — no double rounding at any epoch
+    magnitude), so the same event lands on the same side on both
+    engines, always.
+
+    Shape at scale: one min/max aggregate (1 row, broadcast back) and
+    a pure projection — the split itself adds no shuffle; at 100 TB
+    the bounds come from parquet footer stats via the same scan."""
+    from dmds_spark.queries.streaming_batch import _events
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    us = F.unix_micros("ts")
+    t_lo = F.col("mn") + F.expr("(mx - mn) * 8 DIV 10")
+    t_hi = F.col("mn") + F.expr("(mx - mn) * 9 DIV 10")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.when(us < t_lo, F.lit("train"))
+            .when(us < t_hi, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )

@@ -1215,3 +1215,13 @@ def test_asof_nearest_no_theta_join(spark, qs):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.split(",")[0]
         assert " ASC" not in head and " DESC" not in head, spec
+
+
+def test_temporal_split_projection_only(spark, qs):
+    """The bounds row broadcasts; the split is a projection — no
+    data-sized shuffle, one scan pair (events + bounds agg)."""
+    df = qs["sample_split_temporal"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert scan_count(df) <= 2
