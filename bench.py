@@ -288,23 +288,32 @@ def main() -> int:
         run_phase(additions, min_passes=4)
 
     total = round(sum(times[k] for k in baseline_order), 4)
-    # key order matters: the driver records only the LAST ~2000 chars of
-    # stdout, and the per-query dict is now far larger than that — so
-    # the totals go AFTER "queries", keeping metric/value/value_full/sf
-    # inside the captured tail (r5's record lost them to truncation)
-    print(
-        json.dumps(
-            {
-                "queries": times,
-                "missing": missing,
-                "metric": "headline_queries_total",
-                "unit": "sec",
-                "value": total,
-                "value_full": round(sum(times.values()), 4),
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records only the LAST ~2000 chars of stdout and tries
+    # to json-parse them; a final line carrying all 130+ per-query
+    # timings is ~4 KB, so every round since r5 recorded "parsed": null
+    # (the tail started mid-line). Keep the final stdout line COMPACT —
+    # comparable-21 timings only — and write the full per-query detail
+    # to BENCH_DETAIL.json next to this script instead.
+    detail = {
+        "queries": times,
+        "missing": missing,
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": total,
+        "value_full": round(sum(times.values()), 4),
+        "n_queries": len(times),
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    line = dict(detail)
+    line["queries"] = {k: times[k] for k in baseline_order}
+    line["detail"] = "BENCH_DETAIL.json"
+    out = json.dumps(line)
+    assert len(out) < 1900, f"final bench line too long ({len(out)} chars)"
+    print(out)
     return 0
 
 

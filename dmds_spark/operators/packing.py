@@ -32,10 +32,17 @@ from pyspark.sql import functions as F
 def ffd_pack(ids: Iterable[int], weights: Iterable[int], capacity: int):
     """Reference first-fit-decreasing: returns {id: bin_index} packing
     items in (weight desc, id) order, probing bins in creation order.
-    Items heavier than ``capacity`` must be filtered by the caller.
-    Pure Python — the executor-side packer and the tests share it, so
-    the distributed result is pinned to this exact function."""
+    PRECONDITIONS (asserted / caller-enforced): ids are UNIQUE within a
+    call (the result is keyed by id — a duplicate would silently pack
+    both weights but report only the later assignment) and weights are
+    NON-NEGATIVE (a negative weight would let reported fills violate
+    the capacity invariant). Items heavier than ``capacity`` must be
+    filtered by the caller. Pure Python — the executor-side packer and
+    the tests share it, so the distributed result is pinned to this
+    exact function."""
     order = sorted(zip(ids, weights), key=lambda t: (-t[1], t[0]))
+    if len({i for i, _ in order}) != len(order):
+        raise ValueError("ffd_pack requires unique ids within a shard")
     fills: list[int] = []
     out: dict[int, int] = {}
     for i, w in order:
@@ -63,10 +70,14 @@ def bin_pack_ffd(
     ``(id_col, weight_col, shard, bin)`` where ``bin`` is global
     (``shard * 2^32 + local_bin``). Items with weight > capacity are
     EXCLUDED (they belong to the chunking path — concat-and-chunk
-    splits them; FFD by definition cannot), as are rows with a NULL id
-    or weight (a null id cannot be addressed, a null weight cannot be
-    packed). The id keeps its native type end to end — string/url keys
-    work (same contract as streaming contamination_probe)."""
+    splits them; FFD by definition cannot), as are rows with a NULL or
+    NEGATIVE weight or a NULL id (a null id cannot be addressed; a
+    negative weight would let fills violate the capacity invariant).
+    ``id_col`` values must be unique corpus-wide — :func:`ffd_pack`
+    raises on a duplicate within a shard, but duplicates landing in
+    DIFFERENT shards pack as distinct items. The id keeps its native
+    type end to end — string/url keys work (same contract as streaming
+    contamination_probe)."""
     from dmds_spark.operators.sampling import hash_bucket
 
     if shard_key is None:
@@ -78,7 +89,7 @@ def bin_pack_ffd(
         shard_key.cast("long").alias("__shard"),
     ).filter(
         F.col("__id").isNotNull()
-        & F.col("__w").isNotNull()
+        & (F.col("__w") >= 0)
         & (F.col("__w") <= capacity)
     )
 

@@ -390,11 +390,17 @@ def sharded_exclusive_running_max(
 
 
 def exact_floordiv(num, den, out_type: str = "decimal(38,0)"):
-    """Exact floor division of NON-NEGATIVE column expressions at any
-    magnitude a decimal(38,0) can hold: subtract the remainder so the
-    numerator is an exact multiple, then decimal division is lossless
-    (a double quotient shifts results once operands pass 2^53; a
-    narrow decimal cast overflows to NULL and silently drops rows).
+    """Exact floor division of NON-NEGATIVE column expressions:
+    subtract the remainder so the numerator is an exact multiple, then
+    decimal division is lossless (a double quotient shifts results once
+    operands pass 2^53; a narrow decimal cast overflows to NULL and
+    silently drops rows). QUOTIENT CEILING: Spark's decimal division
+    result keeps scale 6 with 38 total digits, so quotients >= 1e32
+    overflow the intermediate to NULL (non-ANSI) — exactness holds for
+    quotients below ~1e32, not the full decimal(38,0) range. Every
+    current caller divides row/token counts (quotients < 1e19 even at
+    u64 extremes), far under the ceiling; revisit with a two-step
+    scale-0 divide if a caller ever approaches it.
     The single home of the pmod trick — callers must not re-derive it
     with a narrower output cast. For SIGNED numerators use DIV, which
     truncates toward zero identically in Spark and DuckDB (pmod is

@@ -242,22 +242,52 @@ _CHECKED_R08: frozenset[str] = frozenset({
     "text_rolling_fingerprint", "text_token_stats",
 })
 
+# round 9 (CORRECTNESS_r09.json): 50 rows — 46 hash-green, 4 rows-only
+# by design (webdataset manifest, FFD bin packing, multimodal decode
+# stats / frame sample). Covered all 24 round-9 additions plus rotated
+# r01/r02/r04-vintage evidence.
+_CHECKED_R09: frozenset[str] = frozenset({
+    "agg_salted_sum", "dmds_point_get", "dmds_select_and",
+    "dmds_select_empty_domain", "dmds_select_half_open",
+    "dmds_select_hints", "dmds_select_plus", "dmds_select_range",
+    "dmds_u64_snapshot", "events_regression_trend", "join_asof_nearest",
+    "join_asof_nulls", "join_bucketed_colocated", "join_salted_skew",
+    "multimodal_decode_stats", "multimodal_frame_sample",
+    "pipeline_curation", "pipeline_sft_corpus", "profile_schema_drift",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "sample_cap_per_source",
+    "sample_ntile_curriculum", "sample_split_leakage_safe",
+    "sample_split_temporal", "sessionize_10m", "sft_decontaminate_convs",
+    "sft_loss_mask_spans", "sft_pack_conversations",
+    "sft_pack_training_sequences", "sft_preference_pairs",
+    "sft_reply_dedup", "sft_role_alternation", "sft_truncate_to_budget",
+    "sink_webdataset_manifest", "sink_webdataset_roundtrip",
+    "text_bm25_topk", "text_ngram_topk", "text_pii_redact",
+    "timeseries_gapfill", "timeseries_interp_linear",
+    "tokens_bin_pack_ffd", "tokens_epoch_plan",
+    "tokens_epoch_shuffle_order", "unpivot_measures",
+    "window_cume_percent", "window_first_last", "window_sliding_1h_30m",
+    "window_tumbling_1h",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
     _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08,
+    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
     _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08,
+    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
     _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07
-    - _CHECKED_R08,
-    _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08,
-    _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08,
-    _CHECKED_R07 - _CHECKED_R08,
-    _CHECKED_R08,
+    - _CHECKED_R08 - _CHECKED_R09,
+    _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08
+    - _CHECKED_R09,
+    _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
+    _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
+    _CHECKED_R08 - _CHECKED_R09,
+    _CHECKED_R09,
 )
 _DRIVER_CHECKED: frozenset[str] = (
     _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
-    | _CHECKED_R06 | _CHECKED_R07 | _CHECKED_R08
+    | _CHECKED_R06 | _CHECKED_R07 | _CHECKED_R08 | _CHECKED_R09
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the

@@ -30,6 +30,15 @@ def _doc_kgrams(text: str, k: int) -> set[str]:
     }
 
 
+def broadcast_gram_set(spark, eval_grams: Iterable[str]):
+    """Broadcast a benchmark gram set once and return the handle, so a
+    long-lived caller owns its lifetime: build the new probe, then
+    ``old_handle.unpersist()`` to release the superseded gram set from
+    the driver and executors (broadcasts are otherwise retained for the
+    life of the SparkContext)."""
+    return spark.sparkContext.broadcast(frozenset(eval_grams))
+
+
 def contamination_probe(
     docs: DataFrame,
     eval_grams: Iterable[str],
@@ -47,13 +56,21 @@ def contamination_probe(
     with its count (the audit view).
 
     ``eval_grams`` is materialized to a frozenset on the driver and
-    broadcast once; pass the collected gram column of the benchmark
-    slice. Works identically on ``readStream`` input (stateless
-    projection -> append mode, no watermark) and on batch frames (the
-    equivalence tests run both)."""
-    spark = docs.sparkSession
-    gram_set = frozenset(eval_grams)
-    bc = spark.sparkContext.broadcast(gram_set)
+    broadcast once PER CALL, and the broadcast lives until the
+    SparkContext does — a long-lived ingest service that rebuilds the
+    probe on every benchmark refresh would accumulate dead gram sets on
+    the driver and executors. Such callers should create the broadcast
+    themselves via :func:`broadcast_gram_set`, pass it here (a
+    ``Broadcast`` is accepted directly), and ``unpersist()`` the old
+    handle after swapping in the refreshed probe. Works identically on
+    ``readStream`` input (stateless projection -> append mode, no
+    watermark) and on batch frames (the equivalence tests run both)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(eval_grams, Broadcast):
+        bc = eval_grams
+    else:
+        bc = broadcast_gram_set(docs.sparkSession, eval_grams)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         grams = bc.value

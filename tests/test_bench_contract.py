@@ -43,25 +43,30 @@ def test_bench_prints_one_json_line():
     assert len(dumps) == 1
 
 
-def test_totals_emitted_after_queries_dict():
-    """The driver records only the last ~2000 chars of stdout; with
-    85+ benched queries the per-query dict alone exceeds that, so the
-    JSON must emit "queries" FIRST and metric/value/value_full/sf
-    LAST — r5 lost its headline totals to tail truncation (verdict
-    Missing #2). Static key-order check on the json.dumps literal."""
-    import ast
+def test_final_line_fits_driver_tail():
+    """The driver records only the last ~2000 chars of stdout and
+    json-parses them; a final line carrying every per-query timing is
+    ~4 KB, so BENCH_r05..r09 all recorded "parsed": null. The contract
+    now: the printed line holds ONLY the comparable-21 timings (full
+    detail goes to BENCH_DETAIL.json) and must stay under 1900 chars
+    at worst-case value widths. Reconstruct the line exactly as
+    bench.main builds it, with maximal-width timings."""
+    import json
 
-    tree = ast.parse(open("/root/repo/bench.py").read())
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Attribute)
-            and node.func.attr == "dumps"
-        ):
-            keys = [k.value for k in node.args[0].keys]
-            assert keys.index("queries") < keys.index("value")
-            assert keys.index("queries") < keys.index("value_full")
-            for tail_key in ("value", "value_full", "sf"):
-                assert tail_key in keys[-4:], keys
-            return
-    raise AssertionError("no json.dumps dict literal found in bench.py")
+    bench = _bench_module()
+    worst = 9999.9999  # 9 chars — wider than any plausible timing
+    line = {
+        "queries": {k: worst for k in bench.BASELINE_ORDER},
+        "missing": [],
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": worst * len(bench.BASELINE_ORDER),
+        "value_full": worst * len(bench.BASELINE_ORDER + bench.ADDITIONS),
+        "n_queries": len(bench.BASELINE_ORDER + bench.ADDITIONS),
+        "sf": "0.1",
+        "detail": "BENCH_DETAIL.json",
+    }
+    out = json.dumps(line)
+    assert len(out) < 1900, len(out)
+    parsed = json.loads(out)
+    assert set(parsed["queries"]) == set(bench.BASELINE_ORDER)
