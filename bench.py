@@ -221,6 +221,20 @@ ADDITIONS = [
     "join_asof_nearest",
     # whole-document FFD packing: one Arrow task per hash shard
     "tokens_bin_pack_ffd",
+    # round-10 batch one: the web-curation family (canonicalize, domain
+    # profile, blocklist gate, line-level boilerplate dedup)
+    "web_url_canonicalize",
+    "web_domain_stats",
+    "web_blocklist_filter",
+    "web_line_boilerplate_topk",
+    "web_line_dedup_rewrite",
+    # round-10 batch two: KMV calibration, DSIR importance, OHLC bars,
+    # attrition funnel, exact Lloyd step
+    "agg_kmv_distinct_calibration",
+    "sample_dsir_importance",
+    "events_ohlc_downsample",
+    "pipeline_attrition_report",
+    "embedding_kmeans_lloyd_step",
 ]
 
 

@@ -378,5 +378,10 @@ def _load():
     from dmds_spark.queries import round9d  # noqa: F401
     from dmds_spark.queries import round9e  # noqa: F401
     from dmds_spark.queries import round9f  # noqa: F401
+    # round-10 additions: every pre-existing query has driver evidence
+    # (281/281 after r09), so these lead the round-10 window and the
+    # remaining slots rotate the oldest (r04-vintage) evidence
+    from dmds_spark.queries import round10  # noqa: F401
+    from dmds_spark.queries import round10b  # noqa: F401
 
     _LOADED = True

@@ -1225,3 +1225,113 @@ def test_temporal_split_projection_only(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert scan_count(df) <= 2
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: web curation, calibration, Lloyd step
+# ---------------------------------------------------------------------------
+
+_R10_KEYS = [
+    "web_url_canonicalize", "web_domain_stats", "web_blocklist_filter",
+    "web_line_boilerplate_topk", "web_line_dedup_rewrite",
+    "agg_kmv_distinct_calibration", "sample_dsir_importance",
+    "events_ohlc_downsample", "pipeline_attrition_report",
+    "embedding_kmeans_lloyd_step",
+]
+
+
+def test_round10_no_python_udfs(spark, qs):
+    """The whole round-10 batch is codegen-side: regexp/array/agg
+    expressions only — no row-at-a-time Python, no Arrow eval nodes
+    (there is nothing here a built-in can't express)."""
+    for k in _R10_KEYS:
+        plan = physical_plan(qs[k](spark, SF))
+        assert "BatchEvalPython" not in plan, k
+        assert "ArrowEvalPython" not in plan, k
+        assert "MapInPandas" not in plan, k
+
+
+def test_url_canonicalize_scan_shaped(spark, qs):
+    """Canonicalize + URL dedup = one projection + one hash aggregate:
+    a single exchange, no join anywhere."""
+    df = qs["web_url_canonicalize"](spark, SF)
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 1
+    assert "Join" not in plan
+
+
+def test_blocklist_filter_is_pure_scan_filter(spark, qs):
+    """The literal blocklist stays a scan-side filter (IN + endswith):
+    no join node; one exchange for the per-source rollup."""
+    df = qs["web_blocklist_filter"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_line_boilerplate_topk_take_ordered(spark, qs):
+    """Top-k boilerplate lines must be TakeOrderedAndProject over the
+    (source, line) aggregate — never a full global sort."""
+    plan = physical_plan(qs["web_line_boilerplate_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_line_dedup_rewrite_no_pair_blowup(spark, qs):
+    """The rewrite joins line stats back onto the line stream on the
+    full (source, line) key — an equi-join, never a nested-loop or
+    cartesian pair generator."""
+    plan = physical_plan(qs["web_line_dedup_rewrite"](spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_bucket_stats_broadcast(spark, qs):
+    """The 256-row bucket table must BROADCAST back onto the token
+    stream — shuffling the token stream to join 256 rows would be the
+    classic small-dim mistake."""
+    df = qs["sample_dsir_importance"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_kmv_partial_distinct_before_exchange(spark, qs):
+    """The bigram DISTINCT must run partially map-side (HashAggregate
+    before the exchange) so the shuffle carries the per-partition
+    distinct set, not the raw token stream."""
+    df = qs["agg_kmv_distinct_calibration"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_ohlc_single_aggregate(spark, qs):
+    """OHLC bars are ONE hash aggregate with map-side partials
+    (min/max/min_by/max_by all combine): one exchange, no window, no
+    join."""
+    df = qs["events_ohlc_downsample"](spark, SF)
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_attrition_keyed_window_only(spark, qs):
+    """The exact-dup rule's window is keyed by the text digest — never
+    a partition-less global window."""
+    import re
+
+    plan = physical_plan(qs["pipeline_attrition_report"](spark, SF))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, spec
+
+
+def test_lloyd_broadcasts_centroids(spark, qs):
+    """The assign stage is embeddings x k with the k centroids
+    BROADCAST (nested-loop over a k-row build side is the right
+    plan); the big side must never shuffle for the cross join."""
+    plan = physical_plan(qs["embedding_kmeans_lloyd_step"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
