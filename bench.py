@@ -235,6 +235,12 @@ ADDITIONS = [
     "events_ohlc_downsample",
     "pipeline_attrition_report",
     "embedding_kmeans_lloyd_step",
+    # round-10 batch three: layout/calibration + the BPE training loop
+    # and the zlib quality signal
+    "layout_zorder_locality",
+    "profile_bloom_prejoin_calibration",
+    "tokens_bpe_train_merges",
+    "text_compression_ratio",
 ]
 
 

@@ -383,5 +383,6 @@ def _load():
     # remaining slots rotate the oldest (r04-vintage) evidence
     from dmds_spark.queries import round10  # noqa: F401
     from dmds_spark.queries import round10b  # noqa: F401
+    from dmds_spark.queries import round10c  # noqa: F401
 
     _LOADED = True
