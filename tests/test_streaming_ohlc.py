@@ -1,0 +1,136 @@
+"""Streaming OHLC bars: the fold must be associative/commutative over
+any batch split, and a real micro-batched stream must equal the batch
+query (events_ohlc_downsample) bar for bar."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from dmds_spark.streaming.ohlc import ohlc_merge
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(rows):
+    return pd.DataFrame(
+        {"ok": [r[0] for r in rows], "value": [r[1] for r in rows]}
+    )
+
+
+_ROWS = [
+    ("00003", 5.0),
+    ("00001", 2.0),
+    ("00009", 7.0),
+    ("00004", -1.0),
+    ("00002", 2.0),
+]
+
+
+def _fold(split_points):
+    state = None
+    prev = 0
+    for p in list(split_points) + [len(_ROWS)]:
+        batch = _ROWS[prev:p]
+        prev = p
+        if batch:
+            state = ohlc_merge(state, _pdf(batch))
+    return state
+
+
+def test_merge_split_invariance():
+    """Every way of cutting the row sequence into batches yields the
+    identical bar — the associativity the no-watermark claim rests
+    on."""
+    whole = _fold([])
+    assert whole[1] == 2.0 and whole[3] == 7.0  # open at key 00001, close 00009
+    assert whole[4] == 7.0 and whole[5] == -1.0 and whole[6] == 5
+    for k in (1, 2):
+        for cuts in itertools.combinations(range(1, len(_ROWS)), k):
+            assert _fold(cuts) == whole, cuts
+
+
+def test_merge_order_invariance():
+    """Permuting whole batches (late arrival) folds to the same bar."""
+    a, b = _pdf(_ROWS[:2]), _pdf(_ROWS[2:])
+    assert ohlc_merge(ohlc_merge(None, a), b) == ohlc_merge(
+        ohlc_merge(None, b), a
+    )
+
+
+def test_open_close_tie_break_total_order():
+    """Equal timestamps differ in the event_id suffix of the order
+    key, so open/close stay deterministic."""
+    rows = [("00001000a", 1.0), ("00001000b", 9.0)]
+    s = ohlc_merge(None, _pdf(rows))
+    assert s[1] == 1.0 and s[3] == 9.0
+
+
+@pytest.mark.slow
+def test_real_stream_matches_batch_query(spark, tmp_path):
+    """Two-micro-batch file stream == the batch OHLC query, bar for
+    bar (freshest emission per bar)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dmds_spark.queries import all_queries
+    from dmds_spark.sources.registry import load_events
+    from dmds_spark.streaming.ohlc import streaming_ohlc
+
+    e = load_events(spark, SF).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    mid = e.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for i, part in enumerate(
+        [e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid)]
+    ):
+        part.coalesce(1).write.parquet(f"{d}/__{i}")
+        shutil.move(
+            glob.glob(f"{d}/__{i}/part-*.parquet")[0], f"{d}/part{i}.parquet"
+        )
+        shutil.rmtree(f"{d}/__{i}")
+    now = 1_700_000_000
+    os.utime(f"{d}/part0.parquet", (now - 100, now - 100))
+    os.utime(f"{d}/part1.parquet", (now, now))
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(f"{d}/part0.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/part*.parquet")
+    )
+    q = (
+        streaming_ohlc(sdf)
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("ohlc_stream").collect()
+    assert rows
+    latest = {}
+    for r in rows:
+        k = (r["event_type"], r["bar_hour"])
+        if k not in latest or r["n_events"] > latest[k]["n_events"]:
+            latest[k] = r
+
+    batch = {
+        (r["event_type"], r["bar_hour"]): r
+        for r in all_queries()["events_ohlc_downsample"](spark, SF).collect()
+    }
+    assert set(latest) == set(batch)
+    for k, r in latest.items():
+        b = batch[k]
+        assert (
+            r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n_events"]
+        ) == (
+            b["open_v"], b["high_v"], b["low_v"], b["close_v"], b["n_events"]
+        ), k
