@@ -241,6 +241,11 @@ ADDITIONS = [
     "profile_bloom_prejoin_calibration",
     "tokens_bpe_train_merges",
     "text_compression_ratio",
+    # round-10 batch four: the DSIR resampler, the JL projection
+    # calibration, and the k-anonymity report
+    "sample_dsir_resample",
+    "embedding_jl_projection_calibration",
+    "profile_k_anonymity",
 ]
 
 

@@ -384,5 +384,6 @@ def _load():
     from dmds_spark.queries import round10  # noqa: F401
     from dmds_spark.queries import round10b  # noqa: F401
     from dmds_spark.queries import round10c  # noqa: F401
+    from dmds_spark.queries import round10d  # noqa: F401
 
     _LOADED = True

@@ -132,9 +132,7 @@ _DSIR_BUCKETS = 256
 _BUCKET_SQL = "(('0x' || substr(md5({k}), 1, 15))::BIGINT % {n})"
 
 
-@register(
-    "sample_dsir_importance",
-    f"""
+_DSIR_SQL = f"""
     WITH tok AS (
       SELECT doc_id, lang,
              UNNEST(string_split(text, ' ')) AS w
@@ -156,8 +154,10 @@ _BUCKET_SQL = "(('0x' || substr(md5({k}), 1, 15))::BIGINT % {n})"
              AS importance
     FROM b JOIN stats s USING (bkt)
     GROUP BY b.doc_id
-    """,
-)
+    """
+
+
+@register("sample_dsir_importance", _DSIR_SQL)
 def sample_dsir_importance(spark, sf_dir):
     """DSIR-style hashed importance weighting (Xie et al., "Data
     Selection for Language Models via Importance Resampling"),

@@ -1335,3 +1335,30 @@ def test_lloyd_broadcasts_centroids(spark, qs):
     plan = physical_plan(qs["embedding_kmeans_lloyd_step"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_is_filter_on_importance_plan(spark, qs):
+    """The accept test is a codegen filter on the importance pipeline:
+    still exactly one broadcast (the 256-row bucket table), no extra
+    exchange, no Python eval."""
+    df = qs["sample_dsir_resample"](spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    base = qs["sample_dsir_importance"](spark, SF)
+    assert shuffle_count(df) == shuffle_count(base)
+
+
+def test_jl_projection_broadcasts_j_range(spark, qs):
+    """The 16-row j range broadcasts onto the exploded dims — the big
+    side never shuffles for the cross join."""
+    plan = physical_plan(qs["embedding_jl_projection_calibration"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_two_aggregates_no_join(spark, qs):
+    df = qs["profile_k_anonymity"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) == 2

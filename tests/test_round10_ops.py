@@ -148,3 +148,31 @@ def test_zorder_buckets_are_64x64_tiles(spark):
         assert r["max_x"] - r["min_x"] < 64, r
         assert r["max_y"] - r["min_y"] < 64, r
         assert r["bbox_area"] <= 4096, r
+
+
+def test_jl_norm_preservation_in_expectation(spark):
+    """JL lemma check on real data: the mean norm ratio over the
+    corpus must sit near 1 (the per-vector ratios are oracle-pinned;
+    this pins the distributional claim the projection exists for)."""
+    from dmds_spark.queries import all_queries
+
+    rows = all_queries()["embedding_jl_projection_calibration"](
+        spark, SF
+    ).collect()
+    assert rows
+    mean = sum(r["norm_ratio"] for r in rows) / len(rows)
+    assert 0.8 < mean < 1.2, mean
+
+
+def test_dsir_resample_subset_and_deterministic(spark):
+    """The resample is a subset of the importance table, keeps only
+    hash-accepted docs, and re-running yields the identical id set."""
+    from dmds_spark.queries import all_queries
+
+    qs = all_queries()
+    kept1 = {r["doc_id"] for r in qs["sample_dsir_resample"](spark, SF).collect()}
+    kept2 = {r["doc_id"] for r in qs["sample_dsir_resample"](spark, SF).collect()}
+    allids = {r["doc_id"] for r in qs["sample_dsir_importance"](spark, SF).collect()}
+    assert kept1 == kept2
+    assert kept1 < allids
+    assert kept1
