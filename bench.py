@@ -246,6 +246,12 @@ ADDITIONS = [
     "sample_dsir_resample",
     "embedding_jl_projection_calibration",
     "profile_k_anonymity",
+    # round-10 batch five: entity resolution, forecast backtest,
+    # negative mining
+    "entity_resolution_pairs",
+    "timeseries_backtest_snaive",
+    "sample_contrastive_negatives",
+    "similarity_hard_negatives",
 ]
 
 

@@ -1362,3 +1362,46 @@ def test_k_anonymity_two_aggregates_no_join(spark, qs):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert shuffle_count(df) == 2
+
+
+def test_entity_resolution_blocked_equi_join(spark, qs):
+    """The ER pair generator must be an equi-join on the full blocking
+    key — never a nested-loop/cartesian all-pairs."""
+    plan = physical_plan(qs["entity_resolution_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snaive_backtest_keyed_window(spark, qs):
+    """The lag window is keyed by event_type; the bounds row
+    broadcasts; the event stream is scanned for the daily counts and
+    the bounds only."""
+    import re
+
+    df = qs["timeseries_backtest_snaive"](spark, SF)
+    plan = physical_plan(df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, spec
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_negatives_single_hash_join(spark, qs):
+    """Candidates join back to the corpus on neg_id as a hash join;
+    the k-row j range broadcasts."""
+    plan = physical_plan(qs["sample_contrastive_negatives"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hard_negatives_bucket_join_only(spark, qs):
+    """The hard-negative pair generator joins ON THE BUCKET (hash or
+    sort-merge equi-join); the top-1 is a keyed window. No cartesian
+    pair generator anywhere."""
+    import re
+
+    plan = physical_plan(qs["similarity_hard_negatives"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, spec
