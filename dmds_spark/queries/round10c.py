@@ -138,7 +138,7 @@ def _bloom_pos_spark(key, j):
     "profile_bloom_prejoin_calibration",
     f"""
     WITH keys AS (
-      SELECT DISTINCT o_custkey AS k FROM orders
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 3 = 0
     ), bits AS (
       SELECT DISTINCT pos FROM (
         SELECT UNNEST([{", ".join(_BLOOM_POS.format(key='k', j=j) for j in range(_BLOOM_K))}]) AS pos
@@ -169,10 +169,11 @@ def _bloom_pos_spark(key, j):
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
            CAST(SUM(CASE WHEN NOT bloom_pass AND is_member
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
-           CAST(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
-                         THEN 1 ELSE 0 END) AS DOUBLE)
-                / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
-                AS DOUBLE) AS fp_rate
+           CAST(CASE WHEN SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+                END AS DOUBLE) AS fp_rate
     FROM lab
     """,
 )
@@ -183,7 +184,12 @@ def profile_bloom_prejoin_calibration(spark, sf_dir):
     outcome exactly — members passed, false positives, and the
     false-negative count the Bloom contract says must be ZERO (the
     oracle enforces the guarantee, not just the rate). This is the
-    decision table for runtime-filter pre-joins (Spark's own
+    decision table for runtime-filter pre-joins. The build keys are
+    the custkey % 3 = 0 third of the order keys, so at EVERY scale
+    factor the probe range holds both members and non-members (at
+    sf0.1 the full key space covers the probe range — an unfiltered
+    build would leave no negatives to measure and a zero divisor,
+    which the fp_rate guard also refuses on principle) (Spark's own
     bloom-filter join / InjectRuntimeFilter does this internally;
     here the mechanics are explicit and auditable): fp_rate prices
     how much probe-side data a pre-filter would fail to skip.
@@ -194,7 +200,11 @@ def profile_bloom_prejoin_calibration(spark, sf_dir):
     bit-array state — the set-of-set-bits relational encoding keeps
     both engines exact."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    keys = (
+        orders.filter(F.col("o_custkey") % 3 == 0)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
     bits = (
         keys.select(
             F.explode(
@@ -235,7 +245,10 @@ def profile_bloom_prejoin_calibration(spark, sf_dir):
         F.sum((~F.col("bloom_pass") & F.col("is_member")).cast("long"))
         .cast("bigint")
         .alias("n_false_neg"),
-        (fp.cast("double") / F.sum((~F.col("is_member")).cast("long")))
+        F.when(
+            F.sum((~F.col("is_member")).cast("long")) > 0,
+            fp.cast("double") / F.sum((~F.col("is_member")).cast("long")),
+        )
         .cast("double")
         .alias("fp_rate"),
     )
