@@ -252,6 +252,9 @@ ADDITIONS = [
     "timeseries_backtest_snaive",
     "sample_contrastive_negatives",
     "similarity_hard_negatives",
+    # round-10 batch six: snapshot audit + semantic decontamination
+    "profile_snapshot_diff",
+    "similarity_semantic_decontaminate",
 ]
 
 

@@ -1405,3 +1405,20 @@ def test_hard_negatives_bucket_join_only(spark, qs):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.split(",")[0]
         assert " ASC" not in head and " DESC" not in head, spec
+
+
+def test_snapshot_diff_digest_join(spark, qs):
+    """The diff joins 32-byte digests, full-outer on the id — never a
+    nested loop; the status rollup adds one exchange."""
+    plan = physical_plan(qs["profile_snapshot_diff"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_semantic_decontaminate_bucket_join(spark, qs):
+    """The corpus x eval pair generator is an equi-join on the LSH
+    bucket — never corpus x eval all-pairs; the threshold test is a
+    codegen filter (no Python eval)."""
+    plan = physical_plan(qs["similarity_semantic_decontaminate"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
