@@ -81,7 +81,10 @@ def agg_kmv_distinct_calibration(spark, sf_dir):
     bounded by vocabulary, not corpus; the production form keeps a
     running bottom-k accumulator per shard and merges (the
     sketch-side of this exact pipeline). Hash ties are broken by the
-    gram text so the kth value is a total-order statistic."""
+    gram text so the kth value is a total-order statistic. A source
+    with fewer than K distinct bigrams emits NO row (below capacity
+    the sketch IS the exact set — there is no estimate to calibrate);
+    both engines drop it identically."""
     tok = _docs(spark, sf_dir).select(
         "source", F.split("text", " ").alias("t")
     )

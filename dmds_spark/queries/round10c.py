@@ -313,11 +313,19 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = _BPE_MERGES):
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
+
+        def esc(t: str) -> str:
+            # symbols are interpolated into the fold expression as SQL
+            # string literals — escape quote/backslash so a corpus
+            # containing them cannot break (or inject into) the plan
+            return t.replace("\\", "\\\\").replace("'", "\\'")
+
+        a_s, b_s, m_s = esc(a), esc(b), esc(a + b)
         fold = (
             "aggregate(toks, CAST(array() AS ARRAY<STRING>), (acc, x) ->"
-            f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}'"
-            f" AND x = '{b}'"
-            f" THEN concat(slice(acc, 1, size(acc)-1), array('{a + b}'))"
+            f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a_s}'"
+            f" AND x = '{b_s}'"
+            f" THEN concat(slice(acc, 1, size(acc)-1), array('{m_s}'))"
             " ELSE concat(acc, array(x)) END)"
         )
         vocab = vocab.select(

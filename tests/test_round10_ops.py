@@ -176,3 +176,18 @@ def test_dsir_resample_subset_and_deterministic(spark):
     assert kept1 == kept2
     assert kept1 < allids
     assert kept1
+
+
+def test_bpe_handles_quote_and_backslash_symbols(spark):
+    """Merge symbols are interpolated into the fold expression as SQL
+    literals — a corpus of quotes/backslashes must train cleanly and
+    match the Python reference."""
+    from dmds_spark.queries.round10c import bpe_train_merges
+
+    docs = spark.createDataFrame([("'' '\\ ''",)] * 6, "text string")
+    got = [
+        (r["merge_rank"], r["a"], r["b"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=2).collect()
+    ]
+    wf = {"''": 12, "'\\": 6}
+    assert got == _bpe_reference(wf, 2)
