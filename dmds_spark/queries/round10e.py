@@ -167,9 +167,10 @@ _SNAIVE_LAG = 7  # forecast(t) = actual(t - 7 days)
              AS sum_actual,
            CAST(CAST(SUM(abs(n - fc)) AS DOUBLE) / COUNT(fc) AS DOUBLE)
              AS mae,
-           CAST(CAST(SUM(abs(n - fc)) AS DOUBLE)
-                / SUM(CASE WHEN fc IS NOT NULL THEN n END) AS DOUBLE)
-             AS wape
+           CAST(CASE WHEN SUM(CASE WHEN fc IS NOT NULL THEN n END) > 0
+                THEN CAST(SUM(abs(n - fc)) AS DOUBLE)
+                     / SUM(CASE WHEN fc IS NOT NULL THEN n END)
+                END AS DOUBLE) AS wape
     FROM scored GROUP BY event_type
     """,
 )
@@ -213,7 +214,9 @@ def timeseries_backtest_snaive(spark, sf_dir):
         err.cast("bigint").alias("sum_abs_err"),
         act.cast("bigint").alias("sum_actual"),
         (err.cast("double") / F.count("fc")).cast("double").alias("mae"),
-        (err.cast("double") / act).cast("double").alias("wape"),
+        F.when(act > 0, err.cast("double") / act)
+        .cast("double")
+        .alias("wape"),
     )
 
 
