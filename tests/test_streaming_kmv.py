@@ -118,3 +118,28 @@ def test_real_capacity_estimate_quality():
         assert est == float(true)
     else:
         assert abs(est / true - 1) < 0.5  # 3.9 sigma at k=64
+
+
+def test_kmv_merge_hypothesis_fold_invariance():
+    """Property: for random value multisets and random 3-way splits,
+    any fold order/grouping yields the identical bottom-k set, and
+    replaying any batch is a no-op."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=1 << 48), max_size=40),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    )
+    def prop(vals, k, c1, c2):
+        lo, hi = sorted((min(c1, len(vals)), min(c2, len(vals))))
+        a, b, c = vals[:lo], vals[lo:hi], vals[hi:]
+        whole = kmv_merge([], vals, k)
+        assert kmv_merge(kmv_merge(kmv_merge([], a, k), b, k), c, k) == whole
+        assert kmv_merge(kmv_merge(kmv_merge([], c, k), a, k), b, k) == whole
+        if b:
+            assert kmv_merge(whole, b, k) == whole
+
+    prop()

@@ -134,3 +134,43 @@ def test_real_stream_matches_batch_query(spark, tmp_path):
         ) == (
             b["open_v"], b["high_v"], b["low_v"], b["close_v"], b["n_events"]
         ), k
+
+
+def test_ohlc_merge_hypothesis_split_invariance():
+    """Property: for random (key, value) batches and random cut
+    points, every grouping of the sequence folds to the same bar."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="0123456789", min_size=3, max_size=6),
+                st.floats(allow_nan=False, allow_infinity=False,
+                          width=32),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        st.integers(min_value=0, max_value=24),
+    )
+    def prop(rows, cut):
+        # unique keys: duplicate order keys make argmin/argmax depend
+        # on batch boundaries (pandas idxmin takes the first), which
+        # the operator avoids by construction (ok embeds event_id)
+        seen, uniq = set(), []
+        for i, (k, v) in enumerate(rows):
+            kk = f"{k}:{i:02d}"
+            if kk not in seen:
+                seen.add(kk)
+                uniq.append((kk, v))
+        cut = min(cut, len(uniq))
+        a, b = uniq[:cut], uniq[cut:]
+        whole = ohlc_merge(None, _pdf(uniq))
+        state = None
+        for batch in (a, b):
+            if batch:
+                state = ohlc_merge(state, _pdf(batch))
+        assert state == whole
+
+    prop()
