@@ -255,6 +255,9 @@ ADDITIONS = [
     # round-10 batch six: snapshot audit + semantic decontamination
     "profile_snapshot_diff",
     "similarity_semantic_decontaminate",
+    # round-10 batch seven: the incremental line index + k-fold CV
+    "rollup_incremental_lines",
+    "sample_kfold_assign",
 ]
 
 

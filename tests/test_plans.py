@@ -1422,3 +1422,13 @@ def test_semantic_decontaminate_bucket_join(spark, qs):
     plan = physical_plan(qs["similarity_semantic_decontaminate"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kfold_assign_scan_shaped(spark, qs):
+    """Fold assignment is a scan projection; the only exchanges serve
+    the 5-group balance report (count-distinct expand included). No
+    join anywhere."""
+    df = qs["sample_kfold_assign"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2
