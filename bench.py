@@ -258,6 +258,9 @@ ADDITIONS = [
     # round-10 batch seven: the incremental line index + k-fold CV
     "rollup_incremental_lines",
     "sample_kfold_assign",
+    # round-10 batch eight: URL-vs-content agreement + BPE apply
+    "web_dedup_method_agreement",
+    "tokens_bpe_apply_learned",
 ]
 
 

@@ -191,3 +191,36 @@ def test_bpe_handles_quote_and_backslash_symbols(spark):
     ]
     wf = {"''": 12, "'\\": 6}
     assert got == _bpe_reference(wf, 2)
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    """Train-then-apply round trip: the distributed apply of the
+    learned merges must equal a pure-Python apply per document."""
+    import pandas as pd
+
+    from dmds_spark.queries.round10c import bpe_train_merges
+    from dmds_spark.queries.round10h import bpe_apply_merges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [(r["a"], r["b"]) for r in bpe_train_merges(docs).collect()]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"])
+        for r in bpe_apply_merges(docs, merges).collect()
+    }
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    for _, row in pdf.iterrows():
+        words = [w for w in row["text"].split(" ") if w]
+        total = 0
+        for w in words:
+            toks = list(w)
+            for a, b in merges:
+                out = []
+                for x in toks:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                toks = out
+            total += len(toks)
+        assert got[row["doc_id"]] == (len(words), total), row["doc_id"]
