@@ -261,6 +261,8 @@ ADDITIONS = [
     # round-10 batch eight: URL-vs-content agreement + BPE apply
     "web_dedup_method_agreement",
     "tokens_bpe_apply_learned",
+    # round-10 batch nine: duplicate-aware soft sampling weights
+    "sample_softdedup_weights",
 ]
 
 

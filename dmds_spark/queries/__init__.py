@@ -389,5 +389,6 @@ def _load():
     from dmds_spark.queries import round10f  # noqa: F401
     from dmds_spark.queries import round10g  # noqa: F401
     from dmds_spark.queries import round10h  # noqa: F401
+    from dmds_spark.queries import round10i  # noqa: F401
 
     _LOADED = True

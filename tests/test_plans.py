@@ -1432,3 +1432,12 @@ def test_kfold_assign_scan_shaped(spark, qs):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert shuffle_count(df) <= 2
+
+
+def test_softdedup_weights_no_all_pairs(spark, qs):
+    """The weight table rides the banded candidate join + min-label
+    propagation — no cartesian/nested-loop pair generator; the size
+    join is a self equi-join on cluster_id."""
+    plan = physical_plan(qs["sample_softdedup_weights"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

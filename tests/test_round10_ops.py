@@ -224,3 +224,22 @@ def test_bpe_apply_matches_python_reference(spark):
                 toks = out
             total += len(toks)
         assert got[row["doc_id"]] == (len(words), total), row["doc_id"]
+
+
+def test_softdedup_cluster_mass_is_one(spark):
+    """Every cluster's total weight must be exactly 1 (sum of k copies
+    of 1/k — exact in binary only for power-of-two k, so allow one ulp
+    per member), and singletons carry weight 1.0 exactly."""
+    from dmds_spark.queries import all_queries
+
+    rows = all_queries()["sample_softdedup_weights"](spark, SF).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        total = sum(m["weight"] for m in members)
+        assert abs(total - 1.0) < 1e-12 * max(len(members), 1), cid
+        if len(members) == 1:
+            assert members[0]["weight"] == 1.0
+            assert members[0]["cluster_size"] == 1
