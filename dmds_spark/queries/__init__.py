@@ -270,24 +270,59 @@ _CHECKED_R09: frozenset[str] = frozenset({
     "window_tumbling_1h",
 })
 
+# round 10 (CORRECTNESS_r10.json): 50 rows — 46 hash-green, 4 rows-only
+# by design (BPE train/apply pinned vs a pure-Python reference,
+# compression-ratio and streaming-dedup engine paths). Covered all 27
+# round-10 additions plus rotated r04-vintage evidence.
+_CHECKED_R10: frozenset[str] = frozenset({
+    "agg_kmv_distinct_calibration",
+    "embedding_jl_projection_calibration", "embedding_kmeans_assign",
+    "embedding_kmeans_lloyd_step", "entity_resolution_pairs",
+    "events_conversion_latency", "events_funnel_steps",
+    "events_ohlc_downsample", "events_retention_cohorts",
+    "join_null_safe", "layout_zorder_locality",
+    "pipeline_attrition_report", "pipeline_pretrain_corpus",
+    "profile_bloom_prejoin_calibration", "profile_column_stats",
+    "profile_k_anonymity", "profile_price_histogram",
+    "profile_snapshot_diff", "rollup_incremental_lines",
+    "sample_balanced_by_lang", "sample_contrastive_negatives",
+    "sample_dsir_importance", "sample_dsir_resample",
+    "sample_kfold_assign", "sample_softdedup_weights",
+    "sample_split_by_source", "setop_except_all", "setop_intersect_all",
+    "similarity_hard_negatives", "similarity_knn_batch",
+    "similarity_semantic_decontaminate", "stream_dedup_events",
+    "text_boilerplate_ngrams", "text_compression_ratio",
+    "text_contamination_ngram", "text_cooccurrence_topk",
+    "text_gopher_rules", "text_tfidf_topk", "text_vocab_coverage",
+    "timeseries_backtest_snaive", "tokens_bpe_apply_learned",
+    "tokens_bpe_train_merges", "tokens_chunk_overlap",
+    "tokens_pack_sequences", "web_blocklist_filter",
+    "web_dedup_method_agreement", "web_domain_stats",
+    "web_line_boilerplate_topk", "web_line_dedup_rewrite",
+    "web_url_canonicalize",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
     _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
+    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
     _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
+    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
     _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07
-    - _CHECKED_R08 - _CHECKED_R09,
+    - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
     _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08
-    - _CHECKED_R09,
-    _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
-    _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09,
-    _CHECKED_R08 - _CHECKED_R09,
-    _CHECKED_R09,
+    - _CHECKED_R09 - _CHECKED_R10,
+    _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09
+    - _CHECKED_R10,
+    _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
+    _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
+    _CHECKED_R09 - _CHECKED_R10,
+    _CHECKED_R10,
 )
 _DRIVER_CHECKED: frozenset[str] = (
     _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
     | _CHECKED_R06 | _CHECKED_R07 | _CHECKED_R08 | _CHECKED_R09
+    | _CHECKED_R10
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
