@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dmds_spark.core.engine import materialize as _materialize
 from dmds_spark.functions.text import (
     lsh_band_keys,
     minhash_jaccard_estimate,
@@ -127,7 +128,7 @@ def minhash_lsh_candidates(
     same barrier is a signatures table written once and joined from —
     the standard two-job shape of web-scale dedup pipelines."""
     if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.transform(_materialize)
     rows = num_hashes // bands
     # The band self-join and cross-band pair dedup carry ONLY
     # (id, band_key) — the 16x32-char signatures re-attach by two
@@ -317,7 +318,7 @@ def simhash_pairs(
     sh = simhash_signatures(df, text_col, id_col, num_bits)
     # snapshot: shared by both self-join sides (else the token/md5/agg
     # pipeline runs twice); at production scale a written table
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(_materialize)
     return simhash_pairs_from_signatures(sh, id_col, num_bits, max_hamming, bands)
 
 
@@ -476,8 +477,8 @@ def connected_components(
         verts = vertices.select(F.col(id_col).alias("__u")).distinct()
     else:
         verts = und.select("__u").distinct()
-    und = und.localCheckpoint(eager=True)
-    labels = verts.withColumn("__label", F.col("__u")).localCheckpoint(eager=True)
+    und = und.transform(_materialize)
+    labels = verts.withColumn("__label", F.col("__u")).transform(_materialize)
     for _ in range(max_iter):
         # min over self-label and every neighbor's label
         lab_v = labels.select(F.col("__u").alias("__v2"), F.col("__label"))
@@ -498,7 +499,7 @@ def connected_components(
                 ).alias("__label"),
                 F.col("__label").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_materialize)
         )
         changed = stepped.filter(F.col("__label") != F.col("__old")).count()
         labels = stepped.select("__u", "__label")

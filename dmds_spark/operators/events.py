@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dmds_spark.core.engine import materialize as _materialize
 
 
 def sequential_funnel(
@@ -59,7 +60,7 @@ def sequential_funnel(
             )
         prev = s.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
         if materialize:
-            prev = prev.localCheckpoint(eager=True)
+            prev = prev.transform(_materialize)
         counts.append(
             prev.agg(
                 F.lit(i).alias("step"),

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from dmds_spark.functions.text import lsh_band_keys, minhash_jaccard_estimate
 from dmds_spark.operators.dedup import minhash_signatures
+from dmds_spark.core.engine import materialize
 
 
 class IncrementalMinHashDedup:
@@ -175,7 +176,7 @@ class IncrementalMinHashDedup:
         (caller flips the pointer)."""
         new_sigs = minhash_signatures(
             docs, self.text_col, self.id_col, self.num_hashes, self.k
-        ).localCheckpoint(eager=True)  # two consumers: band join + store
+        ).transform(materialize)  # two consumers: band join + store
         stored = self.signatures()
         inc_pairs = self._increment_pairs(new_sigs, stored)
         v = (max(st["versions"]) + 1) if st["versions"] else 1

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from dmds_spark.core.engine import materialize
 
 
 def top_k_per_group(
@@ -229,7 +230,7 @@ def global_row_number(
         num_ranges = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_ranges, *order_cols)
     part = ranged.withColumn("__pid", F.spark_partition_id())
-    part = part.localCheckpoint(eager=True)  # pin partitioning for both consumers
+    part = part.transform(materialize)  # pin partitioning for both consumers
     counts = sorted(
         (r["__pid"], r["n"])
         for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -303,7 +304,7 @@ def sharded_exclusive_cumsum(
         num_ranges = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_ranges, F.col(by), *order_cols)
     part = ranged.withColumn("__pid", F.spark_partition_id())
-    part = part.localCheckpoint(eager=True)  # pin shard ids for both consumers
+    part = part.transform(materialize)  # pin shard ids for both consumers
     totals = part.groupBy(by, "__pid").agg(F.sum(value_col).alias("__t"))
     w_off = (
         Window.partitionBy(by)
@@ -366,7 +367,7 @@ def sharded_exclusive_running_max(
         num_ranges = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_ranges, F.col(by), *order_cols)
     part = ranged.withColumn("__pid", F.spark_partition_id())
-    part = part.localCheckpoint(eager=True)  # pin shard ids for both consumers
+    part = part.transform(materialize)  # pin shard ids for both consumers
     totals = part.groupBy(by, "__pid").agg(F.max(value_col).alias("__t"))
     w_off = (
         Window.partitionBy(by)

@@ -25,6 +25,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from dmds_spark.core.engine import materialize as _materialize
 
 EMB_DIM = 64
 
@@ -243,8 +244,8 @@ def lsh_blocked_pairs(
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
     )
     if materialize:
-        b = b.localCheckpoint(eager=True)
-        vecs = vecs.localCheckpoint(eager=True)
+        b = b.transform(_materialize)
+        vecs = vecs.transform(_materialize)
     a_side = b.select(F.col(id_col).alias("id_a"), "__bucket")
     b_side = b.select(F.col(id_col).alias("id_b"), "__bucket")
     ids = (
@@ -494,7 +495,7 @@ def semdedup_prune(
     assigned = kmeans_assign(df, id_col, vec_col, k, iters)
     vecs = df.select(F.col(id_col), F.col(vec_col)).join(
         assigned, id_col
-    ).localCheckpoint(eager=True)  # consumed by both join sides + anti
+    ).transform(_materialize)  # consumed by both join sides + anti
     a = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("__ida"),

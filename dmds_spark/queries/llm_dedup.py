@@ -36,6 +36,7 @@ from dmds_spark.functions.text import (
     words,
 )
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 
 NUM_HASHES = 16
 BANDS = 4
@@ -514,7 +515,7 @@ def pipeline_curation(spark, sf_dir):
     # projection) would each re-run the lang/quality/window chain
     # otherwise (measured 34% off the composite at sf0.1). Production
     # shape: the curated set is a written intermediate table.
-    kept = dedup_exact_op(quality, "text", "doc_id").localCheckpoint(eager=True)
+    kept = dedup_exact_op(quality, "text", "doc_id").transform(materialize)
     survived = dedup_minhash_keep_first(
         kept, "text", "doc_id",
         num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -299,7 +300,7 @@ def similarity_lsh_recall_report(spark, sf_dir):
         ]
     )
     b = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    b = b.localCheckpoint(eager=True)  # 3 consumers: q, exact, lsh
+    b = b.transform(materialize)  # 3 consumers: q, exact, lsh
     q = b.filter(F.col("vec_id") < _RECALL_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -431,7 +432,7 @@ def lineitem_corr_components(spark, sf_dir):
     # ONE row of sums/squares/cross-products; SIX pair-row consumers —
     # without the barrier every union branch re-runs the full scan
     # (plan-pinned single-scan in test_plans.py)
-    one = v.agg(*aggs).localCheckpoint(eager=True)
+    one = v.agg(*aggs).transform(materialize)
     rows = []
     for a, bcol in itertools.combinations(names, 2):
         rows.append(

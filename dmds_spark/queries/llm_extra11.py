@@ -13,6 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -278,7 +279,7 @@ def tokens_vocab_truncation_loss(spark, sf_dir):
         # vocabulary-sized; TWO consumers (top-k + totals) — without
         # the barrier each re-scans and re-counts the token stream
         # (plan-pinned single-scan in test_plans.py)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     topk = cnt.orderBy(F.col("c").desc(), "t").limit(max(_VOCAB_SIZES))
     ranked = topk.select(
@@ -359,7 +360,7 @@ def graph_supplier_jaccard(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
-        .localCheckpoint(eager=True)  # consumers: wedge join + degrees
+        .transform(materialize)  # consumers: wedge join + degrees
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     com = common_neighbor_counts(e, "c", "s").select(
@@ -711,7 +712,7 @@ def graph_khop_reachability(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
-        .localCheckpoint(eager=True)  # three hop joins + the seed agg
+        .transform(materialize)  # three hop joins + the seed agg
     )
     seed = e.agg(F.min("s").alias("s0"))
     h1 = (

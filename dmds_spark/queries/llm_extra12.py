@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -345,7 +346,7 @@ def events_transition_lift(spark, sf_dir):
         )
         .filter(F.col("to_type").isNotNull())
         # consumers: pair counts + two marginals + the total
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ab = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("c_ab")

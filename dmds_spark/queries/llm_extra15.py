@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
 from dmds_spark.queries.llm_extra12 import _SPAN_N
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -199,7 +200,7 @@ def text_source_tv_distance(spark, sf_dir):
         d.select("source", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # consumers: self-join sides + totals
+        .transform(materialize)  # consumers: self-join sides + totals
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     a = cnt.select(

@@ -21,6 +21,7 @@ from dmds_spark.operators.sampling import hash_bucket
 from dmds_spark.queries import register
 from dmds_spark.queries.llm_extra import _BUCKET_SQL  # hash_bucket's SQL twin
 from dmds_spark.queries.llm_extra2 import SEQ_LEN, _int_div
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -507,12 +508,12 @@ def graph_pagerank(spark, sf_dir):
         .distinct()
     )
     und = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    und = und.localCheckpoint(eager=True)  # 2 consumers/iter x 3 iters
+    und = und.transform(materialize)  # 2 consumers/iter x 3 iters
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    deg = deg.localCheckpoint(eager=True)
+    deg = deg.transform(materialize)
     # degree is loop-invariant: attach it to the edge list ONCE instead
     # of re-joining every iteration (3 joins saved at 3 iterations)
-    und_deg = und.join(deg, "u").localCheckpoint(eager=True)
+    und_deg = und.join(deg, "u").transform(materialize)
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     s = deg.crossJoin(F.broadcast(nn)).select(
         "u", _int_div(F.lit(PR_SCALE), F.col("n")).alias("sc")
@@ -698,7 +699,7 @@ def customers_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    rfm = rfm.localCheckpoint(eager=True)  # 3 ranking consumers
+    rfm = rfm.transform(materialize)  # 3 ranking consumers
     n_rows = rfm.count()
     out = rfm
     for name, order in (

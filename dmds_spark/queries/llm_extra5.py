@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dmds_spark.functions.text import words
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 from dmds_spark.queries.llm_dedup import (
     BANDS,
     CAND_CTE,
@@ -163,7 +164,7 @@ def graph_triangle_count(spark, sf_dir):
     edges = (
         dedup_minhash(docs, "text", "doc_id", NUM_HASHES, BANDS, 0.5)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
@@ -400,7 +401,7 @@ def fuzzy_pairs_blocked(d, fp_expr):
         "doc_id",
         fp_expr.alias("fp"),
         F.length("text").alias("ln"),
-    ).filter(F.col("fp").isNotNull()).localCheckpoint(eager=True)
+    ).filter(F.col("fp").isNotNull()).transform(materialize)
     # ^ the blocking self-join consumes fp TWICE (a and b sides); the
     # rolling min-md5 is the one expensive projection here (O(len) md5
     # per doc), so materialize it once — measured ~2 s/pass at sf0.1

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from dmds_spark.operators.relational import sharded_exclusive_cumsum
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -179,7 +180,7 @@ def suppliers_winsorized_balance(spark, sf_dir):
         F.col("s_suppkey").alias("sk"),
         # three consumers (rank stream, group sizes, clamp pass):
         # materialize the 3-column projection once, scan once
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     r = sharded_exclusive_cumsum(
         v.withColumn("one", F.lit(1)),
         by="nk",
@@ -462,7 +463,7 @@ def events_active_users_rolling(spark, sf_dir):
         .distinct()
         # reused by the cover explode AND the observed-days list: one
         # materialization of the (small) collapsed activity, one scan
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     days = ud.select("day").distinct()
     cov = ud.select(
@@ -691,7 +692,7 @@ def profile_ks_drift(spark, sf_dir):
         # fanned out to SIX consumers (vals/srcs/grid/scum/ns/n): one
         # materialization of the tiny counts table, one scan of docs
         # (plan-audited: 6 scans down to 1)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     vals = sc.select("v").distinct()
     srcs = sc.select("source").distinct()

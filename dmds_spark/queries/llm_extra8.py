@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
 from dmds_spark.queries.llm_dedup import BANDS, CAND_CTE, EST_SQL, NUM_HASHES
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -84,7 +85,7 @@ def graph_clustering_coefficient(spark, sf_dir):
     edges = (
         dedup_minhash(docs, "text", "doc_id", NUM_HASHES, BANDS, 0.5)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -764,7 +765,7 @@ def dedup_minhash_precision(spark, sf_dir):
     sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
     cand = minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS).select(
         "id_a", "id_b"
-    ).localCheckpoint(eager=True)  # counted AND verified: one LSH pass
+    ).transform(materialize)  # counted AND verified: one LSH pass
     ver = jaccard_verify_pairs(docs, cand, "text", "doc_id", K_SHINGLE, 0.5)
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     nv = ver.agg(F.count(F.lit(1)).alias("n_verified"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dmds_spark.core.engine import maybe_broadcast
 from dmds_spark.queries import register
 
 
@@ -126,7 +127,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
@@ -172,7 +173,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -257,7 +258,7 @@ def q10_returned_revenue(spark, sf_dir):
 def join_inner(spark, sf_dir):
     orders = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     cust = T(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    return orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name"
     )
 

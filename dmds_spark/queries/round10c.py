@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
+from dmds_spark.core.engine import materialize
 
 
 def _docs(spark, sf_dir):
@@ -286,7 +287,7 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = _BPE_MERGES):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(F.expr("split(w, '')").alias("toks"), "freq")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     merges = []
     for rank in range(1, n_merges + 1):
@@ -330,7 +331,7 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = _BPE_MERGES):
         )
         vocab = vocab.select(
             F.expr(fold).alias("toks"), "freq"
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return spark.createDataFrame(
         merges, "merge_rank int, a string, b string, merged string, pair_count long"
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dmds_spark.core.engine import maybe_broadcast
 from dmds_spark.queries import register
 from dmds_spark.queries.relational import T, _dec, _disc, _disc_sql, _price_sql
 
@@ -60,8 +61,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     cost = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(_rev()).alias("tot"))
     w = W.partitionBy("p_partkey").orderBy("tot", "s_suppkey")
     return (
-        cost.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        cost.join(maybe_broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(maybe_broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -147,8 +148,8 @@ def q7_volume_shipping(spark, sf_dir):
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair | rpair)
@@ -202,10 +203,10 @@ def q8_market_share(spark, sf_dir):
     zero = F.lit(0).cast("decimal(12,2)")
     nation2 = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"), "inner")
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -252,11 +253,11 @@ def q9_product_profit(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            maybe_broadcast(part.select("p_partkey", "p_retailprice")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -321,7 +322,7 @@ def q14_promo_revenue(spark, sf_dir):
     zero = F.lit(0).cast("decimal(12,2)")
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -366,7 +367,7 @@ def q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total").alias("mx"))
     top = rev.join(F.broadcast(mx), F.col("total") == F.col("mx"))
     return top.join(
-        F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no")
+        maybe_broadcast(supp), F.col("s_suppkey") == F.col("supplier_no")
     ).select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
 
 
@@ -398,7 +399,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         F.sum(_dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("ap") == F.col("p_partkey"))
         .filter(_dec("l_quantity") * F.col("cnt") * 5 < F.col("sq"))
         .agg(
@@ -446,7 +447,7 @@ def q18_large_volume_customer(spark, sf_dir):
     return (
         li.join(big, F.col("l_orderkey") == F.col("big_ok"), "inner")
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(
             "c_name",
             "c_custkey",
@@ -496,7 +497,7 @@ def q19_bracket_revenue(spark, sf_dir):
         & (q >= 20) & (q <= 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(b1 | b2 | b3)
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
@@ -545,7 +546,7 @@ def q21_late_suppliers(spark, sf_dir):
         )
     )
     return (
-        late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        late.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -581,7 +582,7 @@ def q11_important_parts(spark, sf_dir):
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     value = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("part_value"))
@@ -656,9 +657,9 @@ def q16_supplier_part_count(spark, sf_dir):
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(maybe_broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            maybe_broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
@@ -702,7 +703,7 @@ def q20_promotion_suppliers(spark, sf_dir):
     ).select("n_nationkey")
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     qualified = (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(maybe_broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > 60)

@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 from dmds_spark.core.dims import WorldSpec
 from dmds_spark.core.select import Select, Shape
 from dmds_spark.core.errors import ValueOutOfRangeError, WorldLockedError
+from dmds_spark.core.engine import materialize
 
 
 class WriterLock:
@@ -879,7 +880,7 @@ class World:
             .distinct()
         )
         dirty_df = (
-            old_parts.unionByName(new_parts).distinct().localCheckpoint(eager=True)
+            old_parts.unionByName(new_parts).distinct().transform(materialize)
         )
         dirty = [tuple(r) for r in dirty_df.collect()]
         if not dirty:
@@ -895,7 +896,7 @@ class World:
         out = self._with_partition_cols(merged)
         # localCheckpoint: materialize BEFORE overwriting the files
         # we just read (self-overwrite is undefined otherwise)
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(materialize)
         (
             out.write.partitionBy(*self.partition_cols())
             .mode("overwrite")
@@ -1003,7 +1004,7 @@ class World:
                 .agg(F.count_distinct("__f").alias("__nf"))
                 .filter(F.col("__nf") > max_files_per_partition)
                 .select(*pcols)
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
             n_frag = frag_df.count()
             if not n_frag:
@@ -1016,7 +1017,7 @@ class World:
                 # sorted within it for row-group stats pruning
                 .repartition(*[F.col(c) for c in pcols])
                 .sortWithinPartitions(*pcols, sort_key)
-                .localCheckpoint(eager=True)  # materialize before self-overwrite
+                .transform(materialize)  # materialize before self-overwrite
             )
             (
                 out.write.partitionBy(*pcols)
