@@ -64,6 +64,7 @@ def bin_pack_ffd(
     capacity: int,
     shards: int = 64,
     shard_key: Column | None = None,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Distributed whole-item FFD: hash-shard, pack each shard with
     :func:`ffd_pack` in one Arrow task, emit
@@ -73,10 +74,14 @@ def bin_pack_ffd(
     splits them; FFD by definition cannot), as are rows with a NULL or
     NEGATIVE weight or a NULL id (a null id cannot be addressed; a
     negative weight would let fills violate the capacity invariant).
-    ``id_col`` values must be unique corpus-wide — :func:`ffd_pack`
-    raises on a duplicate within a shard, but duplicates landing in
-    DIFFERENT shards pack as distinct items. The id keeps its native
-    type end to end — string/url keys work (same contract as streaming
+    ``id_col`` values must be unique corpus-wide; with
+    ``validate_unique`` (the default) that precondition is enforced UP
+    FRONT with one cheap count-vs-countDistinct aggregate over the
+    eligible rows, so a violation fails fast on the driver with a clear
+    error instead of either an executor-side ValueError mid-job (two
+    duplicates in one shard) or a silent double-pack (duplicates split
+    across shards). The id keeps its native type end to end —
+    string/url keys work (same contract as streaming
     contamination_probe)."""
     from dmds_spark.operators.sampling import hash_bucket
 
@@ -92,6 +97,15 @@ def bin_pack_ffd(
         & (F.col("__w") >= 0)
         & (F.col("__w") <= capacity)
     )
+    if validate_unique:
+        n, nd = keyed.agg(
+            F.count("__id"), F.count_distinct("__id")
+        ).first()
+        if n != nd:
+            raise ValueError(
+                f"bin_pack_ffd requires corpus-wide unique {id_col!r}: "
+                f"{n} eligible rows but only {nd} distinct ids"
+            )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         assign = ffd_pack(pdf["__id"], pdf["__w"], capacity)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dmds_spark.functions.keys import sortable_int64
 from dmds_spark.queries import register
 
 
@@ -217,8 +218,10 @@ def sample_dsir_importance(spark, sf_dir):
     """
     WITH k AS (
       SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+             lpad(CAST(CAST(epoch_us(ts) AS HUGEINT)
+                       + 9223372036854775808 AS VARCHAR), 20, '0')
+               || lpad(CAST(CAST(event_id AS HUGEINT)
+                       + 9223372036854775808 AS VARCHAR), 20, '0') AS ok
       FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
@@ -250,8 +253,8 @@ def events_ohlc_downsample(spark, sf_dir):
 
     e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     ok = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        sortable_int64(F.unix_micros("ts")),
+        sortable_int64(F.col("event_id")),
     )
     k = e.select(
         "event_type",

@@ -68,6 +68,12 @@ def kmv_estimate(hashes: list[int], k: int) -> tuple[int, int | None, float]:
     if n < k:
         return n, None, float(n)
     kth = hashes[k - 1]
+    # kth == 0 means every one of the bottom-k distinct hashes is 0 —
+    # impossible for k > 1 (the set is distinct), but a single-item
+    # stream hashing to exactly 0 (p = 2^-48 per item, reachable at
+    # scale) would divide by zero and kill the streaming query. The
+    # estimator's domain is kth >= 1; clamp rather than crash.
+    kth = max(kth, 1)
     return n, kth, (k - 1) * KMV_SPACE / kth
 
 

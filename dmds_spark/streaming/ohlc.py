@@ -127,12 +127,14 @@ def streaming_ohlc(
     batch query's keys."""
     from pyspark.sql import functions as F
 
+    from dmds_spark.functions.keys import sortable_int64
+
     keyed = events.filter(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
         F.date_trunc("hour", ts_col).cast("string").alias("bar_hour"),
         F.concat(
-            F.lpad(F.unix_micros(ts_col).cast("string"), 20, "0"),
-            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+            sortable_int64(F.unix_micros(ts_col)),
+            sortable_int64(F.col(id_col)),
         ).alias("ok"),
         F.col(value_col).cast("double").alias("value"),
     )

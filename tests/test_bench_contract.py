@@ -35,12 +35,19 @@ def test_comparable_set_matches_baseline_record():
 
 
 def test_bench_prints_one_json_line():
-    """Static check: bench.main ends with exactly one json.dumps print
-    (the driver parses stdout as one JSON line)."""
+    """Static check: bench.main prints exactly one JSON line (the
+    driver parses stdout as one JSON line). Multiple json.dumps calls
+    are fine — the oversize-degrade path re-serializes a shrunken
+    line — but only ONE print(out) may exist."""
     tree = ast.parse(open("/root/repo/bench.py").read())
-    dumps = [n for n in ast.walk(tree)
-             if isinstance(n, ast.Attribute) and n.attr == "dumps"]
-    assert len(dumps) == 1
+    prints = [
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Name) and n.func.id == "print"
+        and len(n.args) == 1
+        and isinstance(n.args[0], ast.Name) and n.args[0].id == "out"
+    ]
+    assert len(prints) == 1
 
 
 def test_final_line_fits_driver_tail():

@@ -95,3 +95,24 @@ def test_string_ids_and_null_rows(spark):
     rows = {r["url"]: r["bin"] for r in out.collect()}
     assert set(rows) == {"u1", "u2"}
     assert dict(out.dtypes)["url"] == "string"
+
+
+def test_duplicate_ids_fail_fast_corpus_wide(spark):
+    """Duplicate ids must fail on the driver BEFORE packing, even when
+    the two copies hash to different shards (previously: silent
+    double-pack) or the same shard (previously: executor-side
+    ValueError mid-job)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 3)], "doc_id long, w long"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        bin_pack_ffd(df, "w", "doc_id", 16, shards=4).collect()
+    # escape hatch: pre-validated callers skip the extra aggregate
+    # (the per-shard raise inside ffd_pack remains a backstop)
+    uniq = df.filter("w != 7")
+    out = bin_pack_ffd(
+        uniq, "w", "doc_id", 16, shards=4, validate_unique=False
+    )
+    assert out.count() == 2

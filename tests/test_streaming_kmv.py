@@ -143,3 +143,16 @@ def test_kmv_merge_hypothesis_fold_invariance():
             assert kmv_merge(whole, b, k) == whole
 
     prop()
+
+
+def test_estimate_zero_kth_hash_guard():
+    """A bottom-k set whose kth hash is 0 (single item hashing to
+    exactly 0) must estimate, not divide by zero — the update fn runs
+    inside the streaming query, where an exception kills the stream."""
+    from dmds_spark.streaming.kmv import kmv_estimate
+
+    n, kth, est = kmv_estimate([0], 1)  # would raise ZeroDivisionError
+    assert n == 1 and kth == 1 and est == 0.0
+    # distinctness makes kth=0 impossible for k>1; normal path intact
+    n, kth, est = kmv_estimate([0, 4], 2)
+    assert kth == 4 and est > 0

@@ -174,3 +174,22 @@ def test_ohlc_merge_hypothesis_split_invariance():
         assert state == whole
 
     prop()
+
+
+def test_total_order_key_negative_and_wide_values(spark):
+    """The min_by/max_by key must order correctly for negative
+    timestamps/ids and ids wider than 12 digits (the old lpad key
+    truncated >=10^12 ids and mis-sorted negatives)."""
+    from dmds_spark.functions.keys import sortable_int64
+    from pyspark.sql import functions as F
+
+    vals = [-(2**62), -1000000000000001, -1, 0, 1, 999999999999,
+            10**13, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = (
+        df.select("x", sortable_int64(F.col("x")).alias("k"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.x for r in rows] == sorted(vals)
+    assert all(len(r.k) == 20 for r in rows)
