@@ -3,9 +3,15 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count() action (full plan execution, no
-driver-side materialization of results). A warmup query first absorbs
-JVM/codegen startup so per-query numbers measure the plan, not the JIT.
+Consumers: the COMPARABLE-21 run under count() — the exact action the
+reference baseline was measured with, so the BASELINE.md ratios stay
+like-for-like. ADDITIONS run under a hash-reducing aggregate
+(sum(xxhash64(struct(*)))) that forces EVERY output column of every
+row to materialize: under count(), Catalyst prunes unreferenced
+projections, so pure-projection queries (scalar_*, text_pii_redact,
+web_url_canonicalize) would report scan cost instead of their real
+work. A warmup pass first absorbs JVM/codegen startup so per-query
+numbers measure the plan, not the JIT.
 """
 
 from __future__ import annotations
@@ -263,6 +269,16 @@ ADDITIONS = [
     "tokens_bpe_apply_learned",
     # round-10 batch nine: duplicate-aware soft sampling weights
     "sample_softdedup_weights",
+    # round-11: HTML->text extraction + the full web-ingest composite,
+    # the persisted incremental IVF index (two refresh increments per
+    # pass, end to end), World snapshot time travel (two versioned
+    # commits + both pinned reads), and the exact-grid two-round
+    # k-means (reshaped round 11 for oracle-checkability)
+    "web_html_extract",
+    "pipeline_web_ingest",
+    "rollup_incremental_ivf",
+    "dmds_snapshot_timetravel",
+    "embedding_kmeans_assign",
 ]
 
 
@@ -287,13 +303,33 @@ def main() -> int:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
 
-    def run_phase(names: list[str], min_passes: int = 0) -> None:
+    from pyspark.sql import functions as F
+
+    def consume_count(df) -> None:
+        df.count()
+
+    def consume_hash(df) -> None:
+        # forces full materialization of every output column (see
+        # module docstring); falls back to count() for output types
+        # xxhash64 cannot hash (maps) — the fallback raises at ANALYSIS
+        # time, before any execution, so nothing runs twice
+        try:
+            reducer = df.agg(
+                F.sum(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
+            )
+        except Exception:  # noqa: BLE001 — unhashable output schema
+            df.count()
+            return
+        reducer.collect()
+
+    def run_phase(names: list[str], min_passes: int = 0,
+                  consume=consume_count) -> None:
         # warmup (not measured): one pass absorbs JVM startup, codegen
         # for every exec kind in the phase, and parquet footer caches —
         # the measured passes then time the PLAN, not the JIT
         for name in names:
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            consume(qs[name](spark, sf_dir))
             release_materialized_state(spark)
             print(f"warmup {name} {time.perf_counter()-t0:.2f}s", file=sys.stderr)
         # min over repeats: a full GC of the large local-JVM heap (or a
@@ -308,7 +344,7 @@ def main() -> int:
             spark.sparkContext._jvm.System.gc()
             for name in names:
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                consume(qs[name](spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 4)
                 times[name] = min(times.get(name, dt), dt)
                 release_materialized_state(spark)
@@ -327,7 +363,7 @@ def main() -> int:
     # re-measure for round-over-round drift checks). The driver sets
     # nothing, so its per-round record always covers the full set.
     if os.environ.get("SPARK_GRAFT_BENCH_PHASE", "all") != "baseline":
-        run_phase(additions, min_passes=4)
+        run_phase(additions, min_passes=4, consume=consume_hash)
 
     total = round(sum(times[k] for k in baseline_order), 4)
     # The driver records only the LAST ~2000 chars of stdout and tries

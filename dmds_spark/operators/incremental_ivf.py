@@ -1,0 +1,319 @@
+"""Persisted, incrementally-maintained IVF (inverted-file) ANN index.
+
+The per-query IVF in ``similarity_ivf_topk`` rebuilds cell assignments
+from scratch every search; a 100 TB corpus maintains the index instead:
+centroids are TRAINED ONCE (k-means on a sample, or explicit anchor
+vectors), and every appended batch of vectors pays exactly one scan to
+assign each new vector to its nearest centroid — O(new), never a
+corpus re-scan. Searches then probe only the ``nprobe`` nearest cells.
+
+This is the FAISS `train once / add incrementally` contract expressed
+over parquet: because assignment is a pure function of (vector,
+frozen centroids), the union of per-increment assignments is EXACTLY
+the assignment table a full single-batch rebuild produces — the same
+increment-union == full-recompute claim
+``operators/incremental_dedup.py`` makes for MinHash, pinned the same
+way (tests/test_incremental_ivf.py) and oracle-checked end to end by
+the registered ``rollup_incremental_ivf`` (DuckDB states the full
+assignment declaratively; the driver hash-compares it against the
+two-increment store).
+
+Storage follows the crash-safe discipline of ``operators/rollup.py``
+(reference analogue: the dirty-chunk incremental flush,
+tokio-fs/src/lib.rs:207-235): centroids and per-batch assignments are
+immutable parquet (``centroids/v*``, ``assign/batch-v*``); a pointer
+file lists the committed versions and flips atomically, so a crashed
+increment leaves orphan files that are never read. ``compact()``
+merges increment files for scan hygiene without recomputing anything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.similarity import EMB_DIM
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+class IncrementalIVFIndex:
+    """A maintained IVF index over an append-only vector corpus.
+
+    ``set_centroids``/``train`` freeze the coarse quantizer;
+    ``refresh()`` ingests unseen source files, ``fold_batch()`` a
+    DataFrame micro-batch (replay-safe by batch id);
+    ``assignments()`` returns the accumulated (id, vector, cluster)
+    store; ``search()`` probes the ``nprobe`` nearest cells with an
+    exact-cosine rerank. ``id_col`` values must be UNIQUE across all
+    ingested batches (append-only corpus), same contract as
+    IncrementalMinHashDedup."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str | None,
+        store_dir: str,
+        id_col: str,
+        vec_col: str,
+        dim: int = EMB_DIM,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.store_dir = store_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        os.makedirs(store_dir, exist_ok=True)
+
+    # -- pointer ---------------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.store_dir, "_current.json")
+
+    def _state(self) -> dict:
+        if not os.path.exists(self._pointer):
+            return {
+                "centroid_version": 0,
+                "versions": [],
+                "seen_files": [],
+                "last_batch_id": -1,
+            }
+        with open(self._pointer) as fh:
+            return json.load(fh)
+
+    def _flip(self, state: dict) -> None:
+        from dmds_spark.operators.rollup import _atomic_flip
+
+        _atomic_flip(self._pointer, state)
+
+    def _assign_paths(self, versions: list[int]) -> list[str]:
+        return [
+            os.path.join(self.store_dir, "assign", f"batch-v{v}")
+            for v in versions
+        ]
+
+    def _centroid_path(self, version: int) -> str:
+        return os.path.join(self.store_dir, "centroids", f"v{version}")
+
+    # -- the coarse quantizer ---------------------------------------------
+    def set_centroids(self, vectors: list[list[float]]) -> int:
+        """Freeze explicit centroid vectors (anchor-IVF — the
+        oracle-checkable path). Clusters are numbered by list
+        position. Retraining bumps the centroid version; assignments
+        already stored keep the version they were assigned under, so
+        a retrain REQUIRES a rebuild (fresh store) — enforced."""
+        st = self._state()
+        if st["versions"]:
+            raise ValueError(
+                "cannot retrain centroids over existing assignments: "
+                "assignment is a pure function of the frozen centroids "
+                "(rebuild into a fresh store_dir instead)"
+            )
+        cv = st["centroid_version"] + 1
+        rows = [
+            (c, [float(x) for x in vec]) for c, vec in enumerate(vectors)
+        ]
+        self.spark.createDataFrame(
+            rows, "cluster int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._centroid_path(cv)
+        )
+        self._flip({**st, "centroid_version": cv})
+        return cv
+
+    def train(self, df: DataFrame, k: int = 8, iters: int = 3) -> int:
+        """Train centroids with deterministic k-means over ``df`` (a
+        sample at scale — training cost is bounded by the sample, and
+        assignment quality degrades gracefully with sample skew)."""
+        from dmds_spark.operators.similarity import centroids, kmeans_assign
+
+        assigned = kmeans_assign(
+            df, self.id_col, self.vec_col, k=k, iters=iters, dim=self.dim
+        )
+        cent = centroids(
+            df.join(assigned.select(self.id_col, "cluster"), self.id_col),
+            "cluster",
+            self.vec_col,
+            self.dim,
+        ).collect()
+        by_cluster = {int(r["cluster"]): list(r["centroid"]) for r in cent}
+        return self.set_centroids(
+            [by_cluster[c] for c in sorted(by_cluster)]
+        )
+
+    def centroids(self) -> DataFrame:
+        st = self._state()
+        if not st["centroid_version"]:
+            raise ValueError("index has no centroids: call train/set_centroids")
+        return self.spark.read.parquet(
+            self._centroid_path(st["centroid_version"])
+        )
+
+    def _centroid_rows(self) -> list[list[float]]:
+        rows = self.centroids().orderBy("cluster").collect()
+        return [list(r["centroid"]) for r in rows]  # k rows — bounded
+
+    def _nearest(self, centroid_rows: list[list[float]]) -> Column:
+        """argmax-cosine cluster id, ties to the LOWEST cluster — the
+        k x dim matrix enters the plan as ONE constant-folded
+        from_json literal (same pattern as kmeans_assign)."""
+        mat = F.from_json(
+            F.lit(json.dumps(centroid_rows)), "array<array<double>>"
+        )
+        cand = F.transform(
+            mat,
+            lambda cvec, ci: F.struct(
+                (-_cos(F.col(self.vec_col), cvec)).alias("d"),
+                ci.cast("int").alias("c"),
+            ),
+        )
+        return F.array_min(cand)["c"]
+
+    # -- ingest ------------------------------------------------------------
+    def _ingest(self, vecs: DataFrame, st: dict) -> int:
+        assigned = vecs.select(
+            F.col(self.id_col),
+            F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+            self._nearest(self._centroid_rows()).alias("cluster"),
+        )
+        v = (max(st["versions"]) + 1) if st["versions"] else 1
+        # partitioned by cluster: a search probing nprobe cells prunes
+        # to nprobe directories per batch file set — the IVF point
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            self._assign_paths([v])[0]
+        )
+        return v
+
+    def refresh(self) -> dict:
+        """Ingest unseen files from ``source_dir`` — O(new): one scan
+        of the new files, one constant-matrix argmax, one partitioned
+        append. Raises SourceMutatedError on in-place rewrites."""
+        from dmds_spark.operators.rollup import (
+            _list_source_files,
+            _seen_as_dict,
+            _split_new_and_check,
+        )
+
+        if self.source_dir is None:
+            raise ValueError("refresh() needs source_dir (use fold_batch)")
+        st = self._state()
+        seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
+        current = _list_source_files(self.spark, self.source_dir)
+        new_files = _split_new_and_check(current, seen, "ivf store")
+        if not new_files:
+            return {"new_files": 0, "version": max(st["versions"], default=0)}
+        v = self._ingest(self.spark.read.parquet(*new_files), st)
+        self._flip(
+            {
+                **st,
+                "versions": st["versions"] + [v],
+                "seen_files": {
+                    **{f: current.get(f, sz) for f, sz in seen.items()},
+                    **{f: current[f] for f in new_files},
+                },
+                "size_src": "fs",
+            }
+        )
+        return {"new_files": len(new_files), "version": v}
+
+    def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
+        """Micro-batch maintenance, replay-safe by batch-id high-water
+        mark (at-least-once foreachBatch delivery folds exactly once)."""
+        st = self._state()
+        if batch_id is not None and batch_id <= st["last_batch_id"]:
+            return {"skipped": True, "version": max(st["versions"], default=0)}
+        v = self._ingest(df, st)
+        self._flip(
+            {
+                **st,
+                "versions": st["versions"] + [v],
+                "last_batch_id": (
+                    batch_id if batch_id is not None else st["last_batch_id"]
+                ),
+            }
+        )
+        return {"skipped": False, "version": v}
+
+    def foreach_batch(self):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.fold_batch(batch_df, batch_id)
+
+        return _sink
+
+    # -- readers -----------------------------------------------------------
+    def assignments(self) -> DataFrame | None:
+        vs = self._state()["versions"]
+        if not vs:
+            return None
+        # each batch root is its own partitioned (by cluster) table, so
+        # load per version and union — Spark refuses multiple partition
+        # roots in one read (no shared basePath)
+        parts = [self.spark.read.parquet(p) for p in self._assign_paths(vs)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def search(
+        self, query_vec: list[float], topk: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """ANN search: rank cells by centroid cosine on the driver
+        (k floats — bounded), then ONE pruned scan of the nprobe
+        probed cells with an exact-cosine rerank. Returns
+        (id, cluster, sim) topk, total-ordered by (sim desc, id)."""
+        import math
+
+        q = [float(x) for x in query_vec]
+        qn = math.sqrt(sum(x * x for x in q))
+
+        def cos(c: list[float]) -> float:
+            cn = math.sqrt(sum(x * x for x in c))
+            return sum(a * b for a, b in zip(q, c)) / (qn * cn)
+
+        ranked = sorted(
+            enumerate(self._centroid_rows()), key=lambda t: (-cos(t[1]), t[0])
+        )
+        probe = [c for c, _ in ranked[:nprobe]]
+        store = self.assignments()
+        if store is None:
+            raise ValueError("index is empty: ingest before searching")
+        qcol = F.from_json(F.lit(json.dumps(q)), "array<double>")
+        return (
+            store.filter(F.col("cluster").isin(probe))  # partition-pruned
+            .select(
+                self.id_col,
+                "cluster",
+                _cos(F.col(self.vec_col), qcol).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), F.col(self.id_col))
+            .limit(topk)
+        )
+
+    def compact(self) -> dict:
+        """Merge increment files into one version (small-file hygiene
+        after many micro-batches); content unchanged, never recomputed."""
+        st = self._state()
+        if len(st["versions"]) <= 1:
+            return {"compacted": False, "versions": len(st["versions"])}
+        v = max(st["versions"]) + 1
+        self.assignments().coalesce(
+            max(1, len(st["versions"]) // 8)
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
+            self._assign_paths([v])[0]
+        )
+        self._flip({**st, "versions": [v]})
+        return {"compacted": True, "versions": 1}

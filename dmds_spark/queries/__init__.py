@@ -330,14 +330,28 @@ _DRIVER_CHECKED: frozenset[str] = (
 # 5: every registered query now has a driver row (r01+r02+r04).
 _DEFERRED: tuple[str, ...] = ()
 
+# Queries whose oracle status or semantics CHANGED after their last
+# driver check, so their recorded evidence is stale regardless of age:
+# they slot directly behind the never-checked set. Round 11: both
+# moved from rows-only to a full SQL oracle (multimodal_byte_histogram
+# gained an arithmetic-identity oracle; embedding_kmeans_assign was
+# reshaped to the exact-integer-grid two-round form so the whole
+# iterative algorithm is hash-checkable).
+_PRIORITY_RECHECK: tuple[str, ...] = (
+    "multimodal_byte_histogram",
+    "embedding_kmeans_assign",
+)
+
 
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     front = [n for n in names
              if n not in _DRIVER_CHECKED and n not in _DEFERRED]
+    recheck = [n for n in _PRIORITY_RECHECK if n in _REGISTRY]
     deferred = [n for n in _DEFERRED if n in _REGISTRY]
-    back = [n for rnd in _CHECKED_ROUNDS for n in names if n in rnd]
-    return front + deferred + back
+    back = [n for rnd in _CHECKED_ROUNDS for n in names
+            if n in rnd and n not in _PRIORITY_RECHECK]
+    return front + recheck + deferred + back
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -425,5 +439,9 @@ def _load():
     from dmds_spark.queries import round10g  # noqa: F401
     from dmds_spark.queries import round10h  # noqa: F401
     from dmds_spark.queries import round10i  # noqa: F401
+    # round-11 additions: every pre-existing query has driver evidence
+    # (309/309 after r10), so these lead the round-11 window and the
+    # remaining slots rotate the oldest (r04/r05-vintage) evidence
+    from dmds_spark.queries import round11  # noqa: F401
 
     _LOADED = True

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dmds_spark.operators.similarity import centroids_long, cosine, kmeans_assign
+from dmds_spark.operators.similarity import centroids_long, cosine
 from dmds_spark.queries import register
 from dmds_spark.queries.relational import T  # noqa: F401 (sf table loader)
 
@@ -257,16 +257,146 @@ def embedding_centroids(spark, sf_dir):
     return centroids_long(_emb(spark, sf_dir), "label", "embedding")
 
 
-@register("embedding_kmeans_assign", None)  # iterative: rows-only check
+_KM_K = 8
+_KM_SCALE = 1_000_000   # floor(x * 1e6): exact i64 grid
+_KM_OFF = 4_194_304     # +2^22 shifts every grid value positive, so
+#                         integer mean floor-division needs no negative
+#                         floor/truncate reconciliation between engines
+#                         (Spark `div` truncates toward zero, DuckDB
+#                         `//` floors); distances are shift-invariant
+
+
+@register(
+    "embedding_kmeans_assign",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT)
+              + {_KM_OFF} for x in embedding] AS qv
+      FROM embeddings
+    ), sd AS (
+      SELECT vec_id, qv,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS cid
+      FROM q
+    ), cent1 AS (
+      SELECT cid, qv AS qc FROM sd WHERE cid < {_KM_K}
+    ), d1 AS (
+      SELECT q.vec_id, c.cid,
+             list_sum([(q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i])
+                       for i in range(1, len(q.qv) + 1)]) AS dist
+      FROM q CROSS JOIN cent1 c
+    ), a1 AS (
+      SELECT vec_id,
+             min_by(cid, lpad(CAST(dist AS VARCHAR), 20, '0')
+                         || lpad(CAST(cid AS VARCHAR), 4, '0')) AS cid
+      FROM d1 GROUP BY vec_id
+    ), jx AS (
+      SELECT a.cid, q.qv FROM a1 a JOIN q ON a.vec_id = q.vec_id
+    ), ex AS (
+      SELECT cid, UNNEST([{{'dim': i, 'qx': qv[i]}}
+                          for i in range(1, len(qv) + 1)]) AS u
+      FROM jx
+    ), m AS (
+      SELECT cid, u.dim AS dim,
+             CAST(SUM(u.qx) AS BIGINT) // COUNT(*) AS c2
+      FROM ex GROUP BY cid, u.dim
+    ), cent2 AS (
+      SELECT cid, list(c2 ORDER BY dim) AS qc FROM m GROUP BY cid
+    ), d2 AS (
+      SELECT q.vec_id, c.cid,
+             list_sum([(q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i])
+                       for i in range(1, len(q.qv) + 1)]) AS dist
+      FROM q CROSS JOIN cent2 c
+    )
+    SELECT vec_id,
+           CAST(min_by(cid, lpad(CAST(dist AS VARCHAR), 20, '0')
+                       || lpad(CAST(cid AS VARCHAR), 4, '0')) AS BIGINT)
+             AS cluster
+    FROM d2 GROUP BY vec_id
+    """,
+)
 def embedding_kmeans_assign(spark, sf_dir):
-    """Deterministic distributed k-means assignment (md5-derived
-    initial centers, no RNG; broadcast centers per round; decimal-exact
-    M-step). Iterative with a k-row driver collect per round, so there
-    is no single SQL oracle — the driver records a rows-only check and
-    tests/test_similarity_ops.py pins determinism and convergence
-    behavior."""
-    return kmeans_assign(
-        _emb(spark, sf_dir), "vec_id", "embedding", k=8, iters=2
+    """Deterministic distributed k-means assignment, EXACT end to end
+    (moved from rows-only to oracle-checked in round 11): quantize
+    every coordinate to the floor(x*1e6)+2^22 integer grid, seed the 8
+    initial centers from the smallest md5(vec_id) draws (reproducible,
+    no RNG), run TWO full Lloyd rounds with integer-floor centroid
+    means — every distance, mean and argmin is i64-exact, so the
+    two-round unrolled DuckDB SQL reproduces the assignment bit for
+    bit (the float-double variant of this query is the
+    ``kmeans_assign`` operator, whose M-step means are doubles and
+    whose iteration count is a parameter — pinned by engine tests;
+    this registered form trades the double M-step for grid floor-means
+    to make the WHOLE iterative algorithm hash-checkable).
+
+    Shape at scale per round: assignment is embeddings x k with the k
+    centers as one constant/broadcast side (no shuffle of the big
+    side); the M-step is one (cluster, dim) hash aggregate. The
+    argmin tie-break key is zero-padded (dist, cid) — dist <= 64 *
+    (2*2^22)^2 ~ 4.5e15 < 10^20, so the 20-char pad never truncates."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor("
+            f"CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT) + {_KM_OFF})"
+        ).alias("qv"),
+    )
+    sd = q.select(
+        "vec_id",
+        "qv",
+        (
+            F.row_number().over(
+                W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            )
+            - 1
+        ).alias("cid"),
+    )
+    cent1 = sd.filter(F.col("cid") < _KM_K).select(
+        "cid", F.col("qv").alias("qc")
+    )
+    sqdist = F.expr(
+        "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+
+    def key():
+        return F.concat(
+            F.lpad(F.col("dist").cast("string"), 20, "0"),
+            F.lpad(F.col("cid").cast("string"), 4, "0"),
+        )
+
+    d1 = q.crossJoin(F.broadcast(cent1)).select(
+        "vec_id", "cid", sqdist.alias("dist")
+    )
+    a1 = d1.groupBy("vec_id").agg(F.min_by("cid", key()).alias("cid"))
+    jx = a1.join(q, "vec_id").select("cid", "qv")
+    m = (
+        jx.select("cid", F.posexplode("qv").alias("dim", "qx"))
+        .groupBy("cid", "dim")
+        # every qv component is positive (the +2^22 shift), so Spark's
+        # truncating `div` and DuckDB's flooring `//` agree
+        .agg(F.expr("sum(qx) div count(1)").alias("c2"))
+    )
+    cent2 = (
+        m.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "c2"))
+            ).alias("__p")
+        )
+        .select(
+            "cid",
+            F.transform(F.col("__p"), lambda p: p["c2"]).alias("qc"),
+        )
+    )
+    d2 = q.crossJoin(F.broadcast(cent2)).select(
+        "vec_id", "cid", sqdist.alias("dist")
+    )
+    return d2.groupBy("vec_id").agg(
+        F.min_by("cid", key()).cast("bigint").alias("cluster")
     )
 
 

@@ -426,15 +426,47 @@ def events_weekday_hour_heatmap(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_byte_histogram", None)
+@register(
+    "multimodal_byte_histogram",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             LEAST((16 + n_chars % 48) * (16 + (n_chars // 7) % 48) * 3,
+                   4096) AS plen
+      FROM documents
+    ), b AS (
+      SELECT media_id, plen,
+             ((media_id * 31 + j * 7) % 256) // 16 AS bin
+      FROM m, UNNEST(range(plen)) AS t(j)
+    ), c AS (
+      SELECT media_id, ANY_VALUE(plen) AS plen, bin,
+             COUNT(*) AS ct
+      FROM b GROUP BY media_id, bin
+    ), grid AS (
+      SELECT media_id, ANY_VALUE(plen) AS plen, UNNEST(range(16)) AS bin
+      FROM m GROUP BY media_id
+    )
+    SELECT g.media_id, CAST(g.bin AS BIGINT) AS bin,
+           CAST(CAST(COALESCE(c.ct, 0) AS DOUBLE) / g.plen AS DOUBLE)
+             AS share
+    FROM grid g LEFT JOIN c ON g.media_id = c.media_id AND g.bin = c.bin
+    """,
+)
 def multimodal_byte_histogram(spark, sf_dir):
     """The media featurizer registered: L1-normalized 16-bin byte
     histogram per media payload (operators/multimodal.py
-    extract_byte_histograms — REAL math on the real bytes, the
-    embedding-model stand-in), emitted LONG-format (media_id, bin,
-    share) per the scalar-columns driver contract. Rows-only: DuckDB
-    cannot parse the binary payloads. Deterministic: media derive
-    from doc stats, histograms are exact ratios of byte counts."""
+    extract_byte_histograms — REAL math on the real bytes over Arrow,
+    the embedding-model stand-in), emitted LONG-format (media_id, bin,
+    share) per the scalar-columns driver contract.
+
+    Oracle-checked (moved from rows-only in round 11): the synthetic
+    payload byte j of media d is (d*31 + j*7) % 256 by construction
+    (operators/multimodal.py media_table_from_documents), so DuckDB
+    can state the SAME histogram as pure arithmetic over
+    UNNEST(range(plen)) without parsing any binary — the hash-compare
+    then certifies the whole binary round trip (payload synthesis ->
+    BinaryType column -> Arrow batch -> numpy bincount -> exact
+    count/total division) byte for byte."""
     from dmds_spark.operators.multimodal import (
         extract_byte_histograms,
         media_table_from_documents,
@@ -444,6 +476,10 @@ def multimodal_byte_histogram(spark, sf_dir):
     h = extract_byte_histograms(media, bins=16)
     return h.select(
         "media_id", F.posexplode("histogram").alias("bin", "share")
+    ).select(
+        "media_id",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("share").cast("double").alias("share"),
     )
 
 

@@ -1,0 +1,393 @@
+"""Round-11 queries, batch one: HTML->text extraction — the missing
+FIRST stage of the web-curation chain (crawl bytes -> clean text),
+before URL canonicalization (round10.py) and line-level boilerplate
+removal ever see a document.
+
+The synthetic corpus stores already-clean text, so both engines
+SYNTHESIZE the same raw HTML per document deterministically — full
+head (title/style/script with embedded '<', '>' and quotes), nav
+list, heading with entities, one or two text blocks, inline <b> tags
+and a footer — and the operator under test is the extractor: strip
+script/style subtrees, convert block-closing tags to line breaks,
+strip remaining tags, decode the core entity set, and normalize
+whitespace. That is trafilatura's mechanical core reduced to the
+RE2-safe regex subset, so DuckDB can oracle every step (reference
+ingest analogue: the reference's ChunkFromIoIter turns raw stored
+bytes into rows, src/world/iter.rs:311-511 — here raw markup turns
+into model-ready text).
+
+Regex discipline (oracle-parity traps, see MEMORY round-protocol):
+ZERO backslashes in any pattern (Spark SQL literals process escapes,
+DuckDB's don't), no newline chars inside patterns (block breaks go
+through a '|@|' sentinel replaced by chr(10) at the very end), and
+'(?is)' flags + non-greedy '.*?' which Java regex and RE2 implement
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.round10 import (
+    _canon_sql,
+    _DOMAIN_SQL,
+    _URL_DUCK,
+    _URL_SPARK,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared HTML synthesis (rendered per engine: only CAST spelling differs)
+# ---------------------------------------------------------------------------
+
+# Deliberate mess the extractor must survive: uppercase tags, attrs,
+# a script containing '<', '>', '&&' and quoted strings, a style block
+# with braces, entities in visible text, an inline tag mid-sentence,
+# and a second block present only for doc_id % 3 = 0.
+_HTML_TMPL = (
+    "('<!DOCTYPE html><HTML lang=\"' || lang || '\"><head>'"
+    " || '<title>Doc ' || CAST(doc_id AS {S}) || '</title>'"
+    " || '<style>body {{ margin: 0; }} .hero > em {{ color: #fff; }}</style>'"
+    " || '<script type=\"text/javascript\">var ok = 1 < 2 && 3 > 2;"
+    " track(\"' || source || '\", ''q&a'');</script>'"
+    " || '</head><body>'"
+    " || '<nav><ul><li>Home</li><li>' || upper(source) || '</li></ul></nav>'"
+    " || '<h1 class=\"hero\">' || upper(lang) || ' &amp; ' || upper(source)"
+    " || ' &lt;daily&gt;</h1>'"
+    " || '<p>Fish &amp; chips&nbsp;deal: ' || substr(text, 1, 120)"
+    " || ' <b>more</b> below.</p>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<div class=\"c2\">'"
+    " || substr(text, 121, 120) || '</div>' ELSE '' END"
+    " || '<footer>Contact &quot;' || source || '&quot;</footer>'"
+    " || '</body></HTML>')"
+)
+_HTML_SPARK = _HTML_TMPL.format(S="STRING")
+_HTML_DUCK = _HTML_TMPL.format(S="VARCHAR")
+
+# Extraction chain over a column named ``html``. Each step is a single
+# codegen regexp/replace — the whole extractor is one projection, no
+# UDF, no shuffle; at 100 TB it runs at scan speed fused into
+# whole-stage codegen (and the identical SQL runs in DuckDB).
+_BLOCK_CLOSERS = "</(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|nav|footer|title|tr|table|blockquote)>|<br[^>]*>"
+
+
+def _extract_sql(engine: str) -> str:
+    """Render the extraction chain for one engine. The ONLY divergence
+    is that DuckDB's regexp_replace is single-match unless the 'g'
+    option is passed, while Spark's is always global."""
+    g = ", 'g'" if engine == "duck" else ""
+
+    def rr(x: str, pat: str, repl: str) -> str:
+        return f"regexp_replace({x}, '{pat}', '{repl}'{g})"
+
+    x = "html"
+    # 1-2. drop script/style subtrees (non-greedy, case-insensitive,
+    #      dot-matches-newline so a multiline block still dies)
+    x = rr(x, "(?is)<script[^>]*>.*?</script>", "")
+    x = rr(x, "(?is)<style[^>]*>.*?</style>", "")
+    # 3. block-closing tags become the break sentinel
+    x = rr(x, f"(?i){_BLOCK_CLOSERS}", "|@|")
+    # 4. strip every remaining tag
+    x = rr(x, "<[^>]+>", "")
+    # 5. decode the core entity set — &amp; LAST so '&amp;lt;' would
+    #    decode to '&lt;' (one level), never to '<'
+    x = f"replace({x}, '&lt;', '<')"
+    x = f"replace({x}, '&gt;', '>')"
+    x = f"replace({x}, '&quot;', '\"')"
+    x = f"replace({x}, '&nbsp;', ' ')"
+    x = f"replace({x}, '&amp;', '&')"
+    # 6. whitespace discipline: collapse spaces, trim around breaks,
+    #    collapse repeated breaks, drop edge breaks, then the sentinel
+    #    becomes a real newline
+    x = rr(x, "  +", " ")
+    x = rr(x, " ?[|]@[|] ?", "|@|")
+    x = rr(x, "([|]@[|])+", "|@|")
+    x = rr(x, "^[|]@[|]", "")
+    x = rr(x, "[|]@[|]$", "")
+    x = f"replace({x}, '|@|', chr(10))"
+    return f"trim({x})"
+
+
+@register(
+    "web_html_extract",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, {_HTML_DUCK} AS html FROM documents
+    ), e AS (
+      SELECT doc_id, lang, html, {_extract_sql('duck')} AS text
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_chars_html,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           CAST(length(text) - length(replace(text, chr(10), ''))
+                + 1 AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN regexp_matches(text, '<(script|style|b|p|div)')
+                THEN 1 ELSE 0 END AS BIGINT) AS leftover_markup,
+           md5(text) AS text_fp,
+           substr(text, 1, 40) AS head
+    FROM e
+    """,
+)
+def web_html_extract(spark, sf_dir):
+    """HTML->text extraction (trafilatura-lite): script/style subtree
+    removal, block-tag line breaking, tag stripping, entity decoding
+    and whitespace normalization — the stage that turns crawl bytes
+    into the clean text every downstream operator (lang-ID, quality,
+    dedup) assumes. Per-doc output carries exact sizes, a block count,
+    a leftover-markup detector (must be 0 — pinned by the oracle hash)
+    and the md5 of the full extracted text, so the oracle comparison
+    is sensitive to every byte of the extraction.
+
+    Shape at scale: ONE whole-stage-codegen projection (seven regexes,
+    five replaces) — no UDF, no shuffle, runs at parquet scan speed on
+    any executor count."""
+    h = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.expr(_HTML_SPARK).alias("html")
+    )
+    e = h.select("doc_id", "html", F.expr(_extract_sql("spark")).alias("text"))
+    nl = F.lit("\n")
+    return e.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("n_chars_html"),
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), nl, F.lit("")))
+            + 1
+        ).cast("bigint").alias("n_blocks"),
+        F.expr(
+            "CAST(CASE WHEN text RLIKE '<(script|style|b|p|div)'"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("leftover_markup"),
+        F.md5("text").alias("text_fp"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+
+
+@register(
+    "pipeline_web_ingest",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             {_HTML_DUCK} AS html, {_URL_DUCK} AS url
+      FROM documents
+    ), e AS (
+      SELECT doc_id, url,
+             {_extract_sql('duck')} AS text
+      FROM h
+    ), c AS (
+      SELECT doc_id, length(text) AS n_text,
+             {_canon_sql('duck')} AS canon_url
+      FROM (SELECT doc_id, url, text FROM e) AS sub
+    ), k AS (
+      SELECT canon_url,
+             MIN(doc_id) AS keeper_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fetched,
+             min_by(n_text, doc_id) AS keeper_chars
+      FROM c GROUP BY canon_url
+    )
+    SELECT regexp_extract(regexp_extract(canon_url,
+             '^https://([^/]+)', 1), '([^.]+[.][^.]+)$', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(n_fetched) AS BIGINT) AS n_fetched,
+           CAST(SUM(keeper_chars) AS BIGINT) AS kept_chars,
+           CAST(CAST(COUNT(*) AS DOUBLE) / SUM(n_fetched) AS DOUBLE)
+             AS unique_ratio
+    FROM k GROUP BY domain
+    """,
+)
+def pipeline_web_ingest(spark, sf_dir):
+    """End-to-end web ingest composite: raw HTML -> text extraction ->
+    URL canonicalization -> URL-level keep-first dedup -> per-domain
+    yield report (pages kept, fetch duplicates collapsed, clean-text
+    volume, unique ratio). This is the full chain a crawl pipeline
+    runs BEFORE text-level dedup; round10's line-boilerplate family
+    picks up exactly where this leaves off.
+
+    Shape at scale: extraction + canonicalization fuse into the scan
+    projection; then two hash aggregates (canon_url — high-cardinality
+    dedup; domain — heavy-hitter profile where AQE absorbs skew). No
+    join anywhere: the keeper's text length rides along via min_by."""
+    h = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source",
+        F.expr(_HTML_SPARK).alias("html"),
+        F.expr(_URL_SPARK).alias("url"),
+    )
+    e = h.select(
+        "doc_id", "url", F.expr(_extract_sql("spark")).alias("text")
+    )
+    c = e.select(
+        "doc_id",
+        F.length("text").alias("n_text"),
+        F.expr(_canon_sql("spark")).alias("canon_url"),
+    )
+    k = c.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").cast("bigint").alias("n_fetched"),
+        F.min_by("n_text", "doc_id").alias("keeper_chars"),
+    )
+    host = F.regexp_extract("canon_url", "^https://([^/]+)", 1)
+    domain = F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+    return k.groupBy(domain.alias("domain")).agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum("n_fetched").cast("bigint").alias("n_fetched"),
+        F.sum("keeper_chars").cast("bigint").alias("kept_chars"),
+        (F.count("*").cast("double") / F.sum("n_fetched"))
+        .cast("double")
+        .alias("unique_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted incremental IVF index, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_incremental_ivf",
+    """
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT e.vec_id, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC, a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    )
+    SELECT CAST(aid AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS min_vid,
+           MAX(vec_id) AS max_vid,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vid
+    FROM assign WHERE rn = 1
+    GROUP BY aid
+    """,
+)
+def rollup_incremental_ivf(spark, sf_dir):
+    """Persisted incrementally-maintained IVF index proven against the
+    oracle: freeze 8 anchor vectors (vec_id < 8) as the coarse
+    quantizer, ingest the even-id half of the corpus (one O(new)
+    assignment scan, partitioned-by-cell append + pointer flip), append
+    the odd half as new files, ingest again — then report the
+    accumulated per-cell census. The oracle states the FULL single-pass
+    assignment declaratively (the same argmax-cosine the maintained
+    store computes per increment), so the driver's hash-compare
+    certifies increment-union == full rebuild — the maintained-index
+    correctness claim, end to end (operators/incremental_ivf.py; the
+    same acceptance shape as dedup_incremental_minhash).
+
+    Shape at scale: each increment touches ONLY new vectors (constant
+    k x dim centroid matrix, one scan, no join, no shuffle beyond the
+    partitioned write); searches prune to nprobe cell directories.
+    Reference analogue: the dirty-chunk incremental flush
+    (tokio-fs/src/lib.rs:207-235) generalized from row storage to an
+    ANN index."""
+    from dmds_spark.core.scratch import scratch_dir
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    root = scratch_dir("inc_ivf", sf_dir)
+    src = f"{root}/src"
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    anchors = (
+        e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    )  # 8 rows — bounded by k, never data size
+    idx = IncrementalIVFIndex(
+        spark, src, f"{root}/store", "vec_id", "embedding"
+    )
+    idx.set_centroids([list(r["embedding"]) for r in anchors])
+    e.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+    idx.refresh()
+    e.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+    idx.refresh()
+    return (
+        idx.assignments()
+        .groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").alias("min_vid"),
+            F.max("vec_id").alias("max_vid"),
+            F.sum("vec_id").cast("bigint").alias("sum_vid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# World snapshot versioning (time travel), oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dmds_snapshot_timetravel",
+    """
+    SELECT CAST(1 AS BIGINT) AS version, event_id, user_id FROM events
+    WHERE event_id < 3000
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), event_id, (user_id + 100) % 2048 FROM events
+    WHERE event_id < 100
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), event_id, user_id FROM events
+    WHERE event_id >= 200 AND event_id < 5000
+    """,
+)
+def dmds_snapshot_timetravel(spark, sf_dir):
+    """Manifest-pinned World time travel proven against the oracle:
+    commit snapshot v1 (events id < 3000), then advance the world
+    (relocate ids < 100 to a new user_id chunk, delete 100..199,
+    append 3000..4999) committing v2 — and read BOTH versions back
+    side by side from one store. The oracle states both end-states
+    declaratively, so the driver's hash-compare certifies that v1 is
+    byte-stable while v2 exists — corpus-release reproducibility
+    (reference analogue: the payload version header,
+    tokio-fs/src/lib.rs:89-90, generalized to whole-table state;
+    world.py versioned mode).
+
+    Shape at scale: each commit writes ONLY dirty partitions into an
+    immutable ``_v{N}`` directory plus a manifest mapping partitions
+    to owning versions — O(changed) write volume, O(1) pointer flip;
+    a pinned read unions per-version scans filtered on the partition
+    directory columns (pruned at file listing)."""
+    from dmds_spark.core.dims import DimSpec, WorldSpec
+    from dmds_spark.core.scratch import scratch_dir
+    from dmds_spark.sources.registry import load_events
+    from dmds_spark.world import World
+
+    spec = WorldSpec(
+        dims=(
+            DimSpec("event_id", 0, 2**20 - 1, 4096),
+            DimSpec("user_id", 0, 2047, 64),
+        )
+    )
+    root = scratch_dir("tt_world", sf_dir)
+    world = World(spark, spec, root, versioned=True)
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    world.upsert(ev.filter(F.col("event_id") < 3000))
+    world.flush()  # snapshot v1
+    moved = (
+        ev.filter(F.col("event_id") < 100)
+        .withColumn("user_id", (F.col("user_id") + 100) % 2048)
+    )
+    world.upsert(moved)
+    world.delete_ids(range(100, 200))
+    world.upsert(
+        ev.filter((F.col("event_id") >= 3000) & (F.col("event_id") < 5000))
+    )
+    world.flush()  # snapshot v2
+    out = None
+    for v in (1, 2):
+        tagged = world.snapshot(version=v).select(
+            F.lit(v).cast("bigint").alias("version"), "event_id", "user_id"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

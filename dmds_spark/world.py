@@ -276,9 +276,21 @@ class World:
         physical_factors: Sequence[int] | None = None,
         pending_limit: int | None = 64,
         validate: str = "flush",
+        versioned: bool = False,
     ):
         self.spark = spark
         self.spec = spec
+        # versioned=True: every flush/compact COMMITS a new immutable
+        # snapshot version instead of overwriting partitions in place —
+        # data files go to append-only ``_v{N}/`` directories and a
+        # manifest maps each live partition to the version that owns
+        # its current rows (Iceberg-lite). ``snapshot(version=K)``
+        # reads any retained committed state; ``vacuum_snapshots``
+        # reclaims. The reference's 4-byte version header
+        # (tokio-fs/src/lib.rs:89-90) generalized from payload bytes to
+        # table state. Manifests are local-FS JSON (same constraint as
+        # the WriterLock files).
+        self.versioned = bool(versioned)
         self._dim_index = {d.name: i for i, d in enumerate(spec.dims)}
         self.path = path
         if physical_factors is None:
@@ -463,6 +475,9 @@ class World:
         """True iff the world has any persisted data files. Uses the
         Hadoop FileSystem API so any supported scheme (file/hdfs/s3a)
         works; empty partition-directory skeletons don't count."""
+        if self.versioned:
+            v = self.current_version()
+            return v > 0 and bool(self._read_owner(v))
         jvm = self.spark.sparkContext._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = jpath.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
@@ -495,7 +510,13 @@ class World:
         cached = self._base_cache
         if cached is not None and cached[0] == version:
             return cached[1]
-        df = self.spark.read.parquet(self.path) if self.exists() else None
+        if self.versioned:
+            cur = self.current_version()
+            df = (
+                self._resolve_manifest(self._read_owner(cur)) if cur else None
+            )
+        else:
+            df = self.spark.read.parquet(self.path) if self.exists() else None
         self._base_cache = (version, df)
         return df
 
@@ -503,6 +524,155 @@ class World:
         """Force the next read to re-list the directory (needed only
         when an EXTERNAL process wrote the path)."""
         self._base_cache = None
+
+    # -- snapshot manifests (versioned mode) ----------------------------------
+
+    @property
+    def _snapdir(self) -> str:
+        return os.path.join(self.path, "_snapshots")
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"_v{v}")
+
+    def current_version(self) -> int:
+        """Latest committed snapshot version (0 = nothing committed)."""
+        cur = os.path.join(self._snapdir, "current.json")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as fh:
+            return int(json.load(fh)["current"])
+
+    def snapshot_versions(self) -> list[int]:
+        """Every retained committed version, oldest first."""
+        if not os.path.isdir(self._snapdir):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._snapdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _read_owner(self, version: int) -> dict[str, int]:
+        """partition-key ("3/7") -> owning data-version map for one
+        committed snapshot."""
+        p = os.path.join(self._snapdir, f"v{version}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"snapshot v{version} not found (retained: "
+                f"{self.snapshot_versions()})"
+            )
+        with open(p) as fh:
+            return {k: int(v) for k, v in json.load(fh)["owner"].items()}
+
+    def _commit_snapshot(self, v: int, owner: dict[str, int]) -> None:
+        """Write manifest v, then atomically flip current.json — a
+        crash between data write and flip leaves the previous snapshot
+        served and the new files orphaned-but-unread (same discipline
+        as operators/rollup.py)."""
+        from dmds_spark.operators.rollup import _atomic_flip
+
+        os.makedirs(self._snapdir, exist_ok=True)
+        _atomic_flip(
+            os.path.join(self._snapdir, f"v{v}.json"),
+            {"version": v, "owner": owner},
+        )
+        _atomic_flip(
+            os.path.join(self._snapdir, "current.json"), {"current": v}
+        )
+
+    def _part_key(self, row) -> str:
+        return "/".join(str(int(row[c])) for c in self.partition_cols())
+
+    def _commit_version_write(
+        self, out: DataFrame, dirty_keys: set[str] = frozenset()
+    ) -> int:
+        """Write ``out`` (rows + partition cols) as the next immutable
+        version directory, then commit a manifest that carries forward
+        every non-dirty partition from the previous snapshot and points
+        the written partitions at the new version. O(changed) write
+        volume — untouched partitions are never rewritten or copied."""
+        cur = self.current_version()
+        v = cur + 1
+        out.write.partitionBy(*self.partition_cols()).mode(
+            "overwrite"
+        ).parquet(self._version_dir(v))
+        # partition keys from the written directory tree (no Spark job;
+        # bounded by the ~4096 physical-partition cap) — also correct
+        # when the write is EMPTY (all dirty rows deleted): zero keys,
+        # so the dirty partitions simply drop out of the manifest
+        written = self._written_partitions(self._version_dir(v))
+        owner = {
+            k: ov
+            for k, ov in (self._read_owner(cur) if cur else {}).items()
+            if k not in dirty_keys
+        }
+        owner.update({k: v for k in written})
+        self._commit_snapshot(v, owner)
+        return v
+
+    def _written_partitions(self, vdir: str) -> list[str]:
+        """Partition keys ("3/7") present in a just-written version
+        directory, from the c0=../c1=.. layout (local FS, like the
+        manifests)."""
+        ndims = self.spec.ndims
+        keys = []
+        for root, _dirs, files in os.walk(vdir):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            rel = os.path.relpath(root, vdir)
+            parts = [
+                seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)
+                if "=" in seg
+            ]
+            if len(parts) == ndims:
+                keys.append("/".join(str(int(p)) for p in parts))
+        return keys
+
+    def vacuum_snapshots(self, retain_last: int = 1) -> int:
+        """Drop manifests older than the newest ``retain_last`` and
+        delete every version directory no retained manifest references.
+        Returns directories deleted. Readers pinned to a vacuumed
+        snapshot fail loudly on their next manifest resolve."""
+        import shutil
+
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        vs = self.snapshot_versions()
+        keep, drop = vs[-retain_last:], vs[:-retain_last]
+        referenced = set()
+        for v in keep:
+            referenced.update(self._read_owner(v).values())
+        for v in drop:
+            os.remove(os.path.join(self._snapdir, f"v{v}.json"))
+        deleted = 0
+        for v in drop:
+            if v not in referenced and os.path.isdir(self._version_dir(v)):
+                shutil.rmtree(self._version_dir(v))
+                deleted += 1
+        return deleted
+
+    def _resolve_manifest(self, owner: dict[str, int]) -> DataFrame | None:
+        """Manifest -> DataFrame: for each data version owning live
+        partitions, ONE scan of its ``_v{K}`` directory filtered (on
+        the partition-directory columns, so pruning happens at file
+        listing) to the partitions it still owns; union across
+        versions. The filter is an isin over at most ~4096 keys (the
+        physical-partition bound ``_default_factors`` enforces)."""
+        if not owner:
+            return None
+        by_ver: dict[int, list[str]] = {}
+        for key, ver in owner.items():
+            by_ver.setdefault(ver, []).append(key)
+        pcols = self.partition_cols()
+        tag = F.concat_ws("/", *[F.col(c).cast("string") for c in pcols])
+        out = None
+        for ver in sorted(by_ver):
+            part = self.spark.read.parquet(self._version_dir(ver)).filter(
+                tag.isin(by_ver[ver])
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     # -- write path (reference: src/world.rs:553-584) -------------------------
 
@@ -697,10 +867,28 @@ class World:
         """Full-scan seed (reference src/world.rs:332-335)."""
         return Select.all(self.spec)
 
-    def snapshot(self) -> DataFrame:
+    def snapshot(self, version: int | None = None) -> DataFrame:
         """Current logical state: on-disk chunks merged with the pending
         buffer (the reference's iterator merges buffered chunks with IO
-        chunks, src/world/iter.rs:726-750)."""
+        chunks, src/world/iter.rs:726-750).
+
+        ``version=N`` (versioned worlds only) pins the read to committed
+        snapshot N — exactly the rows that flush served, EXCLUDING any
+        pending buffer: the manifest is immutable, so the same version
+        hashes identically forever however much the world advances
+        (corpus-release reproducibility at 100 TB)."""
+        if version is not None:
+            if not self.versioned:
+                raise ValueError(
+                    "version-pinned reads need World(versioned=True)"
+                )
+            pinned = self._resolve_manifest(self._read_owner(version))
+            if pinned is None:
+                schema = T.StructType(
+                    [T.StructField(d.name, T.LongType()) for d in self.spec.dims]
+                )
+                return self.spark.createDataFrame([], schema)
+            return pinned.drop(*self.partition_cols())
         base = self._base()
         live, touched = self._resolved_pending()
         id_col = self.spec.id_dim.name
@@ -858,9 +1046,12 @@ class World:
 
         if base is None:
             out = self._with_partition_cols(live)
-            out.write.partitionBy(*self.partition_cols()).mode(
-                "overwrite"
-            ).parquet(self.path)
+            if self.versioned:
+                self._commit_version_write(out)
+            else:
+                out.write.partitionBy(*self.partition_cols()).mode(
+                    "overwrite"
+                ).parquet(self.path)
             self._ops = []
             return n_ops
 
@@ -894,8 +1085,17 @@ class World:
         live_cast = self._align_to(live, base_part)
         merged = kept.unionByName(live_cast, allowMissingColumns=True)
         out = self._with_partition_cols(merged)
-        # localCheckpoint: materialize BEFORE overwriting the files
-        # we just read (self-overwrite is undefined otherwise)
+        if self.versioned:
+            # fresh immutable version dir: no self-overwrite, so no
+            # materialization barrier; vanished partitions drop out of
+            # the manifest instead of needing directory cleanup
+            self._commit_version_write(
+                out, {"/".join(str(int(x)) for x in pos) for pos in dirty}
+            )
+            self._ops = []
+            return n_ops
+        # materialize BEFORE overwriting the files we just read
+        # (self-overwrite is undefined otherwise)
         out = out.transform(materialize)
         (
             out.write.partitionBy(*self.partition_cols())
@@ -1017,14 +1217,20 @@ class World:
                 # sorted within it for row-group stats pruning
                 .repartition(*[F.col(c) for c in pcols])
                 .sortWithinPartitions(*pcols, sort_key)
-                .transform(materialize)  # materialize before self-overwrite
             )
-            (
-                out.write.partitionBy(*pcols)
-                .mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(self.path)
-            )
+            if self.versioned:
+                keys = {self._part_key(r) for r in frag_df.collect()}
+                self._commit_version_write(out, keys)
+            else:
+                # materialize before self-overwrite (fresh version dirs
+                # don't need the barrier)
+                out = out.transform(materialize)
+                (
+                    out.write.partitionBy(*pcols)
+                    .mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(self.path)
+                )
             self._writer_lock.data_version += 1  # invalidate base caches
             return n_frag
 

@@ -1,0 +1,134 @@
+"""Pins for the persisted incremental IVF index
+(operators/incremental_ivf.py): increment-union == full rebuild,
+replay safety, search correctness vs brute force, compaction, and the
+frozen-centroid contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _anchor_rows(emb):
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    return [list(r["embedding"]) for r in rows]
+
+
+def _assign_set(df):
+    return sorted((r["vec_id"], r["cluster"]) for r in df.collect())
+
+
+def test_two_increments_equal_full_rebuild(spark, emb, tmp_path):
+    anchors = _anchor_rows(emb)
+
+    inc = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "inc"), "vec_id", "embedding"
+    )
+    inc.set_centroids(anchors)
+    inc.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    inc.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    full = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "full"), "vec_id", "embedding"
+    )
+    full.set_centroids(anchors)
+    full.fold_batch(emb, 0)
+
+    a, b = _assign_set(inc.assignments()), _assign_set(full.assignments())
+    assert a == b and len(a) == emb.count()
+
+
+def test_trained_centroids_path(spark, emb, tmp_path):
+    """k-means training freezes a quantizer that assigns every vector
+    (engine path — iterative, so no SQL oracle; the anchor path is the
+    oracle-checked one)."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "t"), "vec_id", "embedding"
+    )
+    idx.train(emb, k=4, iters=2)
+    assert idx.centroids().count() == 4
+    idx.fold_batch(emb, 0)
+    clusters = {r["cluster"] for r in idx.assignments().collect()}
+    assert clusters <= {0, 1, 2, 3} and idx.assignments().count() == emb.count()
+
+
+def test_fold_batch_replay_is_idempotent(spark, emb, tmp_path):
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "r"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    n1 = idx.assignments().count()
+    res = idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)  # replay
+    assert res["skipped"] is True
+    assert idx.assignments().count() == n1
+
+
+def test_search_matches_bruteforce_on_probed_cells(spark, emb, tmp_path):
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "s"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = idx.search(q, topk=5, nprobe=8)  # all cells -> exact topk
+    # brute force over everything (nprobe=k means no pruning)
+    import math
+
+    qn = math.sqrt(sum(x * x for x in q))
+    rows = emb.collect()
+
+    def cos(v):
+        vn = math.sqrt(sum(float(x) ** 2 for x in v))
+        return sum(float(a) * b for a, b in zip(v, q)) / (vn * qn)
+
+    want = sorted(((-cos(r["embedding"]), r["vec_id"]) for r in rows))[:5]
+    assert [r["vec_id"] for r in got.collect()] == [v for _, v in want]
+
+
+def test_search_prunes_partitions(spark, emb, tmp_path):
+    """nprobe < k must reach the scan as a partition filter on the
+    cluster directory column — the IVF point."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "p"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    q = [1.0] * 64
+    plan = idx.search(q, topk=3, nprobe=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
+        "cluster #", "cluster#"
+    ) or "cluster" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_compact_preserves_assignments(spark, emb, tmp_path):
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "c"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    before = _assign_set(idx.assignments())
+    out = idx.compact()
+    assert out == {"compacted": True, "versions": 1}
+    assert _assign_set(idx.assignments()) == before
+
+
+def test_retrain_over_assignments_refused(spark, emb, tmp_path):
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "g"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    with pytest.raises(ValueError, match="retrain"):
+        idx.set_centroids(_anchor_rows(emb))

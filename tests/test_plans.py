@@ -1441,3 +1441,32 @@ def test_softdedup_weights_no_all_pairs(spark, qs):
     plan = physical_plan(qs["sample_softdedup_weights"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_extract_is_single_projection(spark, qs):
+    """The whole HTML->text extractor must fuse into the scan
+    projection: zero exchanges, zero Python (a UDF here would cap the
+    ingest chain at Python speed on 100 TB of crawl bytes)."""
+    df = qs["web_html_extract"](spark, SF)
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_web_ingest_two_aggregates_no_join(spark, qs):
+    """html->extract->canonicalize fuse into the scan; then exactly two
+    hash aggregates (canon_url dedup, domain rollup) and NO join — the
+    keeper's stats ride along via min_by."""
+    df = qs["pipeline_web_ingest"](spark, SF)
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_kmeans_assign_broadcasts_centers(spark, qs):
+    """Both Lloyd rounds must broadcast the k centers — a shuffle of
+    the embeddings side per round would dominate at scale."""
+    plan = physical_plan(qs["embedding_kmeans_assign"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastExchange"
+    ) >= 2

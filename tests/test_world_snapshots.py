@@ -1,0 +1,147 @@
+"""Versioned-World pins (world.py ``versioned=True``): manifest-pinned
+time travel, immutable snapshot hashes, O(changed) write volume,
+delete-to-empty partitions, compaction under versioning, and vacuum.
+
+Reference analogue: the 4-byte payload version header
+(tokio-fs/src/lib.rs:89-90) generalized from item bytes to table
+state — a committed snapshot is forever re-readable byte-identically,
+which is what corpus-release reproducibility needs at 100 TB."""
+
+import os
+
+import pytest
+
+from dmds_spark.core.dims import DimSpec, WorldSpec
+from dmds_spark.world import World
+
+
+def spec_1024() -> WorldSpec:
+    return WorldSpec(
+        (
+            DimSpec("dim0", 0, 1023, 8),
+            DimSpec("dim1", 0, 1023, 16),
+        )
+    )
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    return World(
+        spark,
+        spec_1024(),
+        str(tmp_path / "w"),
+        physical_factors=(1, 1),
+        versioned=True,
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.select("dim0", "dim1").collect())
+
+
+def test_pinned_read_survives_later_flushes(world):
+    """write -> flush -> write -> flush; v1 reads the same while v2
+    exists — the VERDICT acceptance."""
+    world.insert_rows([{"dim0": 10, "dim1": 39}])
+    world.flush()
+    assert world.current_version() == 1
+    v1_then = rows(world.snapshot(version=1))
+    world.insert_rows([{"dim0": 114, "dim1": 514}, {"dim0": 10, "dim1": 40}])
+    world.flush()
+    assert world.current_version() == 2
+    assert rows(world.snapshot(version=1)) == v1_then == [(10, 39)]
+    assert rows(world.snapshot(version=2)) == [(10, 40), (114, 514)]
+    assert rows(world.snapshot()) == [(10, 40), (114, 514)]
+
+
+def test_reads_and_selects_resolve_manifest(spark, world, tmp_path):
+    world.insert_rows([{"dim0": 114, "dim1": 514}, {"dim0": 10, "dim1": 39}])
+    world.flush()
+    assert rows(world.get(114)) == [(114, 514)]
+    assert rows(world.read(world.select(0, slice(None, 20)))) == [(10, 39)]
+    # a fresh World on the same path resolves the same manifest
+    w2 = World(
+        spark, spec_1024(), world.path, physical_factors=(1, 1),
+        versioned=True,
+    )
+    assert rows(w2.read(w2.select_all())) == [(10, 39), (114, 514)]
+
+
+def test_flush_is_o_changed(world):
+    """An untouched partition's file must NOT be rewritten by a flush
+    that only dirties a different partition (O(changed) write volume)."""
+    world.insert_rows([{"dim0": 10, "dim1": 39}])   # c0=1/c1=2
+    world.flush()
+    world.insert_rows([{"dim0": 900, "dim1": 900}])  # far-away chunk
+    world.flush()
+    owner = world._read_owner(2)
+    assert owner["1/2"] == 1       # untouched: still served from _v1
+    assert owner["112/56"] == 2    # 900//8=112, 900//16=56
+    assert os.path.isdir(world._version_dir(1))
+    assert os.path.isdir(world._version_dir(2))
+
+
+def test_delete_empties_partition_out_of_manifest(world):
+    world.insert_rows([{"dim0": 10, "dim1": 39}])
+    world.flush()
+    world.delete_ids([10])
+    world.flush()
+    assert rows(world.snapshot()) == []
+    assert world._read_owner(2) == {}
+    assert rows(world.snapshot(version=1)) == [(10, 39)]  # time travel
+
+
+def test_update_relocation_across_versions(world):
+    """An id that moves chunks must vanish from its old partition in
+    the NEW snapshot while the OLD snapshot still shows it there."""
+    world.insert_rows([{"dim0": 10, "dim1": 39}])
+    world.flush()
+    world.insert_rows([{"dim0": 10, "dim1": 900}])  # relocate dim1
+    world.flush()
+    assert rows(world.snapshot(version=1)) == [(10, 39)]
+    assert rows(world.snapshot(version=2)) == [(10, 900)]
+    assert rows(world.get(10)) == [(10, 900)]
+
+
+def test_compact_versioned(world):
+    """Fragmented partitions compact into a new version; content and
+    prior snapshots unchanged."""
+    for i in range(3):
+        world.insert_rows([{"dim0": 10 + i, "dim1": 30 + i}])
+        world.flush()
+    before = rows(world.snapshot())
+    n = world.compact(max_files_per_partition=1)
+    assert n >= 1
+    assert rows(world.snapshot()) == before
+    assert rows(world.snapshot(version=1)) == [(10, 30)]
+
+
+def test_vacuum_drops_unreferenced_versions(world):
+    world.insert_rows([{"dim0": 10, "dim1": 39}])
+    world.flush()
+    world.insert_rows([{"dim0": 10, "dim1": 40}])  # rewrites the chunk
+    world.flush()
+    assert world.snapshot_versions() == [1, 2]
+    deleted = world.vacuum_snapshots(retain_last=1)
+    assert deleted == 1 and not os.path.isdir(world._version_dir(1))
+    assert rows(world.snapshot()) == [(10, 40)]
+    with pytest.raises(ValueError, match="not found"):
+        world.snapshot(version=1)
+
+
+def test_vacuum_retains_referenced_old_dirs(world):
+    """A version dir still referenced by a retained manifest must
+    survive vacuum even when its own manifest is dropped."""
+    world.insert_rows([{"dim0": 10, "dim1": 39}])   # v1 partition A
+    world.flush()
+    world.insert_rows([{"dim0": 900, "dim1": 900}])  # v2 partition B
+    world.flush()
+    deleted = world.vacuum_snapshots(retain_last=1)
+    assert deleted == 0  # _v1 still owns partition A in manifest v2
+    assert rows(world.snapshot()) == [(10, 39), (900, 900)]
+
+
+def test_unversioned_world_rejects_pinned_read(spark, tmp_path):
+    w = World(spark, spec_1024(), str(tmp_path / "u"), physical_factors=(1, 1))
+    with pytest.raises(ValueError, match="versioned"):
+        w.snapshot(version=1)
