@@ -132,3 +132,37 @@ def test_retrain_over_assignments_refused(spark, emb, tmp_path):
     idx.fold_batch(emb, 0)
     with pytest.raises(ValueError, match="retrain"):
         idx.set_centroids(_anchor_rows(emb))
+
+
+def test_stream_foreach_batch_matches_batch(spark, emb, tmp_path):
+    """Drive the IVF index from a real micro-batched stream (one file
+    per trigger): the accumulated assignments must equal a single
+    full-batch ingest against the same frozen centroids."""
+    anchors = _anchor_rows(emb)
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "stream"), "vec_id", "embedding"
+    )
+    idx.set_centroids(anchors)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part-*.parquet")
+    )
+    q = (
+        sdf.writeStream.foreachBatch(idx.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    full = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "full"), "vec_id", "embedding"
+    )
+    full.set_centroids(anchors)
+    full.fold_batch(emb, 0)
+    assert _assign_set(idx.assignments()) == _assign_set(full.assignments())
