@@ -279,6 +279,8 @@ ADDITIONS = [
     "rollup_incremental_ivf",
     "dmds_snapshot_timetravel",
     "embedding_kmeans_assign",
+    "web_html_links",
+    "dmds_snapshot_diff",
 ]
 
 

@@ -64,9 +64,12 @@ _HTML_TMPL = (
     " || '<h1 class=\"hero\">' || upper(lang) || ' &amp; ' || upper(source)"
     " || ' &lt;daily&gt;</h1>'"
     " || '<p>Fish &amp; chips&nbsp;deal: ' || substr(text, 1, 120)"
+    " || ' <a href=\"https://' || source || '-site.net/' || lang"
+    " || '/Page/' || CAST((doc_id + 1) % 40 AS {S}) || '\">next</a>'"
     " || ' <b>more</b> below.</p>'"
     " || CASE WHEN doc_id % 3 = 0 THEN '<div class=\"c2\">'"
-    " || substr(text, 121, 120) || '</div>' ELSE '' END"
+    " || substr(text, 121, 120) || ' <a href=\"https://hub.example.org/'"
+    " || source || '\">hub</a></div>' ELSE '' END"
     " || '<footer>Contact &quot;' || source || '&quot;</footer>'"
     " || '</body></HTML>')"
 )
@@ -391,3 +394,144 @@ def dmds_snapshot_timetravel(spark, sf_dir):
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out
+
+
+# ---------------------------------------------------------------------------
+# hyperlink extraction: the web-graph ingest (html -> edge list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "web_html_links",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, {_HTML_DUCK} AS html FROM documents
+    ), l AS (
+      SELECT doc_id, source,
+             UNNEST(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+      FROM h
+    )
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_ref_sources,
+           MIN(doc_id) AS first_doc
+    FROM l GROUP BY href
+    """,
+)
+def web_html_links(spark, sf_dir):
+    """Hyperlink extraction — the web-GRAPH ingest stage: pull every
+    href out of the raw HTML (regexp_extract_all, one codegen
+    projection) and aggregate the inlink profile per target URL
+    (inlink count, distinct referring sources, first referrer). This
+    edge list is exactly what the graph family (graph_pagerank,
+    degree distributions) consumes; together with web_html_extract it
+    completes crawl bytes -> {{text, links}}.
+
+    Shape at scale: scan-fused extraction + explode (bounded by links
+    per page) + ONE hash aggregate keyed on the target URL —
+    high-cardinality, no skew pole beyond what AQE absorbs."""
+    h = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(_HTML_SPARK).alias("html")
+    )
+    links = h.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")
+        ).alias("href"),
+    )
+    return links.groupBy("href").agg(
+        F.count("*").cast("bigint").alias("n_inlinks"),
+        F.countDistinct("source").cast("bigint").alias("n_ref_sources"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# release audit: row-level diff between two committed World snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dmds_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT event_id, user_id FROM events WHERE event_id < 3000
+    ), v2 AS (
+      SELECT event_id, (user_id + 100) % 2048 AS user_id FROM events
+      WHERE event_id < 100
+      UNION ALL
+      SELECT event_id, user_id FROM events
+      WHERE event_id >= 200 AND event_id < 5000
+    ), d AS (
+      SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+             CASE WHEN v1.event_id IS NULL THEN 'added'
+                  WHEN v2.event_id IS NULL THEN 'removed'
+                  WHEN v1.user_id <> v2.user_id THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM d GROUP BY status
+    """,
+)
+def dmds_snapshot_diff(spark, sf_dir):
+    """Release audit between two committed World snapshots: full-outer
+    join v1 against v2 on the id dim and classify every row
+    added/removed/changed/unchanged — the what-changed-in-this-release
+    report a 100 TB corpus pipeline publishes next to each snapshot
+    (profile_snapshot_diff does this for parquet releases; this is the
+    same audit on the engine's OWN versioned store, reading both
+    versions out of one manifest-pinned World).
+
+    Shape at scale: two manifest-resolved scans + one full-outer
+    equi-join on the id (both sides chunk-partitioned by that id, so
+    the join shuffles at most once) + a 4-row aggregate."""
+    from dmds_spark.core.dims import DimSpec, WorldSpec
+    from dmds_spark.core.scratch import scratch_dir
+    from dmds_spark.sources.registry import load_events
+    from dmds_spark.world import World
+
+    spec = WorldSpec(
+        dims=(
+            DimSpec("event_id", 0, 2**20 - 1, 4096),
+            DimSpec("user_id", 0, 2047, 64),
+        )
+    )
+    root = scratch_dir("diff_world", sf_dir)
+    world = World(spark, spec, root, versioned=True)
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    world.upsert(ev.filter(F.col("event_id") < 3000))
+    world.flush()
+    world.upsert(
+        ev.filter(F.col("event_id") < 100)
+        .withColumn("user_id", (F.col("user_id") + 100) % 2048)
+    )
+    world.delete_ids(range(100, 200))
+    world.upsert(
+        ev.filter((F.col("event_id") >= 3000) & (F.col("event_id") < 5000))
+    )
+    world.flush()
+    v1 = world.snapshot(version=1).select(
+        F.col("event_id").alias("id1"), F.col("user_id").alias("u1")
+    )
+    v2 = world.snapshot(version=2).select(
+        F.col("event_id").alias("id2"), F.col("user_id").alias("u2")
+    )
+    d = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("event_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("u1") != F.col("u2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
