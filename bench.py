@@ -281,6 +281,7 @@ ADDITIONS = [
     "embedding_kmeans_assign",
     "web_html_links",
     "dmds_snapshot_diff",
+    "similarity_ivf_probe_sweep",
 ]
 
 

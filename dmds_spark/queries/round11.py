@@ -535,3 +535,138 @@ def dmds_snapshot_diff(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF geometry acceptance: recall@10 as a function of nprobe
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_NQ = 20
+_IVF_TOPK = 10
+
+
+@register(
+    "similarity_ivf_probe_sweep",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC, a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    ), cells AS (
+      SELECT vec_id, embedding, aid FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM cells
+      WHERE vec_id < {_IVF_NQ}
+    ), cellrank AS (
+      SELECT q.qid, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid
+             ) AS r
+      FROM q CROSS JOIN anchors a
+    ), exact AS (
+      SELECT q.qid, c.vec_id, c.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM q JOIN cells c ON c.vec_id <> q.qid
+    ), top10 AS (
+      SELECT qid, vec_id, aid FROM exact WHERE rn <= {_IVF_TOPK}
+    ), probes AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe)
+    SELECT CAST(p.nprobe AS BIGINT) AS nprobe,
+           CAST(SUM(CASE WHEN cr.r <= p.nprobe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(CAST(SUM(CASE WHEN cr.r <= p.nprobe THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS recall
+    FROM top10 t
+    JOIN cellrank cr ON t.qid = cr.qid AND t.aid = cr.aid
+    CROSS JOIN probes p
+    GROUP BY p.nprobe
+    """,
+)
+def similarity_ivf_probe_sweep(spark, sf_dir):
+    """The IVF acceptance loop: exact recall@{_IVF_TOPK} of cell-probed
+    search as a function of nprobe (1/2/4/8 of the {_IVF_K} cells), over
+    {_IVF_NQ} query vectors against EXACT brute-force truth — the
+    geometry-tuning report that decides how many cells a production
+    search must probe (the persisted index in operators/
+    incremental_ivf.py serves the probes; this query prices them).
+    Same acceptance shape as similarity_lsh_recall_report.
+
+    Shape at scale: truth is queries x corpus with the {_IVF_NQ}
+    queries as the broadcast side (never a corpus shuffle); cell
+    assignment and cell ranking are corpus x k and queries x k; the
+    sweep itself is a 4-way constant explode over a
+    {_IVF_NQ}x{_IVF_TOPK}-row table."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    anchors = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cos(x, y):
+        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+    wa = W.partitionBy("vec_id").orderBy(
+        cos(F.col("embedding"), F.col("av")).desc(), F.col("aid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(anchors))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "aid")
+    )
+    q = cells.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    wr = W.partitionBy("qid").orderBy(
+        cos(F.col("qv"), F.col("av")).desc(), F.col("aid")
+    )
+    cellrank = (
+        q.crossJoin(F.broadcast(anchors))
+        .withColumn("r", F.row_number().over(wr))
+        .select("qid", "aid", "r")
+    )
+    we = W.partitionBy("qid").orderBy(
+        cos(F.col("qv"), F.col("embedding")).desc(), F.col("vec_id")
+    )
+    top10 = (
+        cells.join(F.broadcast(q), cells.vec_id != q.qid)
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("qid", "vec_id", "aid")
+    )
+    probes = F.explode(F.array(*[F.lit(p) for p in (1, 2, 4, 8)])).alias(
+        "nprobe"
+    )
+    hit = (F.col("r") <= F.col("nprobe")).cast("long")
+    return (
+        top10.join(F.broadcast(cellrank), ["qid", "aid"])
+        .select("qid", "r", probes)
+        .groupBy(F.col("nprobe").cast("bigint").alias("nprobe"))
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.count("*").cast("bigint").alias("n_total"),
+            (F.sum(hit).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("recall"),
+        )
+    )
