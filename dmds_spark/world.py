@@ -289,7 +289,14 @@ class World:
         # reclaims. The reference's 4-byte version header
         # (tokio-fs/src/lib.rs:89-90) generalized from payload bytes to
         # table state. Manifests are local-FS JSON (same constraint as
-        # the WriterLock files).
+        # the WriterLock files). The ``_`` prefix is deliberate: Spark
+        # file indexes treat it as hidden (same convention as
+        # ``_delta_log``), so a naive ``spark.read.parquet(root)`` of a
+        # versioned world sees NOTHING instead of double-counting every
+        # version — readers must come through the manifest. Each commit
+        # logs one cosmetic "DataSource: All paths were ignored" WARN
+        # (write-side resolution of the hidden target dir); explicit
+        # per-directory reads are unaffected.
         self.versioned = bool(versioned)
         self._dim_index = {d.name: i for i, d in enumerate(spec.dims)}
         self.path = path

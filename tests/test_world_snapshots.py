@@ -145,3 +145,16 @@ def test_unversioned_world_rejects_pinned_read(spark, tmp_path):
     w = World(spark, spec_1024(), str(tmp_path / "u"), physical_factors=(1, 1))
     with pytest.raises(ValueError, match="versioned"):
         w.snapshot(version=1)
+
+
+def test_version_dirs_hidden_from_naive_root_scan(spark, world):
+    """The _v{N} prefix is deliberate: Spark file indexes treat
+    underscore paths as hidden (the _delta_log convention), so a naive
+    spark.read.parquet(root) of a versioned world must see NOTHING —
+    never a double-count of every retained version."""
+    world.insert_rows([{"dim0": 10, "dim1": 39}])
+    world.flush()
+    world.insert_rows([{"dim0": 10, "dim1": 40}])
+    world.flush()
+    with pytest.raises(Exception, match="[Uu]nable to infer schema|PATH"):
+        spark.read.parquet(world.path).count()
