@@ -313,12 +313,19 @@ def main() -> int:
 
     def consume_hash(df) -> None:
         # forces full materialization of every output column (see
-        # module docstring); falls back to count() for output types
-        # xxhash64 cannot hash (maps) — the fallback raises at ANALYSIS
-        # time, before any execution, so nothing runs twice
+        # module docstring). bit_xor, not sum: summing random 64-bit
+        # hashes overflows ANSI long arithmetic almost immediately,
+        # while xor is overflow-free and order-independent. Falls back
+        # to count() for output types xxhash64 cannot hash (maps) —
+        # that fallback raises at ANALYSIS time, before any execution,
+        # so nothing runs twice
         try:
             reducer = df.agg(
-                F.sum(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
+                F.expr(
+                    "bit_xor(xxhash64(struct("
+                    + ", ".join(f"`{c}`" for c in df.columns)
+                    + ")))"
+                )
             )
         except Exception:  # noqa: BLE001 — unhashable output schema
             df.count()

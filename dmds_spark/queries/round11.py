@@ -670,3 +670,88 @@ def similarity_ivf_probe_sweep(spark, sf_dir):
             .alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style filter, codegen)
+# ---------------------------------------------------------------------------
+
+_QLIN_BUCKETS = 64
+# feature hash: token -> bucket (the hashing trick); weight per bucket
+# derived deterministically from md5 of the bucket index — standing in
+# for learned weights with the same integer-exact execution shape
+_QLIN_BUCKET = (
+    "(('0x' || substr(md5(w), 1, 15))::BIGINT % {B})"
+)
+_QLIN_WEIGHT = (
+    "((('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001)"
+    " - 1000)"
+)
+
+
+@register(
+    "text_quality_linear_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             {_QLIN_BUCKET.format(B=_QLIN_BUCKETS)} AS b
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             CAST(SUM({_QLIN_WEIGHT}) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, source, score, n_tokens,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored
+    """,
+)
+def text_quality_linear_score(spark, sf_dir):
+    """Hashed LINEAR quality classifier — the fastText-style filter
+    every large curation pipeline runs between heuristics and model
+    scoring (CCNet/RefinedWeb shape): tokens hash into
+    {_QLIN_BUCKETS} feature buckets (the hashing trick), each bucket
+    carries a weight, the document score is the dot product, and the
+    keep/drop verdict thresholds it. Weights here derive
+    deterministically from md5 of the bucket id — the stand-in for
+    learned weights with the IDENTICAL execution shape (swap the
+    weight expression for a literal array lookup of trained values and
+    nothing else changes). All integer-exact, so the oracle hash pins
+    every token's feature hash and the full dot product.
+
+    Shape at scale: explode -> ONE hash aggregate keyed on doc_id
+    (map-side partial sums the weights); the 'model' lives in the
+    expression — no join, no UDF, no driver round trip; at real vocab
+    sizes the weight vector becomes a broadcast array literal indexed
+    by the bucket, still codegen."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    bucket = F.expr(
+        f"conv(substr(md5(w), 1, 15), 16, 10) % {_QLIN_BUCKETS}"
+    ).cast("long")
+    weight = (
+        F.expr(
+            "conv(substr(md5(CAST(b AS STRING)), 1, 15), 16, 10)"
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    f = tok.select("doc_id", "source", bucket.alias("b"))
+    scored = f.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.sum(weight).cast("bigint").alias("score"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        "n_tokens",
+        F.when(F.col("score") >= 0, "keep").otherwise("drop").alias("verdict"),
+    )

@@ -193,3 +193,25 @@ def test_total_order_key_negative_and_wide_values(spark):
     )
     assert [r.x for r in rows] == sorted(vals)
     assert all(len(r.k) == 20 for r in rows)
+
+
+def test_sortable_int64_random_bulk(spark):
+    """Seeded-random bulk pin across the whole i64 range: lexicographic
+    order of the key must equal numeric order (300 draws incl. the
+    domain extremes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dmds_spark.functions.keys import sortable_int64
+
+    rng = random.Random(42)
+    vals = list({rng.randint(-(2**63), 2**63 - 1) for _ in range(300)})
+    vals += [-(2**63), 2**63 - 1, 0, -1, 1]
+    df = spark.createDataFrame([(v,) for v in set(vals)], "x long")
+    rows = (
+        df.select("x", sortable_int64(F.col("x")).alias("k"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.x for r in rows] == sorted({*vals})
