@@ -6,7 +6,7 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Consumers: the COMPARABLE-21 run under count() — the exact action the
 reference baseline was measured with, so the BASELINE.md ratios stay
 like-for-like. ADDITIONS run under a hash-reducing aggregate
-(sum(xxhash64(struct(*)))) that forces EVERY output column of every
+(bit_xor(xxhash64(struct(*)))) that forces EVERY output column of every
 row to materialize: under count(), Catalyst prunes unreferenced
 projections, so pure-projection queries (scalar_*, text_pii_redact,
 web_url_canonicalize) would report scan cost instead of their real
@@ -282,6 +282,7 @@ ADDITIONS = [
     "web_html_links",
     "dmds_snapshot_diff",
     "similarity_ivf_probe_sweep",
+    "text_quality_linear_score",
 ]
 
 
