@@ -283,6 +283,7 @@ ADDITIONS = [
     "dmds_snapshot_diff",
     "similarity_ivf_probe_sweep",
     "text_quality_linear_score",
+    "pipeline_web_curation_full",
 ]
 
 

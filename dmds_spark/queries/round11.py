@@ -683,10 +683,11 @@ _QLIN_BUCKETS = 64
 _QLIN_BUCKET = (
     "(('0x' || substr(md5(w), 1, 15))::BIGINT % {B})"
 )
-_QLIN_WEIGHT = (
-    "((('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001)"
-    " - 1000)"
+_QLIN_WEIGHT_T = (
+    "((('0x' || substr(md5(CAST({EXPR} AS VARCHAR)), 1, 15))::BIGINT"
+    " % 2001) - 1000)"
 )
+_QLIN_WEIGHT = _QLIN_WEIGHT_T.format(EXPR="b")
 
 
 @register(
@@ -754,4 +755,115 @@ def text_quality_linear_score(spark, sf_dir):
         "score",
         "n_tokens",
         F.when(F.col("score") >= 0, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the FULL curation funnel from raw crawl bytes (flagship composite)
+# ---------------------------------------------------------------------------
+
+_WCF_MIN_CHARS = 150
+_WCF_LANGS = ("en", "de", "fr", "es")
+
+
+@register(
+    "pipeline_web_curation_full",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, {_HTML_DUCK} AS html FROM documents
+    ), e AS (
+      SELECT doc_id, lang, source,
+             replace({_extract_sql('duck')}, chr(10), ' ') AS text
+      FROM h
+    ), f AS (
+      SELECT doc_id, lang, source, text, length(text) AS n_ch,
+             UNNEST(string_split(text, ' ')) AS w
+      FROM e
+    ), scored AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, ANY_VALUE(text) AS text,
+             ANY_VALUE(n_ch) AS n_ch,
+             CAST(SUM({_QLIN_WEIGHT_T.format(EXPR=_QLIN_BUCKET.format(B=_QLIN_BUCKETS))})
+                  AS BIGINT) AS score
+      FROM f GROUP BY doc_id
+    ), staged AS (
+      SELECT doc_id,
+             CASE WHEN n_ch < {_WCF_MIN_CHARS} THEN '1_too_short'
+                  WHEN lang NOT IN {_WCF_LANGS} THEN '2_lang'
+                  WHEN score < 0 THEN '3_quality'
+                  WHEN ROW_NUMBER() OVER (
+                         PARTITION BY md5(text) ORDER BY doc_id
+                       ) > 1 THEN '4_exact_dup'
+                  ELSE '5_kept' END AS stage
+      FROM scored
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM staged GROUP BY stage
+    """,
+)
+def pipeline_web_curation_full(spark, sf_dir):
+    """The FULL curation funnel from raw crawl bytes, end to end in one
+    declarative plan: HTML -> text extraction (the round-11 extractor)
+    -> length gate -> language gate -> hashed-linear quality gate (the
+    fastText-style classifier) -> exact dedup keep-first -> kept, with
+    a per-stage attrition census (count + id checksum) a crawl
+    operator reads as the funnel report. Every stage is the REAL
+    operator registered elsewhere; this composite proves they compose
+    without a seam (the raw-bytes analogue of pipeline_attrition_report,
+    which starts from already-clean text).
+
+    Shape at scale: extraction fuses into the scan; the classifier is
+    explode + ONE doc-keyed hash aggregate; the dup window is
+    hash-partitioned by content digest (key-parallel corpus-wide); the
+    census is a 5-row aggregate. No joins anywhere."""
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        "doc_id", "lang", "source",
+        F.replace(
+            F.expr(_extract_sql("spark").replace("html", _HTML_SPARK)),
+            F.lit("\n"), F.lit(" "),
+        ).alias("text"),
+    )
+    tok = e.select(
+        "doc_id", "lang", "text",
+        F.length("text").alias("n_ch"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    bucket = F.expr(
+        f"conv(substr(md5(w), 1, 15), 16, 10) % {_QLIN_BUCKETS}"
+    ).cast("long")
+    weight = (
+        F.expr(
+            "conv(substr(md5(CAST(b AS STRING)), 1, 15), 16, 10)"
+        ).cast("long") % 2001 - 1000
+    )
+    scored = (
+        tok.select("doc_id", "lang", "text", "n_ch", bucket.alias("b"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("text").alias("text"),
+            F.any_value("n_ch").alias("n_ch"),
+            F.sum(weight).cast("bigint").alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    stage = (
+        F.when(F.col("n_ch") < _WCF_MIN_CHARS, "1_too_short")
+        .when(~F.col("lang").isin(*_WCF_LANGS), "2_lang")
+        .when(F.col("score") < 0, "3_quality")
+        .when(rn > 1, "4_exact_dup")
+        .otherwise("5_kept")
+    )
+    return (
+        scored.select(stage.alias("stage"), "doc_id")
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
     )

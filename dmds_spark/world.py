@@ -964,14 +964,25 @@ class World:
         return df.count()
 
     def export_chunk_tree(self, root: str, version: int = 0,
-                          payload_col: str | None = None, nested: bool = True) -> int:
+                          payload_col: str | None = None, nested: bool = True,
+                          snapshot_version: int | None = None) -> int:
         """Write the world's current snapshot as a reference-compatible
         chunk tree (one file per chunk, items sorted by id — the
-        BTreeMap order, src/world.rs:25). Returns chunk files written."""
+        BTreeMap order, src/world.rs:25). Returns chunk files written.
+
+        ``snapshot_version`` (versioned worlds) exports a PINNED
+        committed snapshot instead of the live state — publishing
+        release v{K} in the reference engine's own on-disk format,
+        reproducibly, however far the world has advanced since."""
         from dmds_spark.sources.codec import write_chunk_tree
 
+        src = (
+            self.snapshot(version=snapshot_version)
+            if snapshot_version is not None
+            else self.snapshot()
+        )
         return write_chunk_tree(
-            self.snapshot(), root, self.spec, version,
+            src, root, self.spec, version,
             payload_col=payload_col, nested=nested,
         )
 

@@ -158,3 +158,23 @@ def test_version_dirs_hidden_from_naive_root_scan(spark, world):
     world.flush()
     with pytest.raises(Exception, match="[Uu]nable to infer schema|PATH"):
         spark.read.parquet(world.path).count()
+
+
+def test_export_pinned_snapshot_as_reference_tree(spark, world, tmp_path):
+    """A PINNED snapshot exports as a reference-compatible chunk tree
+    (release v1 in the reference's own on-disk format) and re-imports
+    byte-faithfully — however far the world advanced since."""
+    world.insert_rows([{"dim0": 10, "dim1": 39}, {"dim0": 114, "dim1": 514}])
+    world.flush()                                   # v1
+    world.insert_rows([{"dim0": 10, "dim1": 40}])   # advance
+    world.delete_ids([114])
+    world.flush()                                   # v2
+    tree = str(tmp_path / "tree_v1")
+    n_files = world.export_chunk_tree(tree, snapshot_version=1)
+    assert n_files >= 1
+    w2 = World(
+        spark, spec_1024(), str(tmp_path / "re"), physical_factors=(1, 1)
+    )
+    assert w2.import_chunk_tree(tree) == 2
+    assert rows(w2.snapshot()) == [(10, 39), (114, 514)]  # exactly v1
+    assert rows(world.snapshot()) == [(10, 40)]           # live moved on
