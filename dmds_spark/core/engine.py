@@ -114,9 +114,19 @@ def materialize(df: DataFrame, *, mode: str | None = None) -> DataFrame:
         spark = df.sparkSession
         sc = spark.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.path.join(scratch_dir("checkpoints", "ck"))
-            )
+            # NOT under .scratch/: checkpoint blocks live for the whole
+            # session and checkpoint() CUTS lineage, so a concurrent
+            # process's stale-sibling sweep (core/scratch.py) deleting
+            # an hour-old dir would destroy blocks that cannot be
+            # recomputed. Deployments set SPARK_GRAFT_CHECKPOINT_DIR to
+            # a durable FS (HDFS/S3); the default is a per-session
+            # local dir nothing else sweeps.
+            ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+            if not ckdir:
+                import tempfile
+
+                ckdir = tempfile.mkdtemp(prefix="dmds_spark_ck_")
+            sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=True)
     if mode == "parquet":
         spark = df.sparkSession

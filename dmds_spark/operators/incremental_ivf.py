@@ -35,19 +35,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dmds_spark.operators.similarity import EMB_DIM
-
-
-def _dot(x: Column, y: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _cos(x: Column, y: Column) -> Column:
-    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+from dmds_spark.operators.similarity import EMB_DIM, cosine as _cos
 
 
 class IncrementalIVFIndex:
@@ -184,7 +172,13 @@ class IncrementalIVFIndex:
         return F.array_min(cand)["c"]
 
     # -- ingest ------------------------------------------------------------
-    def _ingest(self, vecs: DataFrame, st: dict) -> int:
+    def _ingest(self, vecs: DataFrame, st: dict) -> int | None:
+        """Write one assignment increment; returns its version number,
+        or None for an EMPTY batch (recovery/idle foreachBatch triggers
+        deliver these routinely) — an empty partitioned write leaves a
+        parquet-less directory that would poison every later
+        ``assignments()`` schema inference, so it is rolled back and
+        never committed (the caller still advances its replay marks)."""
         assigned = vecs.select(
             F.col(self.id_col),
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
@@ -193,9 +187,17 @@ class IncrementalIVFIndex:
         v = (max(st["versions"]) + 1) if st["versions"] else 1
         # partitioned by cluster: a search probing nprobe cells prunes
         # to nprobe directories per batch file set — the IVF point
-        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-            self._assign_paths([v])[0]
-        )
+        path = self._assign_paths([v])[0]
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+        if not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(path)
+            for f in fs
+        ):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            return None
         return v
 
     def refresh(self) -> dict:
@@ -220,7 +222,8 @@ class IncrementalIVFIndex:
         self._flip(
             {
                 **st,
-                "versions": st["versions"] + [v],
+                # empty new files commit no version but ARE marked seen
+                "versions": st["versions"] + ([v] if v is not None else []),
                 "seen_files": {
                     **{f: current.get(f, sz) for f, sz in seen.items()},
                     **{f: current[f] for f in new_files},
@@ -228,7 +231,9 @@ class IncrementalIVFIndex:
                 "size_src": "fs",
             }
         )
-        return {"new_files": len(new_files), "version": v}
+        return {"new_files": len(new_files),
+                "version": v if v is not None
+                else max(st["versions"], default=0)}
 
     def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
         """Micro-batch maintenance, replay-safe by batch-id high-water
@@ -240,13 +245,17 @@ class IncrementalIVFIndex:
         self._flip(
             {
                 **st,
-                "versions": st["versions"] + [v],
+                # an empty micro-batch commits no version but DOES
+                # advance the replay high-water mark
+                "versions": st["versions"] + ([v] if v is not None else []),
                 "last_batch_id": (
                     batch_id if batch_id is not None else st["last_batch_id"]
                 ),
             }
         )
-        return {"skipped": False, "version": v}
+        return {"skipped": False,
+                "version": v if v is not None
+                else max(st["versions"], default=0)}
 
     def foreach_batch(self):
         def _sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from dmds_spark.queries import register
 from dmds_spark.queries.round10 import (
     _canon_sql,
-    _DOMAIN_SQL,
     _URL_DUCK,
     _URL_SPARK,
 )
@@ -785,16 +784,25 @@ _WCF_LANGS = ("en", "de", "fr", "es")
              CAST(SUM({_QLIN_WEIGHT_T.format(EXPR=_QLIN_BUCKET.format(B=_QLIN_BUCKETS))})
                   AS BIGINT) AS score
       FROM f GROUP BY doc_id
-    ), staged AS (
-      SELECT doc_id,
+    ), gated AS (
+      SELECT doc_id, text,
              CASE WHEN n_ch < {_WCF_MIN_CHARS} THEN '1_too_short'
                   WHEN lang NOT IN {_WCF_LANGS} THEN '2_lang'
-                  WHEN score < 0 THEN '3_quality'
-                  WHEN ROW_NUMBER() OVER (
-                         PARTITION BY md5(text) ORDER BY doc_id
-                       ) > 1 THEN '4_exact_dup'
-                  ELSE '5_kept' END AS stage
+                  WHEN score < 0 THEN '3_quality' END AS gate_stage
       FROM scored
+    ), staged AS (
+      -- dedup ranks ONLY gate survivors: ordering survivors first
+      -- within each content group means a survivor's row number counts
+      -- surviving predecessors only, so a duplicate whose keeper was
+      -- itself gated away is correctly KEPT
+      SELECT doc_id,
+             COALESCE(gate_stage,
+               CASE WHEN ROW_NUMBER() OVER (
+                      PARTITION BY md5(text)
+                      ORDER BY CASE WHEN gate_stage IS NULL THEN 0
+                               ELSE 1 END, doc_id
+                    ) > 1 THEN '4_exact_dup' ELSE '5_kept' END) AS stage
+      FROM gated
     )
     SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(doc_id) AS BIGINT) AS id_checksum
@@ -817,11 +825,17 @@ def pipeline_web_curation_full(spark, sf_dir):
     hash-partitioned by content digest (key-parallel corpus-wide); the
     census is a 5-row aggregate. No joins anywhere."""
     d = _docs(spark, sf_dir)
-    e = d.select(
+    # chained selects, not textual substitution of the synthesis into
+    # the extractor expression: Catalyst's projection collapse fuses
+    # them into the one scan projection anyway (pinned for the same
+    # chain by test_html_extract_is_single_projection)
+    h = d.select(
+        "doc_id", "lang", "source", F.expr(_HTML_SPARK).alias("html")
+    )
+    e = h.select(
         "doc_id", "lang", "source",
         F.replace(
-            F.expr(_extract_sql("spark").replace("html", _HTML_SPARK)),
-            F.lit("\n"), F.lit(" "),
+            F.expr(_extract_sql("spark")), F.lit("\n"), F.lit(" ")
         ).alias("text"),
     )
     tok = e.select(
@@ -849,18 +863,30 @@ def pipeline_web_curation_full(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    rn = F.row_number().over(
-        W.partitionBy(F.md5("text")).orderBy("doc_id")
-    )
-    stage = (
+    gate_stage = (
         F.when(F.col("n_ch") < _WCF_MIN_CHARS, "1_too_short")
         .when(~F.col("lang").isin(*_WCF_LANGS), "2_lang")
         .when(F.col("score") < 0, "3_quality")
-        .when(rn > 1, "4_exact_dup")
-        .otherwise("5_kept")
+    )
+    gated = scored.select(
+        "doc_id", "text", gate_stage.alias("gate_stage")
+    )
+    # dedup ranks ONLY gate survivors: ordering survivors first within
+    # each content group means a survivor's row number counts surviving
+    # predecessors only, so a duplicate whose keeper was itself gated
+    # away is correctly KEPT
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy(
+            F.when(F.col("gate_stage").isNull(), 0).otherwise(1),
+            "doc_id",
+        )
+    )
+    stage = F.coalesce(
+        F.col("gate_stage"),
+        F.when(rn > 1, "4_exact_dup").otherwise("5_kept"),
     )
     return (
-        scored.select(stage.alias("stage"), "doc_id")
+        gated.select(stage.alias("stage"), "doc_id")
         .groupBy("stage")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

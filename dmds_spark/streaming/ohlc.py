@@ -124,7 +124,15 @@ def streaming_ohlc(
     values (see module docstring for the freshness contract). The
     total-order key and the bar column are computed JVM-side so the
     pandas fold only ever compares prebuilt strings — identical to the
-    batch query's keys."""
+    batch query's keys.
+
+    STATE FORMAT NOTE (round 11): the key switched from 32-char lpad
+    (which truncated wide ids and mis-ordered negatives) to the
+    40-char shifted ``sortable_int64`` form. Old- and new-format keys
+    are NOT mutually comparable, so a query restarting from a
+    pre-change checkpoint must start a FRESH checkpoint directory —
+    resuming would compare across formats and corrupt open/close
+    selection for bars spanning the upgrade."""
     from pyspark.sql import functions as F
 
     from dmds_spark.functions.keys import sortable_int64

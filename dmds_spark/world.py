@@ -645,15 +645,24 @@ class World:
 
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
-        vs = self.snapshot_versions()
+        cur = self.current_version()
+        # anchor retention on the COMMITTED pointer, never the manifest
+        # listing: a crash between the v{N}.json write and the
+        # current.json flip leaves an ORPHAN manifest > cur which was
+        # never served — treating it as the newest snapshot would
+        # vacuum away the manifest current.json points to and brick the
+        # world. Orphans are dropped here too (their data dirs were
+        # never read).
+        vs = [v for v in self.snapshot_versions() if v <= cur]
+        orphans = [v for v in self.snapshot_versions() if v > cur]
         keep, drop = vs[-retain_last:], vs[:-retain_last]
         referenced = set()
         for v in keep:
             referenced.update(self._read_owner(v).values())
-        for v in drop:
+        for v in drop + orphans:
             os.remove(os.path.join(self._snapdir, f"v{v}.json"))
         deleted = 0
-        for v in drop:
+        for v in drop + orphans:
             if v not in referenced and os.path.isdir(self._version_dir(v)):
                 shutil.rmtree(self._version_dir(v))
                 deleted += 1
@@ -891,6 +900,20 @@ class World:
                 )
             pinned = self._resolve_manifest(self._read_owner(version))
             if pinned is None:
+                # committed-but-empty snapshot: take the schema from any
+                # retained version's files so payload columns survive
+                # (a dims-only fabrication would break unionByName with
+                # non-empty versions); dims-only only when NO version
+                # dir exists at all
+                for v in reversed(self.snapshot_versions()):
+                    # a dir is only readable if it holds actual parquet
+                    # (an all-deleted commit leaves _SUCCESS alone)
+                    if self._written_partitions(self._version_dir(v)):
+                        return (
+                            self.spark.read.parquet(self._version_dir(v))
+                            .drop(*self.partition_cols())
+                            .limit(0)
+                        )
                 schema = T.StructType(
                     [T.StructField(d.name, T.LongType()) for d in self.spec.dims]
                 )

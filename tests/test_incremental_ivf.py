@@ -166,3 +166,23 @@ def test_stream_foreach_batch_matches_batch(spark, emb, tmp_path):
     full.set_centroids(anchors)
     full.fold_batch(emb, 0)
     assert _assign_set(idx.assignments()) == _assign_set(full.assignments())
+
+
+def test_empty_batch_does_not_poison_store(spark, emb, tmp_path):
+    """Empty micro-batches (routine under foreachBatch recovery/idle
+    triggers) must not commit a parquet-less version directory — that
+    would fail every later assignments() schema inference. The replay
+    high-water mark still advances."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "e"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    n = idx.assignments().count()
+    out = idx.fold_batch(emb.filter(F.col("vec_id") < 0), 1)  # empty
+    assert out["skipped"] is False
+    assert idx._state()["versions"] == [1]
+    assert idx._state()["last_batch_id"] == 1
+    assert idx.assignments().count() == n  # store intact, not poisoned
+    # replay of the empty batch id is still skipped
+    assert idx.fold_batch(emb.limit(0), 1)["skipped"] is True

@@ -178,3 +178,41 @@ def test_export_pinned_snapshot_as_reference_tree(spark, world, tmp_path):
     assert w2.import_chunk_tree(tree) == 2
     assert rows(w2.snapshot()) == [(10, 39), (114, 514)]  # exactly v1
     assert rows(world.snapshot()) == [(10, 40)]           # live moved on
+
+
+def test_vacuum_ignores_crash_orphan_manifest(spark, world):
+    """A manifest left by a crash BETWEEN the v{N}.json write and the
+    current.json flip must not anchor vacuum retention: retention
+    anchors on the committed pointer, the orphan is reclaimed, and the
+    manifest current.json points to survives."""
+    import json
+
+    world.insert_rows([{"dim0": 10, "dim1": 39}])
+    world.flush()                                   # committed v1
+    # simulate the crash: v2.json exists, current.json still says 1
+    with open(os.path.join(world._snapdir, "v2.json"), "w") as fh:
+        json.dump({"version": 2, "owner": {"1/2": 2}}, fh)
+    deleted = world.vacuum_snapshots(retain_last=1)
+    assert deleted == 0  # orphan had no data dir; nothing to delete
+    assert world.snapshot_versions() == [1]         # orphan reclaimed
+    assert world.current_version() == 1
+    assert rows(world.snapshot()) == [(10, 39)]     # world NOT bricked
+
+
+def test_empty_pinned_snapshot_keeps_payload_schema(spark, world):
+    """A committed-but-empty snapshot must carry the SAME schema as
+    non-empty versions (payload columns included) so version unions —
+    the dmds_snapshot_timetravel shape — never schema-mismatch."""
+    world.upsert(
+        spark.createDataFrame(
+            [(10, 39, "p")], "dim0 long, dim1 long, payload string"
+        )
+    )
+    world.flush()            # v1 with a payload column
+    world.delete_ids([10])
+    world.flush()            # v2: empty
+    v2 = world.snapshot(version=2)
+    assert set(v2.columns) == {"dim0", "dim1", "payload"}
+    assert v2.count() == 0
+    both = world.snapshot(version=1).unionByName(v2)
+    assert both.count() == 1
