@@ -302,27 +302,61 @@ _CHECKED_R10: frozenset[str] = frozenset({
     "web_url_canonicalize",
 })
 
+# round 11 (CORRECTNESS_r11.json): 50 rows — 48 hash-green, 2 rows-only
+# by design (PCM16 audio energy/resample engine paths). Covered all 9
+# round-11 additions, the 2 priority re-checks that moved rows-only →
+# full oracle, plus rotated r04/r05-vintage evidence.
+_CHECKED_R11: frozenset[str] = frozenset({
+    "agg_collect_sorted", "agg_mode_per_group", "customers_rfm_segments",
+    "dedup_cluster_keep_best", "dedup_cluster_size_dist",
+    "dedup_containment_verify", "dedup_cross_source_overlap",
+    "dedup_embedding_neardup_arrow", "dedup_fuzzy_fingerprint_pairs",
+    "dmds_select_3d", "dmds_select_hinted_box", "dmds_snapshot_diff",
+    "dmds_snapshot_timetravel", "embedding_centroids",
+    "embedding_kmeans_assign", "embedding_norm_stats",
+    "embedding_quantize_int8", "events_attribution_last_touch",
+    "events_daily_anomalies", "events_inter_arrival_median",
+    "events_scd2_intervals", "events_session_stats",
+    "events_time_weighted_value", "events_transition_counts",
+    "events_user_path_topk", "graph_degree_distribution",
+    "graph_pagerank", "graph_triangle_count", "join_range_attribution",
+    "market_basket_pairs", "multimodal_audio_energy",
+    "multimodal_audio_resample", "multimodal_byte_histogram",
+    "pipeline_web_curation_full", "pipeline_web_ingest",
+    "profile_covariance", "profile_equidepth_bins",
+    "profile_field_completeness", "rollup_incremental_ivf",
+    "similarity_ivf_probe_sweep", "similarity_pairs_threshold_arrow",
+    "similarity_quantized_rerank_topk", "text_quality_linear_score",
+    "text_zipf_topk", "tokens_domain_mixture", "tokens_length_histogram",
+    "tokens_pack_spans", "web_html_extract", "web_html_links",
+    "window_moving_median",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
     _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
+    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10
+    - _CHECKED_R11,
     _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
+    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10
+    - _CHECKED_R11,
     _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07
-    - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
+    - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
     _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08
-    - _CHECKED_R09 - _CHECKED_R10,
+    - _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
     _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09
-    - _CHECKED_R10,
-    _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
-    _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10,
-    _CHECKED_R09 - _CHECKED_R10,
-    _CHECKED_R10,
+    - _CHECKED_R10 - _CHECKED_R11,
+    _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10
+    - _CHECKED_R11,
+    _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
+    _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
+    _CHECKED_R10 - _CHECKED_R11,
+    _CHECKED_R11,
 )
 _DRIVER_CHECKED: frozenset[str] = (
     _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
     | _CHECKED_R06 | _CHECKED_R07 | _CHECKED_R08 | _CHECKED_R09
-    | _CHECKED_R10
+    | _CHECKED_R10 | _CHECKED_R11
 )
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
@@ -332,15 +366,10 @@ _DEFERRED: tuple[str, ...] = ()
 
 # Queries whose oracle status or semantics CHANGED after their last
 # driver check, so their recorded evidence is stale regardless of age:
-# they slot directly behind the never-checked set. Round 11: both
-# moved from rows-only to a full SQL oracle (multimodal_byte_histogram
-# gained an arithmetic-identity oracle; embedding_kmeans_assign was
-# reshaped to the exact-integer-grid two-round form so the whole
-# iterative algorithm is hash-checkable).
-_PRIORITY_RECHECK: tuple[str, ...] = (
-    "multimodal_byte_histogram",
-    "embedding_kmeans_assign",
-)
+# they slot directly behind the never-checked set. Round 12: empty —
+# both r11 priority re-checks came back hash-green (CORRECTNESS_r11)
+# and no existing query's semantics changed this round.
+_PRIORITY_RECHECK: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
