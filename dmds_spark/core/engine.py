@@ -39,8 +39,6 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dmds_spark.core.scratch import scratch_dir
-
 # Estimated-size gate for conditional broadcast hints. Catalyst's
 # sizeInBytes for a parquet scan is the compressed file size scaled by
 # filter selectivity, so this is deliberately generous relative to the
@@ -91,11 +89,49 @@ def maybe_broadcast(
 _MODES = ("local", "reliable", "parquet")
 
 
-def materialize_mode() -> str:
-    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+def materialize_mode(spark=None) -> str:
+    """Deployment's barrier mode: the ``SPARK_GRAFT_MATERIALIZE`` env
+    var wins, then the ``spark.dmds.materialize`` session conf (so a
+    cluster deployment can flip it in spark-defaults without touching
+    the driver environment), then ``local``."""
+    mode = os.environ.get("SPARK_GRAFT_MATERIALIZE")
+    if mode is None and spark is not None:
+        mode = spark.conf.get("spark.dmds.materialize", None)
+    if mode is None:
+        mode = "local"
     if mode not in _MODES:
-        raise ValueError(f"SPARK_GRAFT_MATERIALIZE must be one of {_MODES}")
+        raise ValueError(
+            f"SPARK_GRAFT_MATERIALIZE / spark.dmds.materialize must be "
+            f"one of {_MODES}, got {mode!r}"
+        )
     return mode
+
+
+# Per-process root for parquet-mode intermediates. Deliberately NOT
+# under .scratch/: parquet barriers return a LAZY spark.read.parquet
+# that is re-scanned on every downstream action, so a pipeline running
+# past the scratch sweeper's staleness horizon (or a concurrent process
+# minting scratch dirs) must never be able to delete files a live plan
+# still references. mkdtemp gives a per-session dir nothing sweeps;
+# deployments point SPARK_GRAFT_CHECKPOINT_DIR at a durable FS and
+# parquet intermediates co-locate with reliable checkpoints there.
+_MZ_ROOT: str | None = None
+_MZ_SEQ = 0
+
+
+def _materialize_path() -> str:
+    global _MZ_ROOT, _MZ_SEQ
+    if _MZ_ROOT is None:
+        base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if base:
+            _MZ_ROOT = os.path.join(base, "materialize")
+            os.makedirs(_MZ_ROOT, exist_ok=True)
+        else:
+            import tempfile
+
+            _MZ_ROOT = tempfile.mkdtemp(prefix="dmds_spark_mz_")
+    _MZ_SEQ += 1
+    return os.path.join(_MZ_ROOT, f"mz_{os.getpid()}_{_MZ_SEQ:06d}")
 
 
 def materialize(df: DataFrame, *, mode: str | None = None) -> DataFrame:
@@ -107,7 +143,7 @@ def materialize(df: DataFrame, *, mode: str | None = None) -> DataFrame:
     (``SPARK_GRAFT_MATERIALIZE=local|reliable|parquet``), not a query
     author's."""
     if mode is None:
-        mode = materialize_mode()
+        mode = materialize_mode(df.sparkSession)
     if mode == "local":
         return df.localCheckpoint(eager=True)
     if mode == "reliable":
@@ -130,7 +166,7 @@ def materialize(df: DataFrame, *, mode: str | None = None) -> DataFrame:
         return df.checkpoint(eager=True)
     if mode == "parquet":
         spark = df.sparkSession
-        path = scratch_dir("materialize", "mz")
+        path = _materialize_path()
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
     raise ValueError(f"unknown materialize mode {mode!r}")

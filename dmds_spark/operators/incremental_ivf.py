@@ -24,13 +24,23 @@ tokio-fs/src/lib.rs:207-235): centroids and per-batch assignments are
 immutable parquet (``centroids/v*``, ``assign/batch-v*``); a pointer
 file lists the committed versions and flips atomically, so a crashed
 increment leaves orphan files that are never read. ``compact()``
-merges increment files for scan hygiene without recomputing anything.
+merges increment files for scan hygiene without recomputing anything
+(and reclaims what it superseded); ``vacuum()`` deletes every
+unreferenced directory. ``retrain()`` is the staged quantizer
+migration: a new centroid generation is written and every increment
+re-materialized under it while the old generation keeps serving, then
+ONE atomic pointer flip retargets readers — search under the new
+generation hash-equals a fresh-store rebuild (pinned). All mutating
+sequences run under the same cross-process ``WriterLock`` that fences
+``World`` (single-writer; readers are never blocked).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,6 +77,26 @@ class IncrementalIVFIndex:
         self.dim = dim
         os.makedirs(store_dir, exist_ok=True)
 
+    # -- writer fencing ----------------------------------------------------
+    @contextmanager
+    def _writer(self):
+        """Single-writer token for the store directory (the same
+        ``WriterLock`` that fences ``World``): without it two
+        concurrent refresh()/fold_batch() callers both read
+        ``_current.json``, mint the same next version number, and
+        overwrite each other's ``batch-v{N}`` — one increment silently
+        lost despite the atomic pointer flip. Every
+        read-state → write-increment → flip sequence runs under this."""
+        from dmds_spark.world import WriterLock
+
+        lk = WriterLock.for_dir(self.store_dir)
+        lk.acquire()
+        try:
+            with lk.mutex:
+                yield
+        finally:
+            lk.release()
+
     # -- pointer ---------------------------------------------------------
     @property
     def _pointer(self) -> str:
@@ -88,9 +118,17 @@ class IncrementalIVFIndex:
 
         _atomic_flip(self._pointer, state)
 
-    def _assign_paths(self, versions: list[int]) -> list[str]:
+    def _assign_paths(
+        self, versions: list[int], cv: int = 1
+    ) -> list[str]:
+        """Increment directories for one centroid version. cv 1 keeps
+        the bare ``batch-v{N}`` layout (store-format compatible with
+        pre-retrain stores); a retrain re-materializes every increment
+        under ``batch-v{N}@cv{M}`` so the old generation keeps serving
+        until the pointer flip."""
+        suffix = "" if cv <= 1 else f"@cv{cv}"
         return [
-            os.path.join(self.store_dir, "assign", f"batch-v{v}")
+            os.path.join(self.store_dir, "assign", f"batch-v{v}{suffix}")
             for v in versions
         ]
 
@@ -101,17 +139,23 @@ class IncrementalIVFIndex:
     def set_centroids(self, vectors: list[list[float]]) -> int:
         """Freeze explicit centroid vectors (anchor-IVF — the
         oracle-checkable path). Clusters are numbered by list
-        position. Retraining bumps the centroid version; assignments
-        already stored keep the version they were assigned under, so
-        a retrain REQUIRES a rebuild (fresh store) — enforced."""
-        st = self._state()
-        if st["versions"]:
-            raise ValueError(
-                "cannot retrain centroids over existing assignments: "
-                "assignment is a pure function of the frozen centroids "
-                "(rebuild into a fresh store_dir instead)"
-            )
-        cv = st["centroid_version"] + 1
+        position. Assignment is a pure function of the frozen
+        centroids, so changing them over existing assignments goes
+        through the staged :meth:`retrain` migration — enforced."""
+        with self._writer():
+            st = self._state()
+            if st["versions"]:
+                raise ValueError(
+                    "cannot set_centroids over existing assignments: "
+                    "assignment is a pure function of the frozen "
+                    "centroids (use retrain() for a staged migration)"
+                )
+            cv = st["centroid_version"] + 1
+            self._write_centroids(vectors, cv)
+            self._flip({**st, "centroid_version": cv})
+            return cv
+
+    def _write_centroids(self, vectors: list[list[float]], cv: int) -> None:
         rows = [
             (c, [float(x) for x in vec]) for c, vec in enumerate(vectors)
         ]
@@ -120,8 +164,6 @@ class IncrementalIVFIndex:
         ).coalesce(1).write.mode("overwrite").parquet(
             self._centroid_path(cv)
         )
-        self._flip({**st, "centroid_version": cv})
-        return cv
 
     def train(self, df: DataFrame, k: int = 8, iters: int = 3) -> int:
         """Train centroids with deterministic k-means over ``df`` (a
@@ -187,7 +229,7 @@ class IncrementalIVFIndex:
         v = (max(st["versions"]) + 1) if st["versions"] else 1
         # partitioned by cluster: a search probing nprobe cells prunes
         # to nprobe directories per batch file set — the IVF point
-        path = self._assign_paths([v])[0]
+        path = self._assign_paths([v], max(1, st["centroid_version"]))[0]
         assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
         if not any(
             f.endswith(".parquet")
@@ -212,50 +254,58 @@ class IncrementalIVFIndex:
 
         if self.source_dir is None:
             raise ValueError("refresh() needs source_dir (use fold_batch)")
-        st = self._state()
-        seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
-        current = _list_source_files(self.spark, self.source_dir)
-        new_files = _split_new_and_check(current, seen, "ivf store")
-        if not new_files:
-            return {"new_files": 0, "version": max(st["versions"], default=0)}
-        v = self._ingest(self.spark.read.parquet(*new_files), st)
-        self._flip(
-            {
-                **st,
-                # empty new files commit no version but ARE marked seen
-                "versions": st["versions"] + ([v] if v is not None else []),
-                "seen_files": {
-                    **{f: current.get(f, sz) for f, sz in seen.items()},
-                    **{f: current[f] for f in new_files},
-                },
-                "size_src": "fs",
-            }
-        )
-        return {"new_files": len(new_files),
-                "version": v if v is not None
-                else max(st["versions"], default=0)}
+        with self._writer():
+            st = self._state()
+            seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
+            current = _list_source_files(self.spark, self.source_dir)
+            new_files = _split_new_and_check(current, seen, "ivf store")
+            if not new_files:
+                return {"new_files": 0,
+                        "version": max(st["versions"], default=0)}
+            v = self._ingest(self.spark.read.parquet(*new_files), st)
+            self._flip(
+                {
+                    **st,
+                    # empty new files commit no version but ARE marked
+                    # seen
+                    "versions": st["versions"]
+                    + ([v] if v is not None else []),
+                    "seen_files": {
+                        **{f: current.get(f, sz) for f, sz in seen.items()},
+                        **{f: current[f] for f in new_files},
+                    },
+                    "size_src": "fs",
+                }
+            )
+            return {"new_files": len(new_files),
+                    "version": v if v is not None
+                    else max(st["versions"], default=0)}
 
     def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
         """Micro-batch maintenance, replay-safe by batch-id high-water
         mark (at-least-once foreachBatch delivery folds exactly once)."""
-        st = self._state()
-        if batch_id is not None and batch_id <= st["last_batch_id"]:
-            return {"skipped": True, "version": max(st["versions"], default=0)}
-        v = self._ingest(df, st)
-        self._flip(
-            {
-                **st,
-                # an empty micro-batch commits no version but DOES
-                # advance the replay high-water mark
-                "versions": st["versions"] + ([v] if v is not None else []),
-                "last_batch_id": (
-                    batch_id if batch_id is not None else st["last_batch_id"]
-                ),
-            }
-        )
-        return {"skipped": False,
-                "version": v if v is not None
-                else max(st["versions"], default=0)}
+        with self._writer():
+            st = self._state()
+            if batch_id is not None and batch_id <= st["last_batch_id"]:
+                return {"skipped": True,
+                        "version": max(st["versions"], default=0)}
+            v = self._ingest(df, st)
+            self._flip(
+                {
+                    **st,
+                    # an empty micro-batch commits no version but DOES
+                    # advance the replay high-water mark
+                    "versions": st["versions"]
+                    + ([v] if v is not None else []),
+                    "last_batch_id": (
+                        batch_id if batch_id is not None
+                        else st["last_batch_id"]
+                    ),
+                }
+            )
+            return {"skipped": False,
+                    "version": v if v is not None
+                    else max(st["versions"], default=0)}
 
     def foreach_batch(self):
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -265,13 +315,15 @@ class IncrementalIVFIndex:
 
     # -- readers -----------------------------------------------------------
     def assignments(self) -> DataFrame | None:
-        vs = self._state()["versions"]
+        st = self._state()
+        vs = st["versions"]
         if not vs:
             return None
         # each batch root is its own partitioned (by cluster) table, so
         # load per version and union — Spark refuses multiple partition
         # roots in one read (no shared basePath)
-        parts = [self.spark.read.parquet(p) for p in self._assign_paths(vs)]
+        paths = self._assign_paths(vs, max(1, st["centroid_version"]))
+        parts = [self.spark.read.parquet(p) for p in paths]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -314,15 +366,139 @@ class IncrementalIVFIndex:
 
     def compact(self) -> dict:
         """Merge increment files into one version (small-file hygiene
-        after many micro-batches); content unchanged, never recomputed."""
-        st = self._state()
-        if len(st["versions"]) <= 1:
-            return {"compacted": False, "versions": len(st["versions"])}
-        v = max(st["versions"]) + 1
-        self.assignments().coalesce(
-            max(1, len(st["versions"]) // 8)
-        ).write.mode("overwrite").partitionBy("cluster").parquet(
-            self._assign_paths([v])[0]
+        after many micro-batches); content unchanged, never recomputed.
+        Superseded increment directories are deleted after the pointer
+        flip — safe because the flip is atomic and unreferenced dirs
+        are never read — so the hygiene operation doesn't itself leak
+        every pre-compaction increment on disk."""
+        with self._writer():
+            st = self._state()
+            if len(st["versions"]) <= 1:
+                return {"compacted": False, "versions": len(st["versions"])}
+            cv = max(1, st["centroid_version"])
+            v = max(st["versions"]) + 1
+            self.assignments().coalesce(
+                max(1, len(st["versions"]) // 8)
+            ).write.mode("overwrite").partitionBy("cluster").parquet(
+                self._assign_paths([v], cv)[0]
+            )
+            self._flip({**st, "versions": [v]})
+            removed = self._vacuum_unreferenced()
+            return {"compacted": True, "versions": 1,
+                    "removed": len(removed)}
+
+    # -- lifecycle: retrain, drift, vacuum ---------------------------------
+    def retrain(self, vectors: list[list[float]]) -> dict:
+        """Staged centroid retrain/migration: freeze a NEW coarse
+        quantizer and re-materialize every committed increment under it
+        while the old generation keeps serving, then flip.
+
+        1. write ``centroids/v{cv+1}`` (unreferenced — readers still on
+           cv);
+        2. reassign each committed ``batch-v{N}`` into
+           ``batch-v{N}@cv{cv+1}`` — same version numbers, new cells;
+           increment identity (and therefore refresh()/fold_batch()
+           replay marks) is preserved, only the partitioning moves;
+        3. ONE atomic pointer flip of ``centroid_version`` retargets
+           ``assignments()``/``search()`` to the new generation.
+
+        A reader holding a pre-flip DataFrame keeps reading the old
+        directories (left on disk until :meth:`vacuum`). A crash
+        mid-retrain leaves unreferenced ``@cv{N}`` orphans that are
+        never read and are reclaimed by vacuum. Reassignment is the
+        same O(store) cost as a fresh-store rebuild — the point of the
+        staged path is zero downtime and replay-mark continuity, not
+        less compute. Reference analogue: the version header
+        (tokio-fs/src/lib.rs:89-90) lets old-format chunks serve until
+        each is rewritten."""
+        with self._writer():
+            st = self._state()
+            if not st["centroid_version"]:
+                raise ValueError(
+                    "no centroids to retrain: call set_centroids/train"
+                )
+            cv2 = st["centroid_version"] + 1
+            self._write_centroids(vectors, cv2)
+            rows = [[float(x) for x in vec] for vec in vectors]
+            nearest = self._nearest(rows)
+            for v in st["versions"]:
+                old = self.spark.read.parquet(
+                    self._assign_paths([v], max(1, st["centroid_version"]))[0]
+                )
+                old.select(
+                    F.col(self.id_col),
+                    F.col(self.vec_col),
+                    nearest.alias("cluster"),
+                ).write.mode("overwrite").partitionBy("cluster").parquet(
+                    self._assign_paths([v], cv2)[0]
+                )
+            self._flip({**st, "centroid_version": cv2})
+            return {
+                "centroid_version": cv2,
+                "migrated_versions": len(st["versions"]),
+            }
+
+    def drift_report(self) -> DataFrame:
+        """Per-cell quantizer drift — decides WHEN to retrain: for each
+        cell, the cosine between the frozen centroid and the current
+        mean of the vectors assigned to it (1.0 = no drift), plus the
+        cell's population. One scan of the store, k-row output."""
+        from dmds_spark.operators.similarity import centroids as _means
+
+        store = self.assignments()
+        if store is None:
+            raise ValueError("index is empty: ingest before drift_report")
+        means = _means(store, "cluster", self.vec_col, self.dim).select(
+            "cluster", F.col("centroid").alias("mean_vec")
         )
-        self._flip({**st, "versions": [v]})
-        return {"compacted": True, "versions": 1}
+        counts = store.groupBy("cluster").agg(F.count("*").alias("n"))
+        frozen = self.centroids()
+        return (
+            frozen.join(means, "cluster", "left")
+            .join(counts, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce("n", F.lit(0)).alias("n"),
+                F.when(
+                    F.col("mean_vec").isNull(), F.lit(None)
+                ).otherwise(
+                    _cos(F.col("centroid"), F.col("mean_vec"))
+                ).alias("centroid_cosine"),
+            )
+            .orderBy("cluster")
+        )
+
+    def vacuum(self) -> dict:
+        """Reclaim directories not referenced by the committed pointer:
+        compact()-superseded increments, crashed-ingest orphans, and
+        pre-retrain generations. Safe under the writer lock because the
+        pointer flip is atomic and unreferenced dirs are never read —
+        mirrors ``World.vacuum_snapshots``."""
+        with self._writer():
+            return {"removed": self._vacuum_unreferenced()}
+
+    def _vacuum_unreferenced(self) -> list[str]:
+        """Delete unreferenced assign/centroid dirs. Caller holds the
+        writer lock."""
+        st = self._state()
+        cv = max(1, st["centroid_version"])
+        keep = {
+            os.path.basename(p)
+            for p in self._assign_paths(st["versions"], cv)
+        }
+        removed: list[str] = []
+        adir = os.path.join(self.store_dir, "assign")
+        if os.path.isdir(adir):
+            for name in sorted(os.listdir(adir)):
+                if name not in keep:
+                    shutil.rmtree(os.path.join(adir, name),
+                                  ignore_errors=True)
+                    removed.append(f"assign/{name}")
+        cdir = os.path.join(self.store_dir, "centroids")
+        if os.path.isdir(cdir) and st["centroid_version"]:
+            for name in sorted(os.listdir(cdir)):
+                if name != f"v{st['centroid_version']}":
+                    shutil.rmtree(os.path.join(cdir, name),
+                                  ignore_errors=True)
+                    removed.append(f"centroids/{name}")
+        return removed

@@ -18,6 +18,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     fewer partitions. Cheap for small inputs (a round-robin shuffle of
     what fits in one partition); a no-op for well-split sources."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side partition count: df.rdd would build a Python RDD wrapper
+    # (pickler + serializer setup) per call just to read one int.
+    if df._jdf.rdd().getNumPartitions() < target:
         return df.repartition(target)
     return df

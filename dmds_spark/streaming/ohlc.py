@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Width of one order key: two 20-digit sortable_int64 halves. Doubles
+# as the state-format version marker — pre-r11 checkpoints stored
+# 32-char lpad keys, and _update fails fast when a resumed state
+# carries a key of any other width (cross-format lexicographic
+# comparison would silently corrupt open/close selection).
+OHLC_KEY_WIDTH = 40
+
 OHLC_STATE_SCHEMA = T.StructType(
     [
         T.StructField("open_k", T.StringType()),
@@ -89,6 +96,19 @@ def _update(
     if state.hasTimedOut:  # no timeouts armed; defensive no-op
         return
     cur = tuple(state.get) if state.exists else None
+    if cur is not None and (
+        len(cur[0]) != OHLC_KEY_WIDTH or len(cur[2]) != OHLC_KEY_WIDTH
+    ):
+        # Fail fast instead of corrupting open/close selection: a
+        # resumed state whose order keys aren't the current fixed
+        # width comes from a pre-upgrade checkpoint (the r11 32-char
+        # lpad format) — old and new keys are not mutually comparable.
+        raise ValueError(
+            f"OHLC state for {key} carries order keys of width "
+            f"{len(cur[0])}, expected {OHLC_KEY_WIDTH}: this checkpoint "
+            "predates the sortable_int64 key format. Restart the query "
+            "with a FRESH checkpoint directory (see streaming_ohlc)."
+        )
     for pdf in pdfs:
         pdf = pdf.dropna(subset=["value"])
         if len(pdf):
@@ -130,9 +150,11 @@ def streaming_ohlc(
     (which truncated wide ids and mis-ordered negatives) to the
     40-char shifted ``sortable_int64`` form. Old- and new-format keys
     are NOT mutually comparable, so a query restarting from a
-    pre-change checkpoint must start a FRESH checkpoint directory —
-    resuming would compare across formats and corrupt open/close
-    selection for bars spanning the upgrade."""
+    pre-change checkpoint must start a FRESH checkpoint directory.
+    This is ENFORCED at runtime: the fold fails fast on a resumed
+    state whose keys aren't ``OHLC_KEY_WIDTH`` wide, instead of
+    silently corrupting open/close selection for bars spanning the
+    upgrade."""
     from pyspark.sql import functions as F
 
     from dmds_spark.functions.keys import sortable_int64

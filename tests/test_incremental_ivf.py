@@ -120,8 +120,13 @@ def test_compact_preserves_assignments(spark, emb, tmp_path):
     idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
     before = _assign_set(idx.assignments())
     out = idx.compact()
-    assert out == {"compacted": True, "versions": 1}
+    assert out == {"compacted": True, "versions": 1, "removed": 2}
     assert _assign_set(idx.assignments()) == before
+    # the two superseded increment dirs were reclaimed, not leaked
+    import os
+
+    left = os.listdir(tmp_path / "c" / "assign")
+    assert left == ["batch-v3"]
 
 
 def test_retrain_over_assignments_refused(spark, emb, tmp_path):
@@ -132,6 +137,115 @@ def test_retrain_over_assignments_refused(spark, emb, tmp_path):
     idx.fold_batch(emb, 0)
     with pytest.raises(ValueError, match="retrain"):
         idx.set_centroids(_anchor_rows(emb))
+
+
+def _different_anchors(emb):
+    rows = emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 26)
+    ).orderBy("vec_id").collect()
+    return [list(r["embedding"]) for r in rows]
+
+
+def test_retrain_matches_fresh_rebuild(spark, emb, tmp_path):
+    """The staged retrain migration produces EXACTLY the store a
+    fresh-store rebuild under the new centroids produces — assignments,
+    search results, and replay marks all carry over."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "m"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    new_anchors = _different_anchors(emb)
+    out = idx.retrain(new_anchors)
+    assert out == {"centroid_version": 2, "migrated_versions": 2}
+
+    fresh = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "fresh"), "vec_id", "embedding"
+    )
+    fresh.set_centroids(new_anchors)
+    fresh.fold_batch(emb, 0)
+    assert _assign_set(idx.assignments()) == _assign_set(fresh.assignments())
+
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    got = [r["vec_id"] for r in idx.search(q, topk=5, nprobe=2).collect()]
+    want = [r["vec_id"] for r in fresh.search(q, topk=5, nprobe=2).collect()]
+    assert got == want
+    # replay high-water mark survived the migration
+    assert idx.fold_batch(emb.limit(0), 1)["skipped"] is True
+    # further increments land under the new generation
+    assert idx._state()["centroid_version"] == 2
+
+
+def test_retrain_flip_is_atomic_and_vacuum_reclaims(spark, emb, tmp_path):
+    """Old-generation directories keep serving any pre-flip reader and
+    stay on disk until vacuum(); a crash-orphan @cv2 dir (simulated by
+    writing it without flipping) is never read and is reclaimed."""
+    import os
+
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "a"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    pre_flip_reader = idx.assignments()  # pins the cv1 directories
+    before = _assign_set(pre_flip_reader)
+
+    idx.retrain(_different_anchors(emb))
+    # the pre-flip reader still sees the OLD generation, unchanged
+    assert _assign_set(pre_flip_reader) == before
+    adir = tmp_path / "a" / "assign"
+    assert sorted(os.listdir(adir)) == ["batch-v1", "batch-v1@cv2"]
+
+    removed = idx.vacuum()["removed"]
+    assert removed == ["assign/batch-v1", "centroids/v1"]
+    assert sorted(os.listdir(adir)) == ["batch-v1@cv2"]
+    # the committed generation is intact after vacuum
+    assert len(_assign_set(idx.assignments())) == len(before)
+
+
+def test_writer_lock_fences_concurrent_stores(spark, emb, tmp_path):
+    """A foreign live writer token in the store dir must make every
+    mutating op refuse (WorldLockedError) instead of silently minting
+    the same version number; the token is released after each op."""
+    import json
+    import os
+
+    from dmds_spark.core.errors import WorldLockedError
+
+    store = str(tmp_path / "w")
+    idx = IncrementalIVFIndex(spark, None, store, "vec_id", "embedding")
+    idx.set_centroids(_anchor_rows(emb))
+    assert not os.path.exists(os.path.join(store, "_writer.lock"))
+
+    # plant a live foreign holder (our own pid, foreign token — the
+    # refuse-rather-than-adopt case)
+    with open(os.path.join(store, "_writer.lock"), "w") as fh:
+        json.dump(
+            {"pid": os.getpid(), "host": __import__("socket").gethostname(),
+             "token": "someone-else"},
+            fh,
+        )
+    with pytest.raises(WorldLockedError):
+        idx.fold_batch(emb, 0)
+    os.unlink(os.path.join(store, "_writer.lock"))
+    idx.fold_batch(emb, 0)  # lock gone -> proceeds
+    assert idx.assignments().count() == emb.count()
+
+
+def test_drift_report_shape(spark, emb, tmp_path):
+    """k rows, population + frozen-vs-mean cosine per cell; cells whose
+    members equal the centroid show cosine 1.0."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "d"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    rep = idx.drift_report().collect()
+    assert [r["cluster"] for r in rep] == list(range(8))
+    assert sum(r["n"] for r in rep) == emb.count()
+    for r in rep:
+        assert r["n"] == 0 or 0.0 <= r["centroid_cosine"] <= 1.0 + 1e-9
 
 
 def test_stream_foreach_batch_matches_batch(spark, emb, tmp_path):

@@ -68,6 +68,28 @@ def test_open_close_tie_break_total_order():
     assert s[1] == 1.0 and s[3] == 9.0
 
 
+def test_resume_from_old_key_format_fails_fast():
+    """A state resumed from a pre-r11 checkpoint (32-char lpad order
+    keys) must raise, not silently mis-order against 40-char
+    sortable_int64 keys."""
+    from dmds_spark.streaming.ohlc import OHLC_KEY_WIDTH, _update
+
+    class _FakeState:
+        hasTimedOut = False
+        exists = True
+        # old-format state: two 32-char keys
+        get = ("0" * 32, 1.0, "9" * 32, 2.0, 2.0, 1.0, 3)
+
+        def update(self, v):  # pragma: no cover - must not be reached
+            raise AssertionError("state.update on corrupt resume")
+
+    new_key = "0" * OHLC_KEY_WIDTH
+    batch = _pdf([(new_key, 5.0)])
+    with pytest.raises(ValueError, match="checkpoint"):
+        list(_update(("click", "2024-01-01 00:00:00"),
+                     iter([batch]), _FakeState()))
+
+
 @pytest.mark.slow
 def test_real_stream_matches_batch_query(spark, tmp_path):
     """Two-micro-batch file stream == the batch OHLC query, bar for
