@@ -49,7 +49,11 @@ class IncrementalMinHashDedup:
     a DataFrame micro-batch (replay-safe); ``pairs()`` returns every
     near-dup pair (id_a < id_b, jaccard_est >= threshold) discovered so
     far — equal to a full-corpus ``dedup_minhash`` over everything
-    ingested; ``signatures()`` returns the signature store.
+    ingested; ``signatures()`` returns the signature store. With
+    ``maintain_clusters=True``, ``clusters()`` additionally serves the
+    connected-component cluster map, maintained O(new) per increment
+    (contracted-graph min-label union, see ``_cluster_delta``) instead
+    of recomputed over the whole pair store per refresh.
 
     Contract: ``id_col`` values must be UNIQUE across all ingested
     batches (append-only corpus — the same guarantee ``refresh()``'s
@@ -71,6 +75,7 @@ class IncrementalMinHashDedup:
         bands: int = 4,
         k: int = 3,
         threshold: float = 0.5,
+        maintain_clusters: bool = False,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -81,7 +86,20 @@ class IncrementalMinHashDedup:
         self.bands = bands
         self.k = k
         self.threshold = threshold
+        # maintain_clusters=True additionally folds each increment's
+        # pairs into a persisted cluster map (``cmap/batch-v*``) — the
+        # O(new) cluster maintenance keep-first canonicalization wants
+        # (see _cluster_delta). Opt-in: pair-only consumers skip the
+        # per-increment contracted-CC cost.
+        self.maintain_clusters = maintain_clusters
         os.makedirs(store_dir, exist_ok=True)
+
+    def _writer(self):
+        """Single-writer fence for every read-state → write → flip
+        sequence (see operators.rollup.store_writer)."""
+        from dmds_spark.operators.rollup import store_writer
+
+        return store_writer(self.store_dir)
 
     # -- pointer ---------------------------------------------------------
     @property
@@ -120,6 +138,34 @@ class IncrementalMinHashDedup:
         if not vs:
             return None
         return self.spark.read.parquet(*self._paths("pairs", vs))
+
+    def clusters(self) -> DataFrame | None:
+        """The maintained cluster map: (id, cluster_id) for every id
+        that appears in at least one near-dup pair, cluster_id = min id
+        reachable — EXACTLY what ``connected_components`` over
+        ``pairs()`` returns, but maintained O(new) per increment
+        instead of recomputed (pinned in tests/test_incremental_dedup
+        and oracle-checked by ``rollup_incremental_clusters``). Ids
+        with no pair have no row; canonical-selection consumers
+        coalesce to the id itself, same as the full-recompute query.
+
+        A relabeled id carries one row per label epoch across the
+        increment files; labels only ever DECREASE (min-label
+        monotonicity), so the current map is ``min(cluster_id)`` per
+        id — one aggregation, no version bookkeeping."""
+        if not self.maintain_clusters:
+            raise ValueError(
+                "cluster maintenance is off: construct with "
+                "maintain_clusters=True (pairs-only store)"
+            )
+        vs = self._state()["versions"]
+        if not vs:
+            return None
+        return (
+            self.spark.read.parquet(*self._paths("cmap", vs))
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
 
     # -- the increment ---------------------------------------------------
     def _increment_pairs(
@@ -172,8 +218,9 @@ class IncrementalMinHashDedup:
 
     def _ingest(self, docs: DataFrame, st: dict) -> int:
         """Compute the batch's signatures, its increment pairs vs the
-        store, write both as NEW files, return the next version number
-        (caller flips the pointer)."""
+        store, write both as NEW files (plus the cluster-map delta when
+        maintained), return the next version number (caller flips the
+        pointer)."""
         new_sigs = minhash_signatures(
             docs, self.text_col, self.id_col, self.num_hashes, self.k
         ).transform(materialize)  # two consumers: band join + store
@@ -183,10 +230,88 @@ class IncrementalMinHashDedup:
         new_sigs.write.mode("overwrite").parquet(
             os.path.join(self.store_dir, "sigs", f"batch-v{v}")
         )
-        inc_pairs.write.mode("overwrite").parquet(
-            os.path.join(self.store_dir, "pairs", f"batch-v{v}")
-        )
+        pairs_path = os.path.join(self.store_dir, "pairs", f"batch-v{v}")
+        inc_pairs.write.mode("overwrite").parquet(pairs_path)
+        if self.maintain_clusters:
+            # fold the increment's pairs (read back from the file just
+            # written — already materialized, no band-join recompute)
+            # into the cluster map
+            delta = self._cluster_delta(
+                self.spark.read.parquet(pairs_path), st
+            )
+            delta.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, "cmap", f"batch-v{v}")
+            )
         return v
+
+    def _cluster_delta(self, inc_pairs: DataFrame, st: dict) -> DataFrame:
+        """O(new) cluster fold: the (id, cluster_id) rows that are NEW
+        or CHANGED once this increment's pairs join the map.
+
+        The full map is NEVER recomputed. The increment's edges are
+        projected onto current labels (one broadcast-probe scan of the
+        map — the O(new) endpoint set is the broadcast side, the map is
+        scanned, never shuffled), connected components run over the
+        CONTRACTED graph only (nodes = affected labels + new ids,
+        O(new) edges — min-label union against the stored map), and the
+        rewrite touches only rows whose label merged away (one more
+        broadcast-probe scan, write volume O(changed)). Correctness
+        rests on min-label monotonicity: a superseded label can never
+        become current again (every row carrying it was rewritten when
+        it merged), so probing RAW increment rows against the remap
+        only ever matches live rows — no per-id version resolution in
+        the hot path. Reference analogue: the dirty-chunk flush never
+        rewrites clean state (tokio-fs/src/lib.rs:207-235)."""
+        from dmds_spark.operators.dedup import connected_components
+
+        edges = inc_pairs.select("id_a", "id_b")
+        if not st["versions"]:
+            # first increment: the contracted graph IS the graph
+            return connected_components(edges, "id_a", "id_b")
+        cur_raw = self.spark.read.parquet(*self._paths("cmap", st["versions"]))
+        ends = (
+            edges.select(F.col("id_a").alias("nid"))
+            .unionByName(edges.select(F.col("id_b").alias("nid")))
+            .distinct()
+            .transform(materialize)  # consumed by probe + anti-join
+        )
+        # current label per touched endpoint: broadcast the O(new)
+        # endpoint set, scan the map once, resolve min() only over hits
+        hits = (
+            cur_raw.join(F.broadcast(ends), F.col("id") == F.col("nid"))
+            .groupBy("nid")
+            .agg(F.min("cluster_id").alias("lab"))
+            .transform(materialize)  # consumed 3x (two sides + anti)
+        )
+        la = hits.select(F.col("nid").alias("id_a"), F.col("lab").alias("la"))
+        lb = hits.select(F.col("nid").alias("id_b"), F.col("lab").alias("lb"))
+        contracted = (
+            edges.join(F.broadcast(la), "id_a", "left")
+            .join(F.broadcast(lb), "id_b", "left")
+            .select(
+                F.coalesce("la", F.col("id_a")).alias("u"),
+                F.coalesce("lb", F.col("id_b")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))  # intra-cluster edges drop
+        )
+        cc = materialize(connected_components(contracted, "u", "v"))
+        # brand-new ids get their first row
+        new_rows = cc.join(
+            F.broadcast(
+                ends.join(hits, "nid", "left_anti").select(
+                    F.col("nid").alias("id")
+                )
+            ),
+            "id",
+        )
+        # merged-away labels rewrite every live row that carries them
+        remap = cc.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("old_lab"), F.col("cluster_id").alias("new_lab")
+        )
+        changed = cur_raw.join(
+            F.broadcast(remap), F.col("cluster_id") == F.col("old_lab")
+        ).select("id", F.col("new_lab").alias("cluster_id"))
+        return new_rows.unionByName(changed)
 
     # -- public ingest ---------------------------------------------------
     def refresh(self) -> dict:
@@ -202,25 +327,27 @@ class IncrementalMinHashDedup:
 
         if self.source_dir is None:
             raise ValueError("refresh() needs source_dir (use fold_batch)")
-        st = self._state()
-        seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
-        current = _list_source_files(self.spark, self.source_dir)
-        new_files = _split_new_and_check(current, seen, "minhash store")
-        if not new_files:
-            return {"new_files": 0, "version": max(st["versions"], default=0)}
-        v = self._ingest(self.spark.read.parquet(*new_files), st)
-        self._flip(
-            {
-                "versions": st["versions"] + [v],
-                "seen_files": {
-                    **{f: current.get(f, sz) for f, sz in seen.items()},
-                    **{f: current[f] for f in new_files},
-                },
-                "size_src": "fs",
-                "last_batch_id": st["last_batch_id"],
-            }
-        )
-        return {"new_files": len(new_files), "version": v}
+        with self._writer():
+            st = self._state()
+            seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
+            current = _list_source_files(self.spark, self.source_dir)
+            new_files = _split_new_and_check(current, seen, "minhash store")
+            if not new_files:
+                return {"new_files": 0,
+                        "version": max(st["versions"], default=0)}
+            v = self._ingest(self.spark.read.parquet(*new_files), st)
+            self._flip(
+                {
+                    "versions": st["versions"] + [v],
+                    "seen_files": {
+                        **{f: current.get(f, sz) for f, sz in seen.items()},
+                        **{f: current[f] for f in new_files},
+                    },
+                    "size_src": "fs",
+                    "last_batch_id": st["last_batch_id"],
+                }
+            )
+            return {"new_files": len(new_files), "version": v}
 
     def fold_batch(self, df: DataFrame, batch_id: int | None = None) -> dict:
         """Streaming maintenance path: ingest one micro-batch of new
@@ -229,21 +356,24 @@ class IncrementalMinHashDedup:
         or below the high-water mark is skipped, and a crash between
         file write and pointer flip replays into fresh never-read
         files, never into served data."""
-        st = self._state()
-        if batch_id is not None and batch_id <= st["last_batch_id"]:
-            return {"skipped": True, "version": max(st["versions"], default=0)}
-        v = self._ingest(df, st)
-        self._flip(
-            {
-                "versions": st["versions"] + [v],
-                "seen_files": st["seen_files"],
-                "size_src": st.get("size_src"),
-                "last_batch_id": (
-                    batch_id if batch_id is not None else st["last_batch_id"]
-                ),
-            }
-        )
-        return {"skipped": False, "version": v}
+        with self._writer():
+            st = self._state()
+            if batch_id is not None and batch_id <= st["last_batch_id"]:
+                return {"skipped": True,
+                        "version": max(st["versions"], default=0)}
+            v = self._ingest(df, st)
+            self._flip(
+                {
+                    "versions": st["versions"] + [v],
+                    "seen_files": st["seen_files"],
+                    "size_src": st.get("size_src"),
+                    "last_batch_id": (
+                        batch_id if batch_id is not None
+                        else st["last_batch_id"]
+                    ),
+                }
+            )
+            return {"skipped": False, "version": v}
 
     def foreach_batch(self):
         """Sink for ``writeStream.foreachBatch``: keeps the near-dup
@@ -266,27 +396,41 @@ class IncrementalMinHashDedup:
         batch files become unreferenced (readers resolving the old
         pointer mid-compact still see a complete store — same
         crash-safe discipline as refresh). Content is unchanged:
-        signatures/pairs are unioned as-is, never recomputed."""
-        st = self._state()
-        if len(st["versions"]) <= 1:
-            return {"compacted": False, "versions": len(st["versions"])}
-        v = max(st["versions"]) + 1
-        # materialize BEFORE overwriting nothing (new dirs) — plain
-        # reads of the old versions stream into the new single version
-        for kind in ("sigs", "pairs"):
-            self.spark.read.parquet(
-                *self._paths(kind, st["versions"])
-            ).coalesce(
-                max(1, len(st["versions"]) // 8)
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.store_dir, kind, f"batch-v{v}")
+        signatures/pairs are unioned as-is, never recomputed — except
+        the cluster map, which compacts to its RESOLVED form (one
+        min-label row per id; superseded label-epoch rows drop), the
+        one moment the per-epoch history is folded."""
+        with self._writer():
+            st = self._state()
+            if len(st["versions"]) <= 1:
+                return {"compacted": False, "versions": len(st["versions"])}
+            v = max(st["versions"]) + 1
+            kinds = ("sigs", "pairs") + (
+                ("cmap",) if self.maintain_clusters else ()
             )
-        self._flip(
-            {
-                "versions": [v],
-                "seen_files": st["seen_files"],
-                "size_src": st.get("size_src"),
-                "last_batch_id": st["last_batch_id"],
-            }
-        )
-        return {"compacted": True, "versions": 1, "merged": len(st["versions"])}
+            # materialize BEFORE overwriting nothing (new dirs) — plain
+            # reads of the old versions stream into the new single
+            # version
+            for kind in kinds:
+                src = self.spark.read.parquet(
+                    *self._paths(kind, st["versions"])
+                )
+                if kind == "cmap":
+                    src = src.groupBy("id").agg(
+                        F.min("cluster_id").alias("cluster_id")
+                    )
+                src.coalesce(
+                    max(1, len(st["versions"]) // 8)
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.store_dir, kind, f"batch-v{v}")
+                )
+            self._flip(
+                {
+                    "versions": [v],
+                    "seen_files": st["seen_files"],
+                    "size_src": st.get("size_src"),
+                    "last_batch_id": st["last_batch_id"],
+                }
+            )
+            return {"compacted": True, "versions": 1,
+                    "merged": len(st["versions"])}

@@ -40,7 +40,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,24 +77,13 @@ class IncrementalIVFIndex:
         os.makedirs(store_dir, exist_ok=True)
 
     # -- writer fencing ----------------------------------------------------
-    @contextmanager
     def _writer(self):
-        """Single-writer token for the store directory (the same
-        ``WriterLock`` that fences ``World``): without it two
-        concurrent refresh()/fold_batch() callers both read
-        ``_current.json``, mint the same next version number, and
-        overwrite each other's ``batch-v{N}`` — one increment silently
-        lost despite the atomic pointer flip. Every
-        read-state → write-increment → flip sequence runs under this."""
-        from dmds_spark.world import WriterLock
+        """Single-writer token for the store directory — see
+        ``operators.rollup.store_writer``. Every read-state →
+        write-increment → flip sequence runs inside it."""
+        from dmds_spark.operators.rollup import store_writer
 
-        lk = WriterLock.for_dir(self.store_dir)
-        lk.acquire()
-        try:
-            with lk.mutex:
-                yield
-        finally:
-            lk.release()
+        return store_writer(self.store_dir)
 
     # -- pointer ---------------------------------------------------------
     @property
@@ -362,6 +350,78 @@ class IncrementalIVFIndex:
             )
             .orderBy(F.col("sim").desc(), F.col(self.id_col))
             .limit(topk)
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        topk: int = 10,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """Probe MANY query vectors at once (the serving path for a
+        query stream's micro-batch): per query, rank cells against the
+        constant-folded centroid matrix and keep the ``nprobe``
+        nearest, prune the store scan to the UNION of probed cells
+        (bounded by k — collected driver-side so it reaches the scan as
+        a partition filter), then one broadcast join of the exploded
+        (query, cell) pairs onto the pruned store with an exact-cosine
+        rerank. Returns (qid, id, cluster, sim) top-k per query,
+        total-ordered by (sim desc, id) — element-for-element equal to
+        a :meth:`search` loop (pinned). Queries are the broadcast side
+        always; the store is never shuffled."""
+        from pyspark.sql import Window as W
+
+        cent = self._centroid_rows()
+        mat = F.from_json(
+            F.lit(json.dumps(cent)), "array<array<double>>"
+        )
+        cand = F.transform(
+            mat,
+            lambda cvec, ci: F.struct(
+                (-_cos(F.col("qvec"), cvec)).alias("d"),
+                ci.cast("int").alias("c"),
+            ),
+        )
+        probed = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).cast("array<double>").alias("qvec"),
+        ).select(
+            "qid",
+            "qvec",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cand), 1, nprobe),
+                    lambda s: s["c"],
+                )
+            ).alias("cluster"),
+        )
+        # union of probed cells: bounded by k rows — a driver-side
+        # collect so the cell set reaches the scan as a partition
+        # filter (isin), not a runtime join
+        cells = [
+            r["cluster"]
+            for r in probed.select("cluster").distinct().collect()
+        ]
+        store = self.assignments()
+        if store is None:
+            raise ValueError("index is empty: ingest before searching")
+        w = W.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col(self.id_col)
+        )
+        return (
+            store.filter(F.col("cluster").isin(cells))  # partition-pruned
+            .join(F.broadcast(probed), "cluster")
+            .select(
+                "qid",
+                self.id_col,
+                "cluster",
+                _cos(F.col(self.vec_col), F.col("qvec")).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topk)
+            .drop("rn")
         )
 
     def compact(self) -> dict:

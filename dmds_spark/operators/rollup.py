@@ -33,6 +33,7 @@ import json
 import os
 import re
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,26 @@ def _atomic_flip(pointer: str, state: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, pointer)
+
+
+@contextmanager
+def store_writer(store_dir: str):
+    """Single-writer fence for a pointer-flipped store directory — the
+    same cross-process ``WriterLock`` that fences ``World``. Every
+    read-state → write-increment → flip sequence of the incremental
+    stores (MinHash dedup, IVF) runs inside this: without it two
+    concurrent writers both read the pointer, mint the same next
+    version number, and overwrite each other's increment. Readers are
+    never blocked (they resolve the committed pointer)."""
+    from dmds_spark.world import WriterLock
+
+    lk = WriterLock.for_dir(store_dir)
+    lk.acquire()
+    try:
+        with lk.mutex:
+            yield
+    finally:
+        lk.release()
 
 
 def _list_source_files(spark: SparkSession, source_dir: str) -> dict[str, int]:

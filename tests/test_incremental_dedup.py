@@ -228,3 +228,107 @@ def test_compact_preserves_content_and_single_version(spark, tmp_path):
     # compact again, then the single-version store refuses a no-op
     store.compact()
     assert store.compact()["compacted"] is False
+
+
+# ---------------------------------------------------------------------------
+# incremental cluster maintenance (maintain_clusters=True)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_map(df):
+    return {(r["id"], r["cluster_id"]) for r in df.collect()}
+
+
+def _full_clusters(spark):
+    """Ground truth: connected components over the full-corpus pair
+    set, ids restricted to those that appear in >= 1 pair (the store's
+    contract)."""
+    from dmds_spark.operators.dedup import connected_components
+
+    pairs = dedup_minhash(_docs(spark), "text", "doc_id", NH, B, T)
+    return {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+
+
+def test_incremental_clusters_equal_full_recompute(spark, tmp_path):
+    """Three O(new) cluster folds land on EXACTLY the connected
+    components a full recompute over the complete pair store produces —
+    the keep-first canonicalization correctness claim."""
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    store = IncrementalMinHashDedup(
+        spark, src, str(tmp_path / "store"), "text", "doc_id",
+        NH, B, K, T, maintain_clusters=True,
+    )
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(src)
+    store.refresh()
+    docs.filter(F.col("doc_id") % 3 == 1).write.mode("append").parquet(src)
+    store.refresh()
+    docs.filter(F.col("doc_id") % 3 == 2).write.mode("append").parquet(src)
+    store.refresh()
+    assert _cluster_map(store.clusters()) == _full_clusters(spark)
+
+
+def test_cluster_delta_is_o_new(spark, tmp_path):
+    """The O(new) claim for the map itself: an increment whose pairs
+    touch no existing cluster writes ONLY its own component rows —
+    unaffected clusters are never rewritten (their cmap files carry no
+    row for the new version)."""
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    sdir = str(tmp_path / "store")
+    store = IncrementalMinHashDedup(
+        spark, src, sdir, "text", "doc_id", NH, B, K, T,
+        maintain_clusters=True,
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    store.refresh()
+    v1 = _cluster_map(spark.read.parquet(f"{sdir}/cmap/batch-v1"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    store.refresh()
+    v2 = _cluster_map(spark.read.parquet(f"{sdir}/cmap/batch-v2"))
+    # every id in v1 that still carries the same label was NOT rewritten
+    unchanged = {i for i, c in v1 if (i, c) in _full_clusters(spark)}
+    rewritten = {i for i, _c in v2}
+    assert unchanged, "fixture should have stable clusters"
+    # v2 rows are only new ids or ids whose label actually changed
+    stale_rewrites = [
+        (i, c) for i, c in v2 if (i, c) in v1
+    ]
+    assert stale_rewrites == []
+    # and labels only ever decrease (min-label monotonicity)
+    lab1 = dict(v1)
+    for i, c in v2:
+        if i in lab1:
+            assert c < lab1[i], (i, c, lab1[i])
+    assert rewritten  # the odd half did contribute something
+
+
+def test_clusters_compact_resolves_epochs(spark, tmp_path):
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    store = IncrementalMinHashDedup(
+        spark, src, str(tmp_path / "store"), "text", "doc_id",
+        NH, B, K, T, maintain_clusters=True,
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    store.refresh()
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    store.refresh()
+    before = _cluster_map(store.clusters())
+    store.compact()
+    after = store.clusters()
+    assert _cluster_map(after) == before
+    # resolved: exactly one row per id even at the raw file level
+    raw = spark.read.parquet(f"{tmp_path}/store/cmap/batch-v3")
+    assert raw.count() == raw.select("id").distinct().count()
+
+
+def test_clusters_off_by_default(spark, tmp_path):
+    store = IncrementalMinHashDedup(
+        spark, None, str(tmp_path / "store"), "text", "doc_id"
+    )
+    with pytest.raises(ValueError, match="maintain_clusters"):
+        store.clusters()
