@@ -284,6 +284,15 @@ ADDITIONS = [
     "similarity_ivf_probe_sweep",
     "text_quality_linear_score",
     "pipeline_web_curation_full",
+    # round-12: the index-lifecycle family — incrementally-maintained
+    # near-dup cluster map (two increments, contracted-CC folds), the
+    # staged IVF quantizer retrain (migration + post-retrain ingest),
+    # batch ANN serving through the maintained store, and the per-cell
+    # drift report
+    "rollup_incremental_clusters",
+    "rollup_ivf_retrain",
+    "similarity_ivf_search_batch",
+    "similarity_ivf_drift_report",
 ]
 
 

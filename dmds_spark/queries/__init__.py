@@ -472,5 +472,9 @@ def _load():
     # (309/309 after r10), so these lead the round-11 window and the
     # remaining slots rotate the oldest (r04/r05-vintage) evidence
     from dmds_spark.queries import round11  # noqa: F401
+    # round-12 additions: every pre-existing query has driver evidence
+    # (318/318 after r11), so these lead the round-12 window and the
+    # remaining slots rotate the oldest (r05/r06-vintage) evidence
+    from dmds_spark.queries import round12  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,352 @@
+"""Round-12 queries: the index-lifecycle operations a production
+training-data pipeline runs DAILY, proven against declarative truth —
+(1) the incrementally-maintained near-dup cluster map (keep-first
+canonicalization no longer recomputes connected components over the
+whole pair store per refresh), (2) the staged IVF quantizer retrain
+(zero-downtime centroid migration), (3) batch ANN serving through the
+maintained index (the search path a query stream's micro-batches hit),
+and (4) the per-cell drift report that decides WHEN to retrain.
+
+All four run the REAL persisted stores end to end inside the query
+(the ``rollup_incremental_ivf`` acceptance shape): the oracle states
+the equivalent end-state declaratively, so the driver's hash-compare
+certifies the maintained/staged path against a from-scratch recompute.
+
+Reference analogue for the whole family: the dirty-chunk incremental
+flush never rewrites clean state (tokio-fs/src/lib.rs:207-235), and
+the payload version header lets old-format data keep serving until
+rewritten (tokio-fs/src/lib.rs:89-90) — generalized here from row
+storage to dedup clusters and ANN cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.llm_dedup import (
+    BANDS,
+    K_SHINGLE,
+    NUM_HASHES,
+    _CLUSTER_SQL,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    from dmds_spark.core.scratch import scratch_dir
+
+    return scratch_dir(kind, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# incrementally-maintained near-dup cluster map, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+
+@register("rollup_incremental_clusters", _CLUSTER_SQL)
+def rollup_incremental_clusters(spark, sf_dir):
+    """O(new) cluster maintenance proven against the oracle: ingest
+    half the corpus into a ``maintain_clusters=True`` MinHash store,
+    append the other half, ingest again — each increment folds its new
+    pairs into the persisted cluster map by min-label union against the
+    CONTRACTED graph (affected labels + new ids only; the map is
+    broadcast-probed, never shuffled, and only merged-away labels'
+    rows are rewritten) — then assign every document its cluster
+    (coalesce to itself for pair-less docs). The oracle is the full
+    recursive-CTE transitive closure over the complete pair set
+    (identical SQL to ``dedup_cluster_assign``, hash-green since round
+    4), so the driver certifies increment-union == full connected-
+    components recompute — the keep-first canonicalization claim for a
+    daily-refreshed corpus, end to end
+    (operators/incremental_dedup.py:_cluster_delta).
+
+    Shape at scale: per increment the full map is scanned twice
+    (broadcast-probe joins: endpoints, then merged labels) and written
+    O(changed); the contracted CC iterates over O(new) edges. A full
+    CC recompute over the pair store happens NEVER — not even at
+    compact(), which only folds label epochs."""
+    from dmds_spark.operators.incremental_dedup import IncrementalMinHashDedup
+
+    root = _scratch(sf_dir, "inc_clusters")
+    src = f"{root}/src"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    store = IncrementalMinHashDedup(
+        spark, src, f"{root}/store", "text", "doc_id",
+        NUM_HASHES, BANDS, K_SHINGLE, 0.5, maintain_clusters=True,
+    )
+    store.refresh()
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    store.refresh()
+    cmap = store.clusters().select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("cid")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(cmap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cid", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# staged IVF quantizer retrain (zero-downtime migration)
+# ---------------------------------------------------------------------------
+
+_RT_K = 8
+_RT_BASE = 20  # retrained anchors are vec_ids 20..27
+
+
+@register(
+    "rollup_ivf_retrain",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      WHERE vec_id >= {_RT_BASE} AND vec_id < {_RT_BASE + _RT_K}
+    ), assign AS (
+      SELECT e.vec_id, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC, a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    )
+    SELECT CAST(aid - {_RT_BASE} AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(vec_id) AS min_vid,
+           MAX(vec_id) AS max_vid,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vid
+    FROM assign WHERE rn = 1
+    GROUP BY aid
+    """,
+)
+def rollup_ivf_retrain(spark, sf_dir):
+    """Staged IVF retrain proven against the oracle: freeze generation-1
+    anchors (vec_id < {_RT_K}), ingest the even half, RETRAIN to
+    generation-2 anchors (vec_id {_RT_BASE}..{_RT_BASE}+{_RT_K}-1 —
+    every committed increment re-materialized under the new centroids
+    while generation 1 keeps serving, one atomic pointer flip), then
+    ingest the odd half (landing directly under generation 2) and
+    report the per-cell census. The oracle states the FULL corpus
+    assignment under the generation-2 anchors declaratively, so the
+    driver certifies the staged migration path == a fresh-store rebuild
+    — the zero-downtime retrain claim, end to end
+    (operators/incremental_ivf.py:retrain).
+
+    Shape at scale: reassignment costs one scan per committed increment
+    (constant k x dim matrix, no join); readers never block (the flip
+    is atomic, old directories serve until vacuum); replay marks and
+    increment identity survive, so the maintaining stream keeps folding
+    through the migration."""
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    root = _scratch(sf_dir, "ivf_retrain")
+    src = f"{root}/src"
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    gen1 = e.filter(F.col("vec_id") < _RT_K).orderBy("vec_id").collect()
+    gen2 = (
+        e.filter(
+            (F.col("vec_id") >= _RT_BASE)
+            & (F.col("vec_id") < _RT_BASE + _RT_K)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )  # 2 x 8 rows — bounded by k, never data size
+    idx = IncrementalIVFIndex(
+        spark, src, f"{root}/store", "vec_id", "embedding"
+    )
+    idx.set_centroids([list(r["embedding"]) for r in gen1])
+    e.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+    idx.refresh()
+    idx.retrain([list(r["embedding"]) for r in gen2])
+    e.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+    idx.refresh()
+    return (
+        idx.assignments()
+        .groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").alias("min_vid"),
+            F.max("vec_id").alias("max_vid"),
+            F.sum("vec_id").cast("bigint").alias("sum_vid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch ANN serving through the maintained index
+# ---------------------------------------------------------------------------
+
+_SB_NQ = 20
+_SB_TOPK = 10
+_SB_NPROBE = 2
+
+
+@register(
+    "similarity_ivf_search_batch",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      WHERE vec_id < {_RT_K}
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC, a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    ), cells AS (
+      SELECT vec_id, embedding, aid FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_SB_NQ}
+    ), cellrank AS (
+      SELECT q.qid, q.qv, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid
+             ) AS r
+      FROM q CROSS JOIN anchors a
+    ), hits AS (
+      SELECT cr.qid, c.vec_id, c.aid,
+             list_cosine_similarity(cr.qv, c.embedding) AS sim_exact,
+             ROW_NUMBER() OVER (
+               PARTITION BY cr.qid
+               ORDER BY list_cosine_similarity(cr.qv, c.embedding) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM cellrank cr JOIN cells c ON c.aid = cr.aid
+      WHERE cr.r <= {_SB_NPROBE}
+    )
+    SELECT qid, vec_id, CAST(aid AS BIGINT) AS cluster,
+           CAST(ROUND(CAST(sim_exact AS DECIMAL(18,9)), 4) AS DOUBLE) AS sim
+    FROM hits WHERE rn <= {_SB_TOPK}
+    """,
+)
+def similarity_ivf_search_batch(spark, sf_dir):
+    """Batch ANN serving proven against the oracle: maintain the IVF
+    store (anchor quantizer, whole corpus folded), then answer
+    {_SB_NQ} query vectors in ONE ``search_batch`` call — per-query
+    cell ranking against the constant centroid matrix, union-of-probed-
+    cells partition filter on the store scan, broadcast join + exact
+    cosine rerank, top-{_SB_TOPK} per query. The oracle states the same
+    probed search declaratively, so the driver certifies the maintained
+    serving path (the micro-batch arm of streaming/ann_serve.py probes
+    exactly this method) against from-scratch truth.
+
+    Shape at scale: the store is scanned once per micro-batch, pruned
+    to the probed cells' directories; queries are ALWAYS the broadcast
+    side; ordering is exact double cosine (bit-identical both engines),
+    rounded only for display — same float discipline as
+    similarity_cosine_topk."""
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    root = _scratch(sf_dir, "ivf_serve")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    anchors = e.filter(F.col("vec_id") < _RT_K).orderBy("vec_id").collect()
+    idx = IncrementalIVFIndex(
+        spark, None, f"{root}/store", "vec_id", "embedding"
+    )
+    idx.set_centroids([list(r["embedding"]) for r in anchors])
+    idx.fold_batch(e, 0)
+    queries = e.filter(F.col("vec_id") < _SB_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = idx.search_batch(
+        queries, topk=_SB_TOPK, nprobe=_SB_NPROBE
+    )
+    return out.select(
+        "qid",
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.round(F.col("sim").cast("decimal(18,9)"), 4)
+        .cast("double")
+        .alias("sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-cell quantizer drift (the WHEN-to-retrain report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_ivf_drift_report",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      WHERE vec_id < {_RT_K}
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC, a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    ), cells AS (
+      SELECT vec_id, embedding, aid FROM assign WHERE rn = 1
+    ), comp AS (
+      SELECT aid,
+             UNNEST([{{'pos': i - 1, 'x': embedding[i]}}
+                     for i in range(1, len(embedding) + 1)]) AS u
+      FROM cells
+    ), mean_long AS (
+      SELECT aid, u.pos,
+             ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12)))
+                        AS DOUBLE) / COUNT(*), 6) AS m
+      FROM comp GROUP BY aid, u.pos
+    ), mean_vec AS (
+      SELECT aid, list(m ORDER BY pos) AS mv FROM mean_long GROUP BY aid
+    ), pop AS (
+      SELECT aid, COUNT(*) AS n FROM cells GROUP BY aid
+    )
+    SELECT CAST(a.aid AS BIGINT) AS cluster,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(ROUND(CAST(list_cosine_similarity(a.av, m.mv)
+                           AS DECIMAL(18,9)), 4) AS DOUBLE)
+             AS centroid_cosine
+    FROM anchors a JOIN mean_vec m ON a.aid = m.aid
+    JOIN pop p ON a.aid = p.aid
+    """,
+)
+def similarity_ivf_drift_report(spark, sf_dir):
+    """The retrain trigger proven against the oracle: per IVF cell, the
+    cosine between the FROZEN centroid and the current decimal-exact
+    mean of the vectors assigned to it (1.0 = no drift) plus the cell
+    population — one scan of the maintained store, k-row output
+    (operators/incremental_ivf.py:drift_report). A deployment retrains
+    (``rollup_ivf_retrain``'s staged path) when drift or population
+    skew crosses policy; this report IS that policy input, certified
+    against a declarative recompute.
+
+    Float discipline: the mean is summed in DECIMAL and rounded to 6
+    (order-independent, the embedding_centroids contract); the cosine
+    is exact double, rounded to 4 for display."""
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    root = _scratch(sf_dir, "ivf_drift")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    anchors = e.filter(F.col("vec_id") < _RT_K).orderBy("vec_id").collect()
+    idx = IncrementalIVFIndex(
+        spark, None, f"{root}/store", "vec_id", "embedding"
+    )
+    idx.set_centroids([list(r["embedding"]) for r in anchors])
+    idx.fold_batch(e, 0)
+    return idx.drift_report().select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("centroid_cosine").cast("decimal(18,9)"), 4)
+        .cast("double")
+        .alias("centroid_cosine"),
+    )

@@ -332,3 +332,23 @@ def test_clusters_off_by_default(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="maintain_clusters"):
         store.clusters()
+
+
+def test_cluster_delta_plan_broadcasts_map_probes(spark, tmp_path):
+    """Scale pin for the O(new) fold: every probe of the cluster map
+    (endpoint labels, merged-label rewrite) is a BROADCAST join of the
+    small increment side — the map itself is scanned, never shuffled
+    (no sort-merge join anywhere in the delta plan)."""
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    store = IncrementalMinHashDedup(
+        spark, src, str(tmp_path / "store"), "text", "doc_id",
+        NH, B, K, T, maintain_clusters=True,
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    store.refresh()
+    inc = spark.read.parquet(f"{tmp_path}/store/pairs/batch-v1")
+    delta = store._cluster_delta(inc, store._state())
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -111,6 +111,27 @@ def test_search_prunes_partitions(spark, emb, tmp_path):
     ) or "cluster" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_search_batch_prunes_and_broadcasts(spark, emb, tmp_path):
+    """The serving-path plan shape: the store scan is pruned to the
+    union of probed cells (PartitionFilters on the cluster directory
+    column) and the query micro-batch is the BROADCAST side — the
+    store is never shuffled."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "pb"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = idx.search_batch(q, topk=3, nprobe=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cluster" in pf and "IN" in pf.upper()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_compact_preserves_assignments(spark, emb, tmp_path):
     idx = IncrementalIVFIndex(
         spark, None, str(tmp_path / "c"), "vec_id", "embedding"
