@@ -293,6 +293,7 @@ ADDITIONS = [
     "rollup_ivf_retrain",
     "similarity_ivf_search_batch",
     "similarity_ivf_drift_report",
+    "multimodal_real_decode_stats",
 ]
 
 

@@ -2,14 +2,17 @@
 image/audio/video as opaque ``binary`` columns with typed metadata,
 processed through Arrow-batched ``mapInPandas`` stages.
 
-The actual media codecs (JPEG/PNG decode, audio resample, video
-demux) are NOT available in this container, so the codec call itself
-is stubbed — ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic parser of our own
-header format. Everything AROUND the codec is real and tested:
-schemas, Arrow batch shapes, partition behavior, UDF signatures,
-frame explosion, and feature extraction (byte histograms are real
-math on the real bytes).
+Image decode/resize is REAL for uncompressed containers everywhere:
+P6 PPM and BI_RGB BMP parse and resample with numpy alone (encoders
+included, so tests and oracles synthesize real containers with
+arithmetic rasters). Only COMPRESSED codecs (JPEG/PNG decode, and the
+audio/video demuxers) depend on libraries absent from this container —
+those routes go through the optional Pillow import and raise
+``NotImplementedError`` without it, while ``fake=True`` selects the
+deterministic DMDS header parser. Everything around the codecs is
+real and tested: schemas, Arrow batch shapes, partition behavior, UDF
+signatures, frame explosion, and feature extraction (byte histograms
+are real math on the real bytes).
 
 Scale notes: media bytes never hit the driver; each stage is
 ``mapInPandas`` over Arrow record batches, so a 100 TB media table
@@ -73,30 +76,173 @@ def _pil():
         return None
 
 
+# --------------------------------------------------------------------------
+# Pure-numpy codecs for UNCOMPRESSED real image containers (PPM P6,
+# 24-bit BI_RGB BMP): the image path works everywhere without Pillow —
+# only COMPRESSED formats (PNG/JPEG) still route through the optional
+# PIL dependency. Encoders exist so tests and queries can synthesize
+# real-container payloads with arithmetic pixel content (the
+# multimodal_byte_histogram oracle trick applied to a real format).
+
+
+def _ppm_header(raw: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header -> (width, height, pixel offset). Handles the
+    canonical whitespace forms and ``#`` comment lines; maxval must be
+    255 (8-bit, the only depth we emit)."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from data
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return width, height, pos
+
+
+def encode_ppm(width: int, height: int, seed: int) -> bytes:
+    """A real P6 PPM whose raster byte j is ``(seed*31 + j*7) % 256`` —
+    the same arithmetic payload as the DMDS fake media, in a container
+    any image tool opens. Unlike the fake header the raster is FULL
+    (w*h*3 bytes): real containers carry every pixel."""
+    import numpy as np
+
+    n = width * height * 3
+    raster = (
+        (seed * 31 + np.arange(n, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + raster.tobytes()
+
+
+def ppm_pixels(raw: bytes) -> "object":
+    """Full numpy decode of a P6 PPM -> (height, width, 3) uint8."""
+    import numpy as np
+
+    width, height, off = _ppm_header(raw)
+    n = width * height * 3
+    return (
+        np.frombuffer(raw, dtype=np.uint8, count=n, offset=off)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def encode_ppm_pixels(pixels: "object") -> bytes:
+    h, w, _c = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def _bmp_header(raw: bytes) -> tuple[int, int, int, int]:
+    """Parse a BMP file+info header -> (width, height, channels,
+    pixel offset). Only uncompressed (BI_RGB) 24/32-bit is supported —
+    exactly what a pipeline's raw-dump stage writes."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", raw, 10)
+    width, height = struct.unpack_from("<ii", raw, 18)
+    (bpp,) = struct.unpack_from("<H", raw, 28)
+    (compression,) = struct.unpack_from("<I", raw, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (compression={compression}, bpp={bpp}): "
+            "only uncompressed 24/32-bit BI_RGB decodes without Pillow"
+        )
+    return width, height, bpp // 8, offset
+
+
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """A real 24-bit BI_RGB BMP (bottom-up rows, 4-byte row padding)
+    whose pixel (y, x, c) — in RGB order, top-down coordinates — is
+    ``(seed*31 + (y*width*3 + x*3 + c)*7) % 256``: the same arithmetic
+    raster as :func:`encode_ppm`, so PPM and BMP round-trips can be
+    pinned equal pixel for pixel."""
+    import numpy as np
+
+    n = width * height * 3
+    rgb = (
+        ((seed * 31 + np.arange(n, dtype=np.int64) * 7) % 256)
+        .astype(np.uint8)
+        .reshape(height, width, 3)
+    )
+    bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = np.zeros((height, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(height, row_bytes)
+    pixel_data = rows.tobytes()
+    offset = 14 + 40
+    file_header = b"BM" + struct.pack(
+        "<IHHI", offset + len(pixel_data), 0, 0, offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixel_data
+
+
+def bmp_pixels(raw: bytes) -> "object":
+    """Full numpy decode of an uncompressed BMP -> (height, width, c)
+    uint8 in RGB(A), top-down coordinates."""
+    import numpy as np
+
+    width, height, channels, offset = _bmp_header(raw)
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = width * channels
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, :row_bytes]
+    img = rows.reshape(height, width, channels)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, [2, 1, 0] + ([3] if channels == 4 else [])].copy()
+
+
 def decode_image(content: bytes, fake: bool | None = None) -> dict:
     """Decode one image's header.
 
     ``fake=True`` forces the deterministic DMDS header parser;
-    ``fake=False`` forces a real codec (Pillow), raising
-    NotImplementedError when it isn't installed; ``fake=None`` (auto)
-    sniffs: DMDS-magic bytes use the fake parser, anything else goes
-    through Pillow when available."""
+    ``fake=False`` forces a real container parse; ``fake=None`` (auto)
+    sniffs the magic. Real containers: P6 PPM and uncompressed BMP
+    decode with numpy alone (no environment dependency); anything else
+    (PNG/JPEG/...) goes through Pillow when installed and raises
+    NotImplementedError when not — compression is the ONLY remaining
+    environment gate."""
+    content = bytes(content)
     is_fake_bytes = content[:4] == MEDIA_MAGIC
     if fake is True or (fake is None and is_fake_bytes):
         if not is_fake_bytes:
             raise ValueError("bad magic")
         width, height, channels = struct.unpack(">III", content[4:16])
         return {"width": width, "height": height, "channels": channels}
+    if content[:2] == b"P6":
+        width, height, _off = _ppm_header(content)
+        return {"width": width, "height": height, "channels": 3}
+    if content[:2] == b"BM":
+        width, height, channels, _off = _bmp_header(content)
+        return {"width": width, "height": abs(height), "channels": channels}
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "real image decoding requires Pillow, which is not installed; "
-            "pip install Pillow, or pass fake=True for the deterministic "
-            "header parser"
+            "decoding COMPRESSED image formats requires Pillow, which is "
+            "not installed; uncompressed PPM/BMP decode without it, and "
+            "fake=True selects the deterministic header parser"
         )
     import io
 
-    with Image.open(io.BytesIO(bytes(content))) as im:
+    with Image.open(io.BytesIO(content)) as im:
         return {
             "width": im.width,
             "height": im.height,
@@ -153,6 +299,50 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
                             "n_bytes": int(pl) + 16,
                         }
                         for w, h, pl in zip(width, height, plen)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def ppm_media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Like :func:`media_table_from_documents` but the content is a
+    REAL image container (P6 PPM) with the same arithmetic geometry
+    (w = 16 + n_chars%48, h = 16 + (n_chars//7)%48) and raster byte
+    j = (doc_id*31 + j*7) % 256 — so the real-codec decode path is
+    exercisable AND oracle-able everywhere (no imaging library, no
+    truncation: real containers carry the full w*h*3 raster)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], "kind": [], "content": [], "meta": []}
+                )
+                continue
+            doc_ids = pdf["doc_id"].astype("int64")
+            n_chars = pdf["n_chars"].astype("int64")
+            width = (16 + n_chars % 48).to_numpy()
+            height = (16 + (n_chars // 7) % 48).to_numpy()
+            contents = [
+                encode_ppm(int(w), int(h), int(d))
+                for w, h, d in zip(width, height, doc_ids)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": doc_ids.to_numpy(),
+                    "kind": ["image"] * n,
+                    "content": contents,
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(h),
+                            "channels": 3,
+                            "n_bytes": len(c),
+                        }
+                        for w, h, c in zip(width, height, contents)
                     ],
                 }
             )
@@ -338,18 +528,23 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: binary in -> binary out with the target geometry.
     DMDS fake media re-encodes deterministically at the target size;
-    real images resample through Pillow when it is installed
-    (``fake=False`` requires it; checked up front so a misconfigured
-    cluster fails at plan time, not per-task). The Spark-side shape is
-    the production one either way: Arrow-batched binary columns through
-    mapInPandas, output partitioning inherited from the input (no
-    shuffle), constant memory per batch via the iterator protocol."""
-    if fake is False and _pil() is None:
-        raise NotImplementedError(
-            "real resampling requires Pillow, which is not installed; "
-            "pip install Pillow, or use fake=True/None for the "
-            "deterministic stub"
-        )
+    uncompressed real containers (P6 PPM, BI_RGB BMP) resample with a
+    pure-numpy nearest-neighbor (no environment dependency; BMP
+    re-encodes as PPM — the pipeline-internal raw container);
+    compressed images resample through Pillow when installed and raise
+    NotImplementedError per task when not. The Spark-side shape is the
+    production one in every branch: Arrow-batched binary columns
+    through mapInPandas, output partitioning inherited from the input
+    (no shuffle), constant memory per batch via the iterator
+    protocol."""
+
+    def _nearest(pixels, tw: int, th: int):
+        import numpy as np
+
+        h, w = pixels.shape[:2]
+        ys = (np.arange(th, dtype=np.int64) * h) // th
+        xs = (np.arange(tw, dtype=np.int64) * w) // tw
+        return pixels[ys][:, xs]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -367,11 +562,22 @@ def resize_images(
                         target_width, target_height, src["channels"], int(media_id)
                     )
                     channels = src["channels"]
+                elif raw[:2] in (b"P6", b"BM"):
+                    px = (
+                        ppm_pixels(raw) if raw[:2] == b"P6"
+                        else bmp_pixels(raw)[:, :, :3]
+                    )
+                    resized = encode_ppm_pixels(
+                        _nearest(px, target_width, target_height)
+                    )
+                    channels = 3
                 else:
                     Image = _pil()
                     if Image is None:
                         raise NotImplementedError(
-                            "non-DMDS media bytes need Pillow to resample"
+                            "COMPRESSED media bytes need Pillow to "
+                            "resample (uncompressed PPM/BMP resize "
+                            "without it)"
                         )
                     with Image.open(io.BytesIO(raw)) as im:
                         fmt = im.format or "PNG"

@@ -366,10 +366,14 @@ _DEFERRED: tuple[str, ...] = ()
 
 # Queries whose oracle status or semantics CHANGED after their last
 # driver check, so their recorded evidence is stale regardless of age:
-# they slot directly behind the never-checked set. Round 12: empty —
-# both r11 priority re-checks came back hash-green (CORRECTNESS_r11)
-# and no existing query's semantics changed this round.
-_PRIORITY_RECHECK: tuple[str, ...] = ()
+# they slot directly behind the never-checked set. Round 12: both
+# moved from rows-only to a full SQL oracle (the synthesized media
+# geometry is arithmetic in n_chars, so decode stats and kept-frame
+# counts are declaratively stateable — the byte-histogram trick).
+_PRIORITY_RECHECK: tuple[str, ...] = (
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -334,12 +334,25 @@ def similarity_ivf_topk(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_stats", None)  # binary plumbing: rows-only check
+@register(
+    "multimodal_decode_stats",
+    """
+    SELECT CAST(3 AS INT) AS channels,
+           COUNT(*) AS n,
+           CAST(SUM(16 + n_chars % 48) AS BIGINT) AS sum_width,
+           CAST(SUM(16 + (n_chars // 7) % 48) AS BIGINT) AS sum_height
+    FROM documents
+    """,
+)
 def multimodal_decode_stats(spark, sf_dir):
-    """Multimodal pipeline end-to-end: documents -> fake media table
-    (binary + typed metadata) -> Arrow mapInPandas decode -> aggregate.
-    The codec itself is stubbed (no imaging libs in this container, see
-    operators/multimodal.py); the Spark plumbing is real."""
+    """Multimodal pipeline end-to-end: documents -> media table
+    (binary + typed metadata) -> Arrow mapInPandas header decode ->
+    aggregate. Oracle-checked since round 12: the synthesized geometry
+    is arithmetic in n_chars (w = 16 + n_chars%48, h = 16 +
+    (n_chars//7)%48, 3 channels), so DuckDB states the decode output
+    declaratively and the hash certifies the whole binary->Arrow->
+    header-parse round trip (the multimodal_byte_histogram trick).
+    The real-container twin is ``multimodal_real_decode_stats``."""
     from dmds_spark.operators.multimodal import (
         decode_images,
         media_table_from_documents,
@@ -357,10 +370,22 @@ def multimodal_decode_stats(spark, sf_dir):
     )
 
 
-@register("multimodal_frame_sample", None)  # binary plumbing: rows-only check
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST((LEAST((16 + n_chars % 48) * (16 + (n_chars // 7) % 48)
+                       * 3, 4096) // 256 + 1) // 2 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame sampling over binary payloads (the video-demux shape):
-    fixed-width frames, stride 2, counted per media item."""
+    fixed-width 256-byte frames, stride 2, counted per media item.
+    Oracle-checked since round 12: the payload length is
+    min(w*h*3, 4096) with arithmetic w/h, so the kept-frame count per
+    media is ((len//256)+1)//2 stated declaratively — the hash
+    certifies the Arrow explode-and-slice plumbing end to end."""
     from dmds_spark.operators.multimodal import (
         media_table_from_documents,
         sample_frames,
