@@ -432,5 +432,33 @@ class IncrementalMinHashDedup:
                     "last_batch_id": st["last_batch_id"],
                 }
             )
+            removed = self._vacuum_unreferenced()
             return {"compacted": True, "versions": 1,
-                    "merged": len(st["versions"])}
+                    "merged": len(st["versions"]), "removed": len(removed)}
+
+    def vacuum(self) -> dict:
+        """Reclaim store directories not referenced by the committed
+        pointer: compact()-superseded increments and crashed-ingest
+        orphans. Safe under the writer lock because the pointer flip is
+        atomic and unreferenced dirs are never read — mirrors
+        ``IncrementalIVFIndex.vacuum`` / ``World.vacuum_snapshots``."""
+        with self._writer():
+            return {"removed": self._vacuum_unreferenced()}
+
+    def _vacuum_unreferenced(self) -> list[str]:
+        """Delete unreferenced version dirs. Caller holds the lock."""
+        import shutil
+
+        st = self._state()
+        keep = {f"batch-v{v}" for v in st["versions"]}
+        removed: list[str] = []
+        for kind in ("sigs", "pairs", "cmap"):
+            kdir = os.path.join(self.store_dir, kind)
+            if not os.path.isdir(kdir):
+                continue
+            for name in sorted(os.listdir(kdir)):
+                if name not in keep:
+                    shutil.rmtree(os.path.join(kdir, name),
+                                  ignore_errors=True)
+                    removed.append(f"{kind}/{name}")
+        return removed

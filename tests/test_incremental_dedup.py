@@ -352,3 +352,56 @@ def test_cluster_delta_plan_broadcasts_map_probes(spark, tmp_path):
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stream_maintains_clusters(spark, tmp_path):
+    """The streaming arm with maintain_clusters=True: a real
+    micro-batched stream (one file per trigger) folds the cluster map
+    increment by increment, landing on exactly the full-recompute
+    connected components."""
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    store = IncrementalMinHashDedup(
+        spark, None, str(tmp_path / "store"), "text", "doc_id",
+        NH, B, K, T, maintain_clusters=True,
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part-*.parquet")
+    )
+    q = (
+        sdf.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _cluster_map(store.clusters()) == _full_clusters(spark)
+
+
+def test_compact_reclaims_superseded_versions(spark, tmp_path):
+    """compact() must not leak the increment dirs it superseded, and
+    vacuum() reclaims crash orphans (unreferenced version dirs)."""
+    import os
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    sdir = str(tmp_path / "store")
+    store = IncrementalMinHashDedup(
+        spark, src, sdir, "text", "doc_id", NH, B, K, T,
+        maintain_clusters=True,
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    store.refresh()
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    store.refresh()
+    out = store.compact()
+    assert out["compacted"] and out["removed"] == 6  # 2 versions x 3 kinds
+    for kind in ("sigs", "pairs", "cmap"):
+        assert sorted(os.listdir(f"{sdir}/{kind}")) == ["batch-v3"]
+    # a crash orphan (written, never flipped) is reclaimed by vacuum
+    os.makedirs(f"{sdir}/pairs/batch-v9")
+    assert store.vacuum()["removed"] == ["pairs/batch-v9"]

@@ -216,3 +216,54 @@ def test_empty_pinned_snapshot_keeps_payload_schema(spark, world):
     assert v2.count() == 0
     both = world.snapshot(version=1).unionByName(v2)
     assert both.count() == 1
+
+
+def test_pinned_reader_during_concurrent_commit(world):
+    """The seam between the versioned store and the writer lock: a
+    reader holding a pinned ``snapshot(version=1)`` DataFrame keeps
+    resolving to IDENTICAL rows while a concurrent thread's flush
+    (writer lock held) commits version 2 with relocations, deletes and
+    appends — commits are additive (_v2 dir + manifest flip) and never
+    touch v1's files, so the pinned plan needs no coordination."""
+    import threading
+
+    world.insert_rows(
+        [{"dim0": i, "dim1": (i * 7) % 1024} for i in range(0, 600, 3)]
+    )
+    world.flush()
+    pinned = world.snapshot(version=1)
+    before = rows(pinned)
+    assert len(before) == 200
+
+    errs = []
+
+    def writer():
+        try:
+            # relocate some, delete some, append some — every commit kind
+            world.insert_rows(
+                [{"dim0": i, "dim1": ((i * 7) + 513) % 1024}
+                 for i in range(0, 120, 3)]
+            )
+            world.delete_ids(range(300, 360))
+            world.insert_rows(
+                [{"dim0": i, "dim1": i % 1024} for i in range(700, 760, 3)]
+            )
+            world.flush()
+        except Exception as e:  # surfaced by the main thread
+            errs.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    seen = []
+    while t.is_alive() and len(seen) < 12:
+        seen.append(rows(pinned))
+    t.join()
+    assert errs == []
+    assert world.current_version() == 2
+    # every read DURING the commit, and the re-read after it, is the
+    # byte-stable v1 state
+    assert all(s == before for s in seen) and len(seen) >= 1
+    assert rows(world.snapshot(version=1)) == before
+    assert rows(pinned) == before
+    # and v2 actually differs (the writer's changes landed)
+    assert rows(world.snapshot(version=2)) != before
