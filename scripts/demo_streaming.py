@@ -242,6 +242,44 @@ def main() -> int:
         print(f"10. ingest decontamination: {n} contaminated docs flagged "
               f"in-stream against {len(ev_grams)} benchmark 8-grams")
 
+    # -- 11. streaming ANN serving over the maintained IVF index --
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+    from dmds_spark.streaming.ann_serve import ann_probe_sink, probe_results
+
+    with tempfile.TemporaryDirectory() as d11:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        idx = IncrementalIVFIndex(
+            spark, None, f"{d11}/store", "vec_id", "embedding"
+        )
+        anchors = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        idx.set_centroids([list(r["embedding"]) for r in anchors])
+        idx.fold_batch(emb, 0)
+        q = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        q.coalesce(1).write.parquet(f"{d11}/queries")
+        q.coalesce(1).write.mode("append").parquet(f"{d11}/queries")
+        qstream = (
+            spark.readStream.schema(spark.read.parquet(f"{d11}/queries").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d11}/queries/part-*.parquet")
+        )
+        sq = (
+            qstream.writeStream.foreachBatch(
+                ann_probe_sink(idx, f"{d11}/answers", topk=5, nprobe=2)
+            )
+            .option("checkpointLocation", f"{d11}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(180)
+        n = probe_results(spark, f"{d11}/answers").count()
+        print(f"11. streaming ANN serving: {n} top-k answers landed across "
+              f"micro-batches from the maintained IVF store "
+              f"(stream == batch probe, pinned in tests)")
+
     print("demo: all streaming stages ran")
     return 0
 
