@@ -124,14 +124,23 @@ def _materialize_path() -> str:
     if _MZ_ROOT is None:
         base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
         if base:
-            _MZ_ROOT = os.path.join(base, "materialize")
+            import uuid
+
+            # uuid, not pid: drivers on different hosts (or containers,
+            # where the driver is commonly pid 1) share the durable
+            # checkpoint FS, and a colliding path would let one
+            # driver's overwrite delete files another's live lazy
+            # barrier still reads
+            _MZ_ROOT = os.path.join(
+                base, f"materialize_{uuid.uuid4().hex}"
+            )
             os.makedirs(_MZ_ROOT, exist_ok=True)
         else:
             import tempfile
 
             _MZ_ROOT = tempfile.mkdtemp(prefix="dmds_spark_mz_")
     _MZ_SEQ += 1
-    return os.path.join(_MZ_ROOT, f"mz_{os.getpid()}_{_MZ_SEQ:06d}")
+    return os.path.join(_MZ_ROOT, f"mz_{_MZ_SEQ:06d}")
 
 
 def materialize(df: DataFrame, *, mode: str | None = None) -> DataFrame:

@@ -221,6 +221,19 @@ class IncrementalMinHashDedup:
         store, write both as NEW files (plus the cluster-map delta when
         maintained), return the next version number (caller flips the
         pointer)."""
+        if (
+            self.maintain_clusters
+            and st["versions"]
+            and not os.path.isdir(os.path.join(self.store_dir, "cmap"))
+        ):
+            # checked BEFORE any write: the refused ingest must not
+            # leave sig/pair orphans behind
+            raise ValueError(
+                "maintain_clusters=True over a store whose existing "
+                "increments carry no cluster map: the fold cannot be "
+                "retrofitted O(new) (rebuild into a fresh store_dir, "
+                "or keep the pairs-only handle)"
+            )
         new_sigs = minhash_signatures(
             docs, self.text_col, self.id_col, self.num_hashes, self.k
         ).transform(materialize)  # two consumers: band join + store
@@ -395,18 +408,26 @@ class IncrementalMinHashDedup:
         version, then flips the pointer to ONLY that version; the old
         batch files become unreferenced (readers resolving the old
         pointer mid-compact still see a complete store — same
-        crash-safe discipline as refresh). Content is unchanged:
+        crash-safe discipline as refresh; the superseded directories
+        stay on disk so a reader LAZILY holding pre-compact paths keeps
+        resolving — reclaim them later with :meth:`vacuum`, once no
+        pinned reader needs them). Content is unchanged:
         signatures/pairs are unioned as-is, never recomputed — except
         the cluster map, which compacts to its RESOLVED form (one
         min-label row per id; superseded label-epoch rows drop), the
-        one moment the per-epoch history is folded."""
+        one moment the per-epoch history is folded. The cluster map is
+        detected from DISK, not this handle's flag — a pairs-only
+        handle compacting a cluster-maintained store must carry the
+        map forward, never strand it."""
         with self._writer():
             st = self._state()
             if len(st["versions"]) <= 1:
                 return {"compacted": False, "versions": len(st["versions"])}
             v = max(st["versions"]) + 1
             kinds = ("sigs", "pairs") + (
-                ("cmap",) if self.maintain_clusters else ()
+                ("cmap",)
+                if os.path.isdir(os.path.join(self.store_dir, "cmap"))
+                else ()
             )
             # materialize BEFORE overwriting nothing (new dirs) — plain
             # reads of the old versions stream into the new single
@@ -432,15 +453,17 @@ class IncrementalMinHashDedup:
                     "last_batch_id": st["last_batch_id"],
                 }
             )
-            removed = self._vacuum_unreferenced()
             return {"compacted": True, "versions": 1,
-                    "merged": len(st["versions"]), "removed": len(removed)}
+                    "merged": len(st["versions"])}
 
     def vacuum(self) -> dict:
         """Reclaim store directories not referenced by the committed
         pointer: compact()-superseded increments and crashed-ingest
-        orphans. Safe under the writer lock because the pointer flip is
-        atomic and unreferenced dirs are never read — mirrors
+        orphans. A SEPARATE step from compact() on purpose: a reader's
+        lazy DataFrame holds the paths it resolved from the pre-compact
+        pointer, so reclamation must wait until no pinned reader needs
+        the old generation (the vacuum_snapshots retention contract).
+        New pointer resolutions never see unreferenced dirs — mirrors
         ``IncrementalIVFIndex.vacuum`` / ``World.vacuum_snapshots``."""
         with self._writer():
             return {"removed": self._vacuum_unreferenced()}

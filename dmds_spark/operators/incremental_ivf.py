@@ -101,24 +101,43 @@ class IncrementalIVFIndex:
         with open(self._pointer) as fh:
             return json.load(fh)
 
+    @staticmethod
+    def _base_cv(st: dict) -> int:
+        """The centroid generation whose assignment dirs use the bare
+        ``batch-v{N}`` layout. Recorded explicitly in the pointer when
+        centroids freeze; a pre-round-12 pointer lacks the field, and
+        for those the CURRENT generation is the bare one (no retrain
+        existed before the field did, so whatever is on disk is bare —
+        deriving it as a constant 1 would misread, and vacuum would
+        DELETE, an old store whose centroid_version advanced past 1
+        via repeated pre-ingest set_centroids calls)."""
+        bc = st.get("base_cv")
+        return bc if bc is not None else max(1, st["centroid_version"])
+
     def _flip(self, state: dict) -> None:
         from dmds_spark.operators.rollup import _atomic_flip
 
         _atomic_flip(self._pointer, state)
 
     def _assign_paths(
-        self, versions: list[int], cv: int = 1
+        self, versions: list[int], cv: int, base_cv: int
     ) -> list[str]:
-        """Increment directories for one centroid version. cv 1 keeps
-        the bare ``batch-v{N}`` layout (store-format compatible with
-        pre-retrain stores); a retrain re-materializes every increment
-        under ``batch-v{N}@cv{M}`` so the old generation keeps serving
-        until the pointer flip."""
-        suffix = "" if cv <= 1 else f"@cv{cv}"
+        """Increment directories for one centroid generation. The BASE
+        generation (the one centroids froze under — ``base_cv`` in the
+        pointer) keeps the bare ``batch-v{N}`` layout, store-format
+        compatible with pre-retrain stores; every retrained generation
+        re-materializes increments under ``batch-v{N}@cv{M}`` so the
+        old generation keeps serving until the pointer flip."""
+        suffix = "" if cv == base_cv else f"@cv{cv}"
         return [
             os.path.join(self.store_dir, "assign", f"batch-v{v}{suffix}")
             for v in versions
         ]
+
+    def _current_assign_paths(self, versions: list[int], st: dict) -> list[str]:
+        return self._assign_paths(
+            versions, max(1, st["centroid_version"]), self._base_cv(st)
+        )
 
     def _centroid_path(self, version: int) -> str:
         return os.path.join(self.store_dir, "centroids", f"v{version}")
@@ -140,7 +159,9 @@ class IncrementalIVFIndex:
                 )
             cv = st["centroid_version"] + 1
             self._write_centroids(vectors, cv)
-            self._flip({**st, "centroid_version": cv})
+            # base_cv: this generation's assignments use the bare
+            # directory layout (repeated pre-ingest re-freezes move it)
+            self._flip({**st, "centroid_version": cv, "base_cv": cv})
             return cv
 
     def _write_centroids(self, vectors: list[list[float]], cv: int) -> None:
@@ -185,21 +206,30 @@ class IncrementalIVFIndex:
         rows = self.centroids().orderBy("cluster").collect()
         return [list(r["centroid"]) for r in rows]  # k rows — bounded
 
-    def _nearest(self, centroid_rows: list[list[float]]) -> Column:
-        """argmax-cosine cluster id, ties to the LOWEST cluster — the
-        k x dim matrix enters the plan as ONE constant-folded
-        from_json literal (same pattern as kmeans_assign)."""
+    def _cell_rank(
+        self, centroid_rows: list[list[float]], vec_col: str
+    ) -> Column:
+        """Array of (d = -cosine, c = cell) structs for one vector
+        column against the frozen centroids — the k x dim matrix enters
+        the plan as ONE constant-folded from_json literal (same pattern
+        as kmeans_assign). SHARED by ingest-side assignment (argmin =
+        array_min) and serve-side cell ranking (array_sort + slice):
+        one ranking expression means the search==store-cell invariant
+        the partition filter relies on cannot silently diverge."""
         mat = F.from_json(
             F.lit(json.dumps(centroid_rows)), "array<array<double>>"
         )
-        cand = F.transform(
+        return F.transform(
             mat,
             lambda cvec, ci: F.struct(
-                (-_cos(F.col(self.vec_col), cvec)).alias("d"),
+                (-_cos(F.col(vec_col), cvec)).alias("d"),
                 ci.cast("int").alias("c"),
             ),
         )
-        return F.array_min(cand)["c"]
+
+    def _nearest(self, centroid_rows: list[list[float]]) -> Column:
+        """argmax-cosine cluster id, ties to the LOWEST cluster."""
+        return F.array_min(self._cell_rank(centroid_rows, self.vec_col))["c"]
 
     # -- ingest ------------------------------------------------------------
     def _ingest(self, vecs: DataFrame, st: dict) -> int | None:
@@ -217,7 +247,7 @@ class IncrementalIVFIndex:
         v = (max(st["versions"]) + 1) if st["versions"] else 1
         # partitioned by cluster: a search probing nprobe cells prunes
         # to nprobe directories per batch file set — the IVF point
-        path = self._assign_paths([v], max(1, st["centroid_version"]))[0]
+        path = self._current_assign_paths([v], st)[0]
         assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
         if not any(
             f.endswith(".parquet")
@@ -310,7 +340,7 @@ class IncrementalIVFIndex:
         # each batch root is its own partitioned (by cluster) table, so
         # load per version and union — Spark refuses multiple partition
         # roots in one read (no shared basePath)
-        paths = self._assign_paths(vs, max(1, st["centroid_version"]))
+        paths = self._current_assign_paths(vs, st)
         parts = [self.spark.read.parquet(p) for p in paths]
         out = parts[0]
         for p in parts[1:]:
@@ -373,17 +403,7 @@ class IncrementalIVFIndex:
         always; the store is never shuffled."""
         from pyspark.sql import Window as W
 
-        cent = self._centroid_rows()
-        mat = F.from_json(
-            F.lit(json.dumps(cent)), "array<array<double>>"
-        )
-        cand = F.transform(
-            mat,
-            lambda cvec, ci: F.struct(
-                (-_cos(F.col("qvec"), cvec)).alias("d"),
-                ci.cast("int").alias("c"),
-            ),
-        )
+        cand = self._cell_rank(self._centroid_rows(), "qvec")
         probed = queries.select(
             F.col(qid_col).alias("qid"),
             F.col(qvec_col).cast("array<double>").alias("qvec"),
@@ -427,25 +447,21 @@ class IncrementalIVFIndex:
     def compact(self) -> dict:
         """Merge increment files into one version (small-file hygiene
         after many micro-batches); content unchanged, never recomputed.
-        Superseded increment directories are deleted after the pointer
-        flip — safe because the flip is atomic and unreferenced dirs
-        are never read — so the hygiene operation doesn't itself leak
-        every pre-compaction increment on disk."""
+        Superseded directories stay on disk so a reader lazily holding
+        pre-compact paths keeps resolving — :meth:`vacuum` reclaims
+        them once no pinned reader needs the old generation."""
         with self._writer():
             st = self._state()
             if len(st["versions"]) <= 1:
                 return {"compacted": False, "versions": len(st["versions"])}
-            cv = max(1, st["centroid_version"])
             v = max(st["versions"]) + 1
             self.assignments().coalesce(
                 max(1, len(st["versions"]) // 8)
             ).write.mode("overwrite").partitionBy("cluster").parquet(
-                self._assign_paths([v], cv)[0]
+                self._current_assign_paths([v], st)[0]
             )
             self._flip({**st, "versions": [v]})
-            removed = self._vacuum_unreferenced()
-            return {"compacted": True, "versions": 1,
-                    "removed": len(removed)}
+            return {"compacted": True, "versions": 1}
 
     # -- lifecycle: retrain, drift, vacuum ---------------------------------
     def retrain(self, vectors: list[list[float]]) -> dict:
@@ -481,18 +497,24 @@ class IncrementalIVFIndex:
             self._write_centroids(vectors, cv2)
             rows = [[float(x) for x in vec] for vec in vectors]
             nearest = self._nearest(rows)
+            base = self._base_cv(st)
             for v in st["versions"]:
                 old = self.spark.read.parquet(
-                    self._assign_paths([v], max(1, st["centroid_version"]))[0]
+                    self._current_assign_paths([v], st)[0]
                 )
                 old.select(
                     F.col(self.id_col),
                     F.col(self.vec_col),
                     nearest.alias("cluster"),
                 ).write.mode("overwrite").partitionBy("cluster").parquet(
-                    self._assign_paths([v], cv2)[0]
+                    self._assign_paths([v], cv2, base)[0]
                 )
-            self._flip({**st, "centroid_version": cv2})
+            # pin base_cv explicitly: after a retrain the CURRENT
+            # generation is no longer the bare-layout one, so the
+            # pre-round-12 fallback (base == current) would misread
+            self._flip(
+                {**st, "centroid_version": cv2, "base_cv": base}
+            )
             return {
                 "centroid_version": cv2,
                 "migrated_versions": len(st["versions"]),
@@ -541,10 +563,9 @@ class IncrementalIVFIndex:
         """Delete unreferenced assign/centroid dirs. Caller holds the
         writer lock."""
         st = self._state()
-        cv = max(1, st["centroid_version"])
         keep = {
             os.path.basename(p)
-            for p in self._assign_paths(st["versions"], cv)
+            for p in self._current_assign_paths(st["versions"], st)
         }
         removed: list[str] = []
         adir = os.path.join(self.store_dir, "assign")

@@ -133,8 +133,8 @@ _RT_BASE = 20  # retrained anchors are vec_ids 20..27
 )
 def rollup_ivf_retrain(spark, sf_dir):
     """Staged IVF retrain proven against the oracle: freeze generation-1
-    anchors (vec_id < {_RT_K}), ingest the even half, RETRAIN to
-    generation-2 anchors (vec_id {_RT_BASE}..{_RT_BASE}+{_RT_K}-1 —
+    anchors (vec_id < 8), ingest the even half, RETRAIN to
+    generation-2 anchors (vec_id 20..27 —
     every committed increment re-materialized under the new centroids
     while generation 1 keeps serving, one atomic pointer flip), then
     ingest the odd half (landing directly under generation 2) and
@@ -237,10 +237,10 @@ _SB_NPROBE = 2
 def similarity_ivf_search_batch(spark, sf_dir):
     """Batch ANN serving proven against the oracle: maintain the IVF
     store (anchor quantizer, whole corpus folded), then answer
-    {_SB_NQ} query vectors in ONE ``search_batch`` call — per-query
+    20 query vectors in ONE ``search_batch`` call — per-query
     cell ranking against the constant centroid matrix, union-of-probed-
     cells partition filter on the store scan, broadcast join + exact
-    cosine rerank, top-{_SB_TOPK} per query. The oracle states the same
+    cosine rerank, top-10 per query. The oracle states the same
     probed search declaratively, so the driver certifies the maintained
     serving path (the micro-batch arm of streaming/ann_serve.py probes
     exactly this method) against from-scratch truth.
@@ -312,12 +312,12 @@ def similarity_ivf_search_batch(spark, sf_dir):
       SELECT aid, COUNT(*) AS n FROM cells GROUP BY aid
     )
     SELECT CAST(a.aid AS BIGINT) AS cluster,
-           CAST(p.n AS BIGINT) AS n,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
            CAST(ROUND(CAST(list_cosine_similarity(a.av, m.mv)
                            AS DECIMAL(18,9)), 4) AS DOUBLE)
              AS centroid_cosine
-    FROM anchors a JOIN mean_vec m ON a.aid = m.aid
-    JOIN pop p ON a.aid = p.aid
+    FROM anchors a LEFT JOIN mean_vec m ON a.aid = m.aid
+    LEFT JOIN pop p ON a.aid = p.aid
     """,
 )
 def similarity_ivf_drift_report(spark, sf_dir):

@@ -51,6 +51,18 @@ def ann_probe_sink(
     return _sink
 
 
-def probe_results(spark, out_dir: str) -> DataFrame:
-    """All answered probes so far: (qid, id, cluster, sim)."""
+def probe_results(
+    spark, out_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """All answered probes so far: (qid, id_col, cluster, sim). A
+    quiet stream that has answered nothing yet (only empty triggers so
+    far) returns an EMPTY frame with the serving schema instead of
+    failing the monitor with PATH_NOT_FOUND."""
+    import glob
+
+    if not glob.glob(os.path.join(out_dir, "probe-batch-*")):
+        return spark.createDataFrame(
+            [],
+            f"qid bigint, {id_col} bigint, cluster int, sim double",
+        )
     return spark.read.parquet(os.path.join(out_dir, "probe-batch-*"))

@@ -382,9 +382,13 @@ def test_stream_maintains_clusters(spark, tmp_path):
     assert _cluster_map(store.clusters()) == _full_clusters(spark)
 
 
-def test_compact_reclaims_superseded_versions(spark, tmp_path):
-    """compact() must not leak the increment dirs it superseded, and
-    vacuum() reclaims crash orphans (unreferenced version dirs)."""
+def test_vacuum_reclaims_superseded_versions(spark, tmp_path):
+    """Superseded increment dirs SURVIVE compact() (a lazy reader that
+    resolved the old pointer must keep reading them) and are reclaimed
+    by the explicit vacuum(), which also sweeps crash orphans. A
+    pairs-only handle compacting a cluster-maintained store carries
+    the cmap forward instead of stranding it (disk-derived, not
+    flag-derived)."""
     import os
 
     docs = _docs(spark)
@@ -398,10 +402,49 @@ def test_compact_reclaims_superseded_versions(spark, tmp_path):
     store.refresh()
     docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
     store.refresh()
-    out = store.compact()
-    assert out["compacted"] and out["removed"] == 6  # 2 versions x 3 kinds
+    clusters_before = _cluster_map(store.clusters())
+    pre_compact_pairs = store.pairs()  # lazily pins the old paths
+
+    # compact through a PAIRS-ONLY handle on the same store dir: the
+    # cluster map must still be merged forward
+    pairs_handle = IncrementalMinHashDedup(
+        spark, src, sdir, "text", "doc_id", NH, B, K, T
+    )
+    out = pairs_handle.compact()
+    assert out["compacted"] and out["merged"] == 2
+    for kind in ("sigs", "pairs", "cmap"):
+        assert sorted(os.listdir(f"{sdir}/{kind}")) == [
+            "batch-v1", "batch-v2", "batch-v3",
+        ]
+    assert _pairs(pre_compact_pairs) == _pairs(store.pairs())
+    assert _cluster_map(store.clusters()) == clusters_before
+
+    # explicit vacuum reclaims the superseded dirs + a crash orphan
+    os.makedirs(f"{sdir}/pairs/batch-v9")
+    removed = store.vacuum()["removed"]
+    assert f"pairs/batch-v9" in removed and len(removed) == 7
     for kind in ("sigs", "pairs", "cmap"):
         assert sorted(os.listdir(f"{sdir}/{kind}")) == ["batch-v3"]
-    # a crash orphan (written, never flipped) is reclaimed by vacuum
-    os.makedirs(f"{sdir}/pairs/batch-v9")
-    assert store.vacuum()["removed"] == ["pairs/batch-v9"]
+    assert _cluster_map(store.clusters()) == clusters_before
+
+
+def test_maintain_clusters_cannot_be_retrofitted(spark, tmp_path):
+    """A maintain_clusters=True handle over a store whose existing
+    increments carry no cluster map must refuse the next ingest (the
+    fold cannot be retrofitted O(new)) instead of writing a map that
+    silently misses history."""
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    sdir = str(tmp_path / "store")
+    plain = IncrementalMinHashDedup(
+        spark, src, sdir, "text", "doc_id", NH, B, K, T
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    plain.refresh()
+    flipped = IncrementalMinHashDedup(
+        spark, src, sdir, "text", "doc_id", NH, B, K, T,
+        maintain_clusters=True,
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="retrofitted"):
+        flipped.refresh()

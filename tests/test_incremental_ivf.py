@@ -140,14 +140,21 @@ def test_compact_preserves_assignments(spark, emb, tmp_path):
     idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
     idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
     before = _assign_set(idx.assignments())
+    pre_compact_reader = idx.assignments()  # lazily pins the old paths
     out = idx.compact()
-    assert out == {"compacted": True, "versions": 1, "removed": 2}
+    assert out == {"compacted": True, "versions": 1}
     assert _assign_set(idx.assignments()) == before
-    # the two superseded increment dirs were reclaimed, not leaked
     import os
 
-    left = os.listdir(tmp_path / "c" / "assign")
-    assert left == ["batch-v3"]
+    # superseded dirs SURVIVE compact (a pre-compact lazy reader still
+    # resolves them); the explicit vacuum reclaims
+    assert _assign_set(pre_compact_reader) == before
+    assert sorted(os.listdir(tmp_path / "c" / "assign")) == [
+        "batch-v1", "batch-v2", "batch-v3",
+    ]
+    assert idx.vacuum()["removed"] == ["assign/batch-v1", "assign/batch-v2"]
+    assert os.listdir(tmp_path / "c" / "assign") == ["batch-v3"]
+    assert _assign_set(idx.assignments()) == before
 
 
 def test_retrain_over_assignments_refused(spark, emb, tmp_path):
@@ -223,6 +230,32 @@ def test_retrain_flip_is_atomic_and_vacuum_reclaims(spark, emb, tmp_path):
     assert sorted(os.listdir(adir)) == ["batch-v1@cv2"]
     # the committed generation is intact after vacuum
     assert len(_assign_set(idx.assignments())) == len(before)
+
+
+def test_legacy_pointer_without_base_cv(spark, emb, tmp_path):
+    """A pre-round-12 pointer has no base_cv field; such stores could
+    have advanced centroid_version past 1 (repeated pre-ingest
+    set_centroids) while writing BARE assign dirs. The fallback must
+    resolve them — and vacuum must NOT delete them."""
+    import json
+    import os
+
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "l"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.set_centroids(_anchor_rows(emb))  # re-freeze pre-ingest: cv=2
+    idx.fold_batch(emb, 0)
+    assert sorted(os.listdir(tmp_path / "l" / "assign")) == ["batch-v1"]
+    # simulate the legacy pointer: strip the field the old code lacked
+    ptr = tmp_path / "l" / "_current.json"
+    st = json.load(open(ptr))
+    assert st["centroid_version"] == 2
+    del st["base_cv"]
+    json.dump(st, open(ptr, "w"))
+    assert idx.assignments().count() == emb.count()  # bare dirs resolve
+    assert idx.vacuum()["removed"] == ["centroids/v1"]  # data untouched
+    assert idx.assignments().count() == emb.count()
 
 
 def test_writer_lock_fences_concurrent_stores(spark, emb, tmp_path):

@@ -228,6 +228,57 @@ def test_compressed_without_pil_raises():
 
 
 # --------------------------------------------------------------------------
+# Compressed-codec (Pillow) branch: EXTRA coverage on Pillow-equipped
+# deployments (skipped where it isn't installed). Nothing below is any
+# operator's only test — the image path itself is pinned above with
+# pure-numpy containers — but the Image.open/resize/save branch must
+# stay validated somewhere a real cluster runs it (the r2 verdict ask).
+
+
+def _png_bytes(width, height, color=(7, 11, 13)):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (width, height), color).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_decode_image_compressed_codec():
+    pytest.importorskip("PIL")
+    from dmds_spark.operators.multimodal import decode_image
+
+    d = decode_image(_png_bytes(40, 30), fake=False)
+    assert d == {"width": 40, "height": 30, "channels": 3}
+    # auto-sniff: a compressed magic routes past the container parsers
+    d2 = decode_image(_png_bytes(8, 8), fake=None)
+    assert d2["width"] == 8 and d2["height"] == 8
+
+
+def test_decode_images_compressed_codec_distributed(spark):
+    pytest.importorskip("PIL")
+    from dmds_spark.operators.multimodal import decode_images
+
+    rows = [(i, "image", _png_bytes(16 + i, 12 + i), None) for i in range(6)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_images(media, fake=False).collect()}
+    assert len(got) == 6
+    assert all(got[i]["width"] == 16 + i and got[i]["height"] == 12 + i for i in range(6))
+
+
+def test_resize_images_compressed_codec(spark):
+    pytest.importorskip("PIL")
+    from dmds_spark.operators.multimodal import decode_images, resize_images
+
+    rows = [(i, "image", _png_bytes(64, 48), None) for i in range(4)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_images(resize_images(media, 20, 10, fake=False), fake=False).collect()
+    assert len(out) == 4
+    assert all(r["width"] == 20 and r["height"] == 10 for r in out)
+
+
+# --------------------------------------------------------------------------
 # Audio framing: real PCM math (no external libs), hand-computed truth.
 
 
