@@ -109,3 +109,35 @@ def test_materialize_mode_env(monkeypatch):
         materialize_mode()
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "parquet")
     assert materialize_mode() == "parquet"
+
+
+def test_materialize_mode_spark_conf_fallback(spark, monkeypatch):
+    """The documented spark.dmds.materialize conf works when the env
+    var is absent; the env var wins when both are set."""
+    from dmds_spark.core.engine import materialize_mode
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+    spark.conf.set("spark.dmds.materialize", "reliable")
+    try:
+        assert materialize_mode(spark) == "reliable"
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "local")
+        assert materialize_mode(spark) == "local"
+    finally:
+        spark.conf.unset("spark.dmds.materialize")
+    assert materialize_mode(spark) == "local"
+
+
+def test_parquet_materialize_outside_swept_scratch(spark, monkeypatch):
+    """Parquet barriers are LAZY reads re-scanned by later actions, so
+    the intermediate must NOT live under the stale-swept .scratch tree
+    (a >1h pipeline would have its live files garbage-collected)."""
+    import os
+
+    df = _cust(spark).select("c_custkey").limit(5)
+    out = materialize(df, mode="parquet")
+    scan_path = out.inputFiles()[0]
+    repo_scratch = os.path.realpath(os.path.join(os.getcwd(), ".scratch"))
+    assert not os.path.realpath(
+        scan_path.replace("file:", "")
+    ).startswith(repo_scratch)
+    assert out.count() == 5
