@@ -294,6 +294,20 @@ ADDITIONS = [
     "similarity_ivf_search_batch",
     "similarity_ivf_drift_report",
     "multimodal_real_decode_stats",
+    # round-12 batch two: CDC application (latest-wins max_by merge,
+    # net-changes compaction, World merge replayed twice end to end),
+    # the log-free bigram LM (train + stupid-backoff doc scoring), and
+    # the inverted index (posting build + conjunctive retrieval)
+    "cdc_apply_changeset",
+    "cdc_net_changes",
+    "cdc_world_merge",
+    "text_lm_train_bigram",
+    "text_lm_score_docs",
+    "text_inverted_postings",
+    "text_boolean_retrieval",
+    # round-12 batch three: zone-map range read through the World store
+    # (ingest + refresh + pruned read per pass)
+    "dmds_zonemap_read",
 ]
 
 

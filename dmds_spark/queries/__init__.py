@@ -480,5 +480,8 @@ def _load():
     # (318/318 after r11), so these lead the round-12 window and the
     # remaining slots rotate the oldest (r05/r06-vintage) evidence
     from dmds_spark.queries import round12  # noqa: F401
+    from dmds_spark.queries import round12b  # noqa: F401
+    from dmds_spark.queries import round12c  # noqa: F401
+    from dmds_spark.queries import round12d  # noqa: F401
 
     _LOADED = True

@@ -970,6 +970,33 @@ class World:
         (reference ``chunk_pos_of_data`` routing, src/world.rs:544-551)."""
         return self.read(self.select(0, int(id_value)))
 
+    # -- zone maps: data skipping on non-dimension columns --------------------
+
+    def zonemap_refresh(self, cols: list[str]) -> dict:
+        """Recompute per-partition min/max zones for ``cols``,
+        dirty-only (unchanged partitions keep their stored zones). See
+        core/zonemap.py for the safety model — refresh is a performance
+        maintenance call, never a correctness dependency."""
+        from dmds_spark.core.zonemap import refresh
+
+        return refresh(self, cols)
+
+    def zonemap_prune_report(self, bounds: dict[str, tuple]) -> dict:
+        """How many partitions a ``read_where(bounds)`` would skip."""
+        from dmds_spark.core.zonemap import prune_report
+
+        return prune_report(self, bounds)
+
+    def read_where(self, bounds: dict[str, tuple], sel=None) -> DataFrame:
+        """Range read with zone-map skipping on non-dimension columns
+        (the reference's hint negative-cache generalized to value
+        bounds). Bounds are inclusive, in canonical space (unix micros
+        for timestamps); stale/unmapped partitions are conservatively
+        scanned."""
+        from dmds_spark.core.zonemap import read_where
+
+        return read_where(self, bounds, sel)
+
     # -- interop with the reference's on-disk format ---------------------------
 
     def import_chunk_tree(self, root: str, decoder=None, payload_schema=None) -> int:
