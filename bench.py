@@ -308,6 +308,10 @@ ADDITIONS = [
     # round-12 batch three: zone-map range read through the World store
     # (ingest + refresh + pruned read per pass)
     "dmds_zonemap_read",
+    # round-12 batch four: the streaming-CDC ingest loop (three
+    # micro-batches + one redelivery through the tombstoned seq-aware
+    # merge, then a horizon purge, end to end per pass)
+    "rollup_incremental_cdc",
 ]
 
 
