@@ -305,6 +305,7 @@ ADDITIONS = [
     "text_lm_score_docs",
     "text_inverted_postings",
     "text_boolean_retrieval",
+    "text_phrase_retrieval",
     # round-12 batch three: zone-map range read through the World store
     # (ingest + refresh + pruned read per pass)
     "dmds_zonemap_read",

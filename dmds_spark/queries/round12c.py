@@ -320,3 +320,55 @@ def text_boolean_retrieval(spark, sf_dir):
         F.count(F.lit(1)).alias("__nt"),
     )
     return agg.filter(F.col("__nt") == len(_AND_TERMS)).drop("__nt")
+
+
+def _positional(docs):
+    """Positional postings (term, doc_id, pos) — 1-based positions so
+    both engines agree (DuckDB generate_subscripts is 1-based)."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+
+
+_PHRASE = ("hash", "join")
+
+
+@register(
+    "text_phrase_retrieval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE term = '{_PHRASE[0]}'),
+    b AS (SELECT doc_id, pos FROM tok WHERE term = '{_PHRASE[1]}')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(a.pos) AS BIGINT) AS first_pos,
+           CAST(max(a.pos) AS BIGINT) AS last_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_retrieval(spark, sf_dir):
+    """Exact phrase query from the POSITIONAL inverted index: the two
+    term posting lists (term-filtered scans — at rest, two pruned
+    posting ranges, never the corpus) equi-join on (doc, adjacent
+    position). Cost is O(postings of the phrase terms), the positional
+    index's whole point; a scan-side LIKE would read every document.
+    Output: per-doc occurrence count and first/last match position."""
+    tok = _positional(_docs(spark, sf_dir))
+    a = tok.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    b = tok.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
+    )
