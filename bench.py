@@ -313,6 +313,10 @@ ADDITIONS = [
     # micro-batches + one redelivery through the tombstoned seq-aware
     # merge, then a horizon purge, end to end per pass)
     "rollup_incremental_cdc",
+    # round-12 batch five: declarative quality gates (6 constraints in
+    # one aggregation pass; 3 key-only FK orphan censuses)
+    "quality_constraint_report",
+    "quality_referential_report",
 ]
 
 
