@@ -150,8 +150,11 @@ def _store(world, zm: dict) -> None:
 def refresh(world, cols: list[str]) -> dict:
     """Dirty-only zone recompute for ``cols``. Returns a report:
     ``{"partitions": N, "recomputed": n, "kept": N-n}``. Runs under the
-    world's writer lock (it mutates the sidecar); readers are never
-    blocked (atomic replace)."""
+    world's in-process writer mutex; the sidecar write is an atomic
+    replace, so a concurrent cross-process refresher can lose the race
+    (its update is overwritten — pruning degrades, correctness holds
+    via the fingerprint guard) but can never corrupt the sidecar.
+    Readers are never blocked."""
     with world._lock:
         base = world._base()
         pcols = world.partition_cols()
