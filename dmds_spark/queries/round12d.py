@@ -51,7 +51,10 @@ def dmds_zonemap_read(spark, sf_dir):
     from dmds_spark.sources.registry import load_events
     from dmds_spark.world import World
 
-    spec = WorldSpec(dims=(DimSpec("event_id", 0, 2**20 - 1, 256),))
+    # 2048-wide chunks: ~49 partition dirs at sf0.1 (391 at 256-wide
+    # cost 7.8 s mostly in small-file write overhead); the 3-day window
+    # still prunes the non-overlapping id chunks
+    spec = WorldSpec(dims=(DimSpec("event_id", 0, 2**20 - 1, 2048),))
     root = scratch_dir("zonemap_world", sf_dir)
     world = World(spark, spec, root)
     world.upsert(
