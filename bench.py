@@ -317,6 +317,11 @@ ADDITIONS = [
     # one aggregation pass; 3 key-only FK orphan censuses)
     "quality_constraint_report",
     "quality_referential_report",
+    # round-12 batch six: classifier-evaluation metrics (exact rank-sum
+    # AUC, one-pass confusion/P-R-F1, calibration bins)
+    "eval_auc_rank_sum",
+    "eval_confusion_prf",
+    "eval_calibration_bins",
 ]
 
 

@@ -484,5 +484,6 @@ def _load():
     from dmds_spark.queries import round12c  # noqa: F401
     from dmds_spark.queries import round12d  # noqa: F401
     from dmds_spark.queries import round12e  # noqa: F401
+    from dmds_spark.queries import round12f  # noqa: F401
 
     _LOADED = True
