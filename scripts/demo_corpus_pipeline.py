@@ -153,6 +153,32 @@ def main() -> int:
     print(f"9. sft: corpus build kept {sum(splits.values())} conversations "
           f"{splits}; {pairs} DPO preference pairs")
 
+    # -- 10. publish gate: declarative quality constraints -------------
+    gate = qs["quality_constraint_report"](spark, sf_dir)
+    verdicts = {r["constraint"]: r["passed"] for r in gate.collect()}
+    n_fail = sum(1 for v in verdicts.values() if v == 0)
+    fks = qs["quality_referential_report"](spark, sf_dir)
+    fk_ok = all(r["passed"] == 1 for r in fks.collect())
+    print(f"10. quality gate: {len(verdicts) - n_fail}/{len(verdicts)} "
+          f"constraints pass ({n_fail} failing by design); "
+          f"FK integrity {'clean' if fk_ok else 'VIOLATED'} on 3 keys")
+
+    # -- 11. filter evaluation: is a scorer worth shipping? -------------
+    auc = qs["eval_auc_rank_sum"](spark, sf_dir).collect()[0]
+    prf = qs["eval_confusion_prf"](spark, sf_dir).collect()[0]
+    print(f"11. filter eval: diversity-vs-dup AUC "
+          f"{auc['auc_ppm'] / 10_000:.1f}% (chance — scorer rejected); "
+          f"at the 0.33 threshold P={prf['precision_ppm']} ppm "
+          f"R={prf['recall_ppm']} ppm")
+
+    # -- 12. LM quality gate + index retrieval --------------------------
+    lm = qs["text_lm_score_docs"](spark, sf_dir)
+    kept = lm.agg(F.sum("keep")).collect()[0][0]
+    phrase = qs["text_phrase_retrieval"](spark, sf_dir).count()
+    print(f"12. lm + index: stupid-backoff keep gate retains {kept}/"
+          f"{lm.count()} held-out docs; phrase 'hash join' found in "
+          f"{phrase} docs via positional postings")
+
     print("demo: all stages ran")
     return 0
 
