@@ -179,17 +179,16 @@ def refresh(world, cols: list[str]) -> dict:
             dtypes = dict(base.dtypes)
             kinds = {c: _kind_of(dtypes[c]) for c in cols}
         if stale and base is not None:
-            stale_df = world.spark.createDataFrame(
-                [tuple(int(p) for p in k.split("/")) for k in stale],
-                ", ".join(f"{c} long" for c in pcols),
-            )
             # scan exactly the stale partitions (the semi join prunes
             # via DPP; for 1-dim worlds an isin literal prunes statically)
-            scoped = base
             if len(pcols) == 1:
                 vals = [int(k) for k in stale]
                 scoped = base.filter(F.col(pcols[0]).isin(vals))
             else:
+                stale_df = world.spark.createDataFrame(
+                    [tuple(int(p) for p in k.split("/")) for k in stale],
+                    ", ".join(f"{c} long" for c in pcols),
+                )
                 scoped = base.join(
                     F.broadcast(stale_df), on=pcols, how="left_semi"
                 )
@@ -265,7 +264,6 @@ def read_where(world, bounds: dict[str, tuple], sel=None) -> DataFrame:
     disk)."""
     sel = sel if sel is not None else world.select_all()
     zm = load_zonemap(world)
-    kinds = zm.get("kinds", {})
     cur_fp = _fingerprints(world)
     survivors: list[str] = []
     for k, fp in cur_fp.items():
@@ -276,9 +274,31 @@ def read_where(world, bounds: dict[str, tuple], sel=None) -> DataFrame:
             continue
         survivors.append(k)
 
-    def exact_pred():
+    pcols = world.partition_cols()
+    id_col = world.spec.id_dim.name
+    base = world._base()
+    live, touched = world._resolved_pending()
+
+    # column kinds come from the LIVE SCHEMA at read time, never the
+    # sidecar: a read before any refresh (or on never-mapped columns)
+    # must still emit correctly-typed literals — refresh is a pruning
+    # maintenance call, not a correctness dependency
+    kinds: dict[str, str] = dict(zm.get("kinds", {}))
+    for src in (base, live):
+        if src is not None:
+            for c, t in src.dtypes:
+                if c in bounds:
+                    kinds[c] = _kind_of(t)
+
+    def exact_pred(schema_cols=None):
+        """Bounds predicate; with ``schema_cols``, a bounds column
+        absent from the frame makes the predicate unsatisfiable (rows
+        with no such value cannot be in range) instead of unresolvable
+        (the delete-only pending buffer carries only dim columns)."""
         p = F.lit(True)
         for c, (blo, bhi) in bounds.items():
+            if schema_cols is not None and c not in schema_cols:
+                return F.lit(False)
             kind = kinds.get(c, "raw")
             if blo is not None:
                 p = p & (F.col(c) >= _lit_back(kind, blo))
@@ -287,10 +307,6 @@ def read_where(world, bounds: dict[str, tuple], sel=None) -> DataFrame:
         return p
 
     value_pred = sel.to_predicate() & exact_pred()
-    pcols = world.partition_cols()
-    id_col = world.spec.id_dim.name
-    base = world._base()
-    live, touched = world._resolved_pending()
     out = None
     if base is not None:
         pruned = base.filter(
@@ -316,12 +332,17 @@ def read_where(world, bounds: dict[str, tuple], sel=None) -> DataFrame:
             pruned = pruned.join(touched, on=id_col, how="left_anti")
         out = pruned
     if live is not None:
-        live_sel = live.filter(value_pred)
+        live_sel = live.filter(
+            sel.to_predicate() & exact_pred(set(live.columns))
+        )
         if out is None:
             out = live_sel
         else:
             live_sel = world._align_to(live_sel, out)
             out = out.unionByName(live_sel, allowMissingColumns=True)
     if out is None:
-        return world.snapshot().filter(value_pred)
+        snap = world.snapshot()  # empty world: dim-only schema
+        return snap.filter(
+            sel.to_predicate() & exact_pred(set(snap.columns))
+        )
     return out

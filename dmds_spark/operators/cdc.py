@@ -196,7 +196,14 @@ def merge_net_into_world(world, net: DataFrame, *, net_op_col: str = "net_op"):
     deletion set of ONE batch (bounded by per-batch churn, like the
     dirty-partition key lists World.flush already collects), never the
     table's key space.
+
+    The net frame is materialized once up front: its lineage (scan +
+    compaction aggregate + base-keys join) would otherwise execute
+    twice — once for the upsert flush, once for the delete collect.
     """
+    from dmds_spark.core.engine import materialize
+
+    net = materialize(net)
     id_col = world.spec.id_dim.name
     ups = net.filter(F.col(net_op_col) != OP_DELETE).drop(net_op_col)
     world.upsert(ups)

@@ -29,11 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-PPM = 1_000_000
-
-
-def _floor_div(num: str, den: str):
-    return F.expr(f"(CAST({num} AS DECIMAL(38,0)) * {PPM}) div ({den})")
+from dmds_spark.core.exact import PPM, floor_scaled_div as _floor_div
 
 
 def auc_rank_sum(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
@@ -51,20 +47,28 @@ def auc_rank_sum(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     g = g.withColumn(
         "__neg_below", F.coalesce(F.sum("__neg").over(w), F.lit(0))
     )
+    # every product in DECIMAL before multiplying: 2*pos*neg_below and
+    # 2*n_pos*n_neg overflow long once each class passes ~2^31 rows —
+    # exactly the corpus scale this module targets
     tot = g.agg(
         F.sum("__pos").cast("long").alias("n_pos"),
         F.sum("__neg").cast("long").alias("n_neg"),
         F.sum(
-            F.lit(2) * F.col("__pos") * F.col("__neg_below")
-            + F.col("__pos") * F.col("__neg")
-        ).cast("decimal(38,0)").alias("__two_u"),
+            F.expr(
+                "CAST(2 AS DECIMAL(38,0)) * __pos * __neg_below"
+                " + CAST(__pos AS DECIMAL(38,0)) * __neg"
+            )
+        ).alias("__two_u"),
     )
     return tot.select(
         "n_pos",
         "n_neg",
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.expr(f"(__two_u * {PPM}) div (2 * n_pos * n_neg)"),
+            F.expr(
+                f"(CAST(__two_u AS DECIMAL(38,0)) * {PPM})"
+                " div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"
+            ),
         )
         .cast("long")
         .alias("auc_ppm"),

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PPM = 1_000_000
+from dmds_spark.core.exact import PPM, floor_scaled_div as _floor_ppm
 
 
 @dataclass(frozen=True)
@@ -46,8 +46,15 @@ class Check:
 
     @property
     def name(self) -> str:
+        # parameterized kinds embed their params: two checks of the
+        # same kind on one column must not collide in the report
         if self.kind == "in_range":
             return f"in_range({self.column},[{self.lo},{self.hi}])"
+        if self.kind == "matches":
+            return f"matches({self.column},{self.pattern})"
+        if self.kind == "accepted_values":
+            vals = ",".join(str(v) for v in self.values)
+            return f"accepted_values({self.column},[{vals}])"
         return f"{self.kind}({self.column})"
 
     def _ok_expr(self):
@@ -88,10 +95,6 @@ def accepted_values(column, values, min_ppm: int = PPM) -> Check:
 
 def matches(column, pattern, min_ppm: int = PPM) -> Check:
     return Check("matches", column, pattern=pattern, min_ppm=min_ppm)
-
-
-def _floor_ppm(num: str, den: str):
-    return F.expr(f"(CAST({num} AS DECIMAL(38,0)) * {PPM}) div {den}")
 
 
 def constraint_report(df: DataFrame, checks: list[Check]) -> DataFrame:

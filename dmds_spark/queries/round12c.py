@@ -50,7 +50,6 @@ def _bigrams(docs):
     """(doc_id, w1, w2) for every adjacent pair — scan-fused transform
     over the split array, no window, no shuffle. Short docs guard the
     descending-sequence pitfall (see functions/text.word_shingles)."""
-    toks = F.split("text", " ")
     pairs = F.expr(
         "CASE WHEN size(split(text, ' ')) < 2 THEN array() ELSE "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
@@ -84,11 +83,10 @@ def _train_tables(docs):
 
 
 def _ppm(num_name: str, den_name: str):
-    """Exact integer floor(num * 1e6 / den): decimal multiply (no long
-    overflow at any corpus scale), integral divide."""
-    return F.expr(
-        f"(CAST({num_name} AS DECIMAL(38,0)) * 1000000) div {den_name}"
-    )
+    """Exact integer floor(num * 1e6 / den) — core/exact.py helper."""
+    from dmds_spark.core.exact import floor_scaled_div
+
+    return floor_scaled_div(num_name, den_name)
 
 
 @register(

@@ -71,12 +71,12 @@ _PRICE_HI = 400_000  # deliberately too tight: the range check FAILS
            CAST(CASE WHEN ok3 * 1000000 // n >= 1000000
                 THEN 1 ELSE 0 END AS BIGINT) FROM m
     UNION ALL
-    SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+    SELECT 'accepted_values(o_orderstatus,[F,O,P])', 'o_orderstatus',
            CAST(ok4 * 1000000 // n AS BIGINT),
            CAST(CASE WHEN ok4 * 1000000 // n >= 1000000
                 THEN 1 ELSE 0 END AS BIGINT) FROM m
     UNION ALL
-    SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+    SELECT 'matches(o_orderpriority,^[1-5]-)', 'o_orderpriority',
            CAST(ok5 * 1000000 // n AS BIGINT),
            CAST(CASE WHEN ok5 * 1000000 // n >= 1000000
                 THEN 1 ELSE 0 END AS BIGINT) FROM m

@@ -47,8 +47,8 @@ def test_check_kinds_count_violations(spark):
     assert rep["completeness(b)"] == (750_000, 0)
     assert rep["uniqueness(a)"] == (750_000, 0)
     assert rep["in_range(c,[0,10])"] == (250_000, 0)
-    assert rep["accepted_values(b)"] == (500_000, 0)
-    assert rep["matches(b)"] == (500_000, 0)
+    assert rep["accepted_values(b,[x,y])"] == (500_000, 0)
+    assert rep["matches(b,^x)"] == (500_000, 0)
 
 
 def test_thresholds_and_clean_pass(spark):

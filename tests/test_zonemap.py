@@ -132,6 +132,32 @@ def test_versioned_world_zonemap(spark, tmp_path):
     assert r2["recomputed"] == 1
 
 
+def test_read_before_any_refresh_is_correct(spark, world):
+    """Refresh is maintenance, not a correctness dependency: a range
+    read on a timestamp column with NO sidecar at all must type its
+    literals from the live schema and return the right rows (review
+    regression: kinds came from the sidecar, so an unrefreshed read
+    compared TIMESTAMP against a raw BIGINT literal and crashed)."""
+    got = _rows(world.read_where(BOUNDS))
+    lo, hi = BOUNDS["ts"]
+    want = _rows(world.snapshot().filter(
+        (F.unix_micros("ts") >= lo) & (F.unix_micros("ts") <= hi)
+    ))
+    assert got == want and got
+
+
+def test_read_where_with_delete_only_pending(spark, world):
+    """A delete-only pending buffer carries only dim columns; the
+    bounds predicate must treat it as unsatisfiable, not unresolvable
+    (review regression: AnalysisException UNRESOLVED_COLUMN ts)."""
+    world.zonemap_refresh(["ts"])
+    before = _rows(world.read_where(BOUNDS))
+    victim = sorted(before)[0][0]
+    world.delete_ids([victim])  # NOT flushed: delete-only op log
+    got = _rows(world.read_where(BOUNDS))
+    assert got == before - {r for r in before if r[0] == victim}
+
+
 def test_survivor_predicate_is_static_partition_filter(world):
     """1-dim worlds must prune via a literal isin on the partition
     column — static pruning visible in the scan, no runtime join."""
