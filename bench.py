@@ -322,6 +322,7 @@ ADDITIONS = [
     "eval_auc_rank_sum",
     "eval_confusion_prf",
     "eval_calibration_bins",
+    "eval_pr_curve",
 ]
 
 

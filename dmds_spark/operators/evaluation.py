@@ -104,6 +104,41 @@ def confusion_at_threshold(
     )
 
 
+def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Precision/recall at EVERY operating point ``score >= t`` for t
+    over the distinct observed scores — the full curve behind a
+    threshold choice, one row per distinct score (bounded: ppm scores
+    have <= 1e6+1 distinct values at any corpus size). tp/fp at each
+    threshold are descending cumulative sums over the grouped score
+    table — the same bounded-window shape as ``auc_rank_sum``; the
+    corpus is touched by ONE hash aggregate."""
+    g = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("__pos"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = W.orderBy(F.col("threshold").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    g = g.withColumn("tp", F.sum("__pos").over(w).cast("long")).withColumn(
+        "fp", (F.sum("__n").over(w) - F.col("tp")).cast("long")
+    )
+    total_pos = df.agg(
+        F.sum(F.col(label_col).cast("long")).alias("__np")
+    )
+    return (
+        g.crossJoin(F.broadcast(total_pos))
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            "tp",
+            "fp",
+            _floor_div("tp", "tp + fp").cast("long").alias("precision_ppm"),
+            F.when(F.col("__np") > 0, _floor_div("tp", "__np"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from dmds_spark.operators.evaluation import (
     auc_rank_sum,
     calibration_bins,
     confusion_at_threshold,
+    pr_curve,
 )
 from dmds_spark.queries import register
 
@@ -141,3 +142,39 @@ def eval_calibration_bins(spark, sf_dir):
     bins: per-bin exact mean score vs positive rate — one aggregation,
     <= 8 output rows regardless of corpus size."""
     return calibration_bins(_scored(spark, sf_dir), "score", "label", _BINS)
+
+
+@register(
+    "eval_pr_curve",
+    f"""
+    WITH {_SCORED_SQL},
+    g AS (
+      SELECT score AS threshold, sum(label) AS pos, count(*) AS n
+      FROM scored GROUP BY score
+    ),
+    c AS (
+      SELECT threshold,
+             sum(pos) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - sum(pos) OVER (ORDER BY threshold DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM g
+    ),
+    np AS (SELECT sum(label) AS total_pos FROM scored)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+           CASE WHEN np.total_pos > 0
+                THEN CAST(tp * 1000000 // np.total_pos AS BIGINT) END
+             AS recall_ppm
+    FROM c CROSS JOIN np
+    """,
+)
+def eval_pr_curve(spark, sf_dir):
+    """The full precision/recall curve of the diversity scorer — one
+    exact-ppm row per distinct observed score (the operating points a
+    threshold choice picks from). One hash aggregate over the corpus;
+    the cumulative sums run over the bounded distinct-score grid."""
+    return pr_curve(_scored(spark, sf_dir), "score", "label")

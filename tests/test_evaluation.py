@@ -14,6 +14,7 @@ from dmds_spark.operators.evaluation import (
     auc_rank_sum,
     calibration_bins,
     confusion_at_threshold,
+    pr_curve,
 )
 
 # (score_ppm, label) with deliberate ties within and across classes
@@ -99,6 +100,22 @@ def test_calibration_bins_exact(spark):
     assert out == want
     # the top score (exactly PPM would hit bin 4) is capped into bin 3
     assert max(out) == 3
+
+
+def test_pr_curve_matches_brute_force(spark):
+    out = {
+        r["threshold"]: (r["tp"], r["fp"], r["precision_ppm"],
+                         r["recall_ppm"])
+        for r in pr_curve(_df(spark), "score", "label").collect()
+    }
+    n_pos = sum(l for _, l in DATA)
+    for t in sorted({s for s, _ in DATA}):
+        tp = sum(1 for s, l in DATA if s >= t and l == 1)
+        fp = sum(1 for s, l in DATA if s >= t and l == 0)
+        assert out[t] == (
+            tp, fp, tp * PPM // (tp + fp), tp * PPM // n_pos,
+        )
+    assert len(out) == len({s for s, _ in DATA})
 
 
 def test_confusion_is_one_scan(spark):
