@@ -146,10 +146,16 @@ def referential_report(
     (constraint, n_orphans, n_rows, ok_ppm, passed). Null FKs count as
     orphans (a null reference is a violation here; model optional FKs
     with a completeness check + pre-filter instead)."""
+    from dmds_spark.core.engine import maybe_broadcast
+
     total = child.select(F.count(F.lit(1)).alias("__n"))
     orphans = (
         child.select(F.col(fk))
-        .join(parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+        .join(
+            maybe_broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+            fk,
+            "left_anti",
+        )
         .select(F.count(F.lit(1)).alias("__bad"))
     )
     return (
