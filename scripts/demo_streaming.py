@@ -331,6 +331,33 @@ def main() -> int:
               f"(serving view unchanged)")
         world.close()
 
+    # -- 13. streaming quality monitor (per-batch constraint suite) --
+    from dmds_spark.operators.quality import completeness, in_range
+    from dmds_spark.streaming.quality_monitor import (
+        failing_batches,
+        monitor_reports,
+        quality_monitor_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as d13:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        estream = _file_stream(spark, ev, f"{d13}/src")
+        checks = [completeness("user_id"), in_range("value", 0.0, 50.0)]
+        sq = (
+            estream.writeStream.foreachBatch(
+                quality_monitor_sink(checks, f"{d13}/reports")
+            )
+            .option("checkpointLocation", f"{d13}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(180)
+        rep = monitor_reports(spark, f"{d13}/reports")
+        alerts = failing_batches(spark, f"{d13}/reports").count()
+        print(f"13. quality monitor: {rep.count()} constraint verdicts "
+              f"across micro-batches (one agg pass per trigger); "
+              f"{alerts} batches raised alerts")
+
     print("demo: all streaming stages ran")
     return 0
 
