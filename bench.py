@@ -323,6 +323,9 @@ ADDITIONS = [
     "eval_confusion_prf",
     "eval_calibration_bins",
     "eval_pr_curve",
+    # round-12 batch seven: merge_asof tolerance (same single
+    # sort-shuffle plan as join_asof; the gap gate is one CASE)
+    "join_asof_tolerance",
 ]
 
 

@@ -145,6 +145,7 @@ def asof_join(
     by: list[str],
     right_value_cols: list[str],
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join per ``by`` key, expressed with built-in ops: union
     tagged events, one window over time, keep left rows.
@@ -159,6 +160,13 @@ def asof_join(
     union, one window over (by, on) — a single sort-based shuffle,
     scalable. At equal ``on`` the right row qualifies in both
     directions; the side tag's sort position puts it inside the frame.
+
+    ``tolerance`` (pandas merge_asof semantics): the nearest right row
+    only matches when its ``on`` gap is within the tolerance — beyond
+    it, every value column comes back NULL. Units: microseconds for
+    timestamp ``on`` columns, raw difference otherwise. Equivalent to
+    post-filtering the nearest pick (any other candidate is farther),
+    so it adds ZERO plan cost — one struct field and one CASE.
 
     The pick is a single STRUCT of all right value columns, non-null
     exactly on right-side rows: ``last/first(ignorenulls=True)`` then
@@ -204,11 +212,21 @@ def asof_join(
         "__rv",
         F.when(
             F.col("__side") == 0,
-            F.struct(*[F.col(v).alias(v) for v in right_value_cols]),
+            F.struct(
+                *[F.col(v).alias(v) for v in right_value_cols],
+                F.col(on).alias("__ron"),
+            ),
         ),
     ).withColumn("__rvp", pick("__rv"))
+    in_tol = F.lit(True)
+    if tolerance is not None:
+        lo, ro = F.col(on), F.col("__rvp.__ron")
+        if dict(u.dtypes)[on].startswith("timestamp"):
+            lo, ro = F.unix_micros(lo), F.unix_micros(ro)
+        gap = (lo - ro) if direction == "backward" else (ro - lo)
+        in_tol = gap <= F.lit(tolerance)
     for v in right_value_cols:
-        u = u.withColumn(v, F.col("__rvp")[v])
+        u = u.withColumn(v, F.when(in_tol, F.col("__rvp")[v]))
     return u.filter(F.col("__side") == 1).drop("__side", "__rv", "__rvp")
 
 

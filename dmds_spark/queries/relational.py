@@ -458,6 +458,65 @@ def join_asof(spark, sf_dir):
     )
 
 
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+@register(
+    "join_asof_tolerance",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {_ASOF_TOL_US}
+                THEN CAST(p.value AS DOUBLE) END AS prev_purchase_6h
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a 6-hour TOLERANCE (pandas merge_asof
+    semantics): the nearest at-or-before purchase matches only inside
+    the window — a stale quote/touch must not attribute. Equivalent to
+    post-filtering the nearest pick (any other candidate is farther),
+    so the plan is IDENTICAL to join_asof's single sort-shuffle; the
+    oracle applies the same gap gate to DuckDB's native ASOF pick."""
+    from pyspark.sql import Window as W
+
+    from dmds_spark.operators.relational import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("prev_purchase_6h"))
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        on="ts",
+        by=["user_id"],
+        right_value_cols=["prev_purchase_6h"],
+        tolerance=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("prev_purchase_6h").cast("double").alias("prev_purchase_6h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation family
 # ---------------------------------------------------------------------------

@@ -329,3 +329,40 @@ def test_asof_null_right_values_nearest_row_wins(spark):
     # t=5 -> nearest future row is t=8: val NULL, tag "b"
     # t=15 -> nearest future row is t=20: val 3.0, tag NULL
     assert fwd == {("u", 5): (None, "b"), ("u", 15): (3.0, None)}
+
+
+def test_asof_tolerance_hand_computed(spark):
+    """merge_asof tolerance: the NEAREST pick matches only inside the
+    gap window; beyond it the value is NULL (never a farther fallback),
+    in both directions; tolerance=None unchanged."""
+    from dmds_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10), ("u", 25), ("u", 100)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 8, 80.0), ("u", 20, 200.0)], ["k", "t", "val"]
+    )
+
+    def run(**kw):
+        return {
+            (r["k"], r["t"]): r["val"]
+            for r in asof_join(
+                left, right, on="t", by=["k"], right_value_cols=["val"],
+                **kw,
+            ).collect()
+        }
+
+    back = run(direction="backward", tolerance=5)
+    assert back == {
+        ("u", 10): 80.0,    # gap 2 <= 5
+        ("u", 25): 200.0,   # gap 5 == 5: inclusive
+        ("u", 100): None,   # nearest is t=20, gap 80 > 5 — no fallback
+    }
+    # forward gap = right.t - left.t: next right after t=10 is t=20
+    # (gap 10 > 5), nothing at all after t=25/t=100 within 5
+    fwd = run(direction="forward", tolerance=5)
+    assert fwd == {("u", 10): None, ("u", 25): None, ("u", 100): None}
+    assert run(direction="backward") == {
+        ("u", 10): 80.0, ("u", 25): 200.0, ("u", 100): 200.0,
+    }
