@@ -332,32 +332,50 @@ _CHECKED_R11: frozenset[str] = frozenset({
     "window_moving_median",
 })
 
+# round 12 (CORRECTNESS_r12.json): 50 rows — ALL hash-green, zero
+# failures (first all-green window since r08). Covered all 25 round-12
+# additions, the 2 priority re-checks that moved rows-only → full
+# oracle, plus rotated r05/r06-vintage evidence.
+_CHECKED_R12: frozenset[str] = frozenset({
+    "join_asof_tolerance", "rollup_incremental_clusters",
+    "rollup_ivf_retrain", "similarity_ivf_search_batch",
+    "similarity_ivf_drift_report", "multimodal_real_decode_stats",
+    "cdc_apply_changeset", "cdc_net_changes", "cdc_world_merge",
+    "text_lm_train_bigram", "text_lm_score_docs",
+    "text_inverted_postings", "text_boolean_retrieval",
+    "text_phrase_retrieval", "dmds_zonemap_read",
+    "rollup_incremental_cdc", "quality_constraint_report",
+    "quality_referential_report", "eval_auc_rank_sum",
+    "eval_confusion_prf", "eval_calibration_bins", "eval_pr_curve",
+    "multimodal_decode_stats", "multimodal_frame_sample",
+    "suppliers_pareto_class", "parts_yoy_revenue", "tokens_shard_plan",
+    "events_concurrency_peak", "graph_common_neighbors",
+    "events_late_arrivals", "text_hapax_ratio",
+    "parts_price_dispersion", "rollup_incremental_orders",
+    "agg_weighted_median", "suppliers_winsorized_balance",
+    "text_trigram_novelty", "events_daily_anomalies_mad",
+    "events_active_users_rolling", "orders_cohort_ltv",
+    "sample_temperature_mixture", "profile_ks_drift",
+    "text_source_vocab_jaccard", "orders_rolling_7d_revenue",
+    "embedding_dim_stats", "q6_forecast_revenue",
+    "q10_returned_revenue", "join_inner", "join_left", "join_right",
+    "join_full_outer",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
-_CHECKED_ROUNDS: tuple[frozenset[str], ...] = (
-    _CHECKED_R01 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10
-    - _CHECKED_R11,
-    _CHECKED_R02 - _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06
-    - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10
-    - _CHECKED_R11,
-    _CHECKED_R04 - _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07
-    - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
-    _CHECKED_R05 - _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08
-    - _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
-    _CHECKED_R06 - _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09
-    - _CHECKED_R10 - _CHECKED_R11,
-    _CHECKED_R07 - _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10
-    - _CHECKED_R11,
-    _CHECKED_R08 - _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
-    _CHECKED_R09 - _CHECKED_R10 - _CHECKED_R11,
-    _CHECKED_R10 - _CHECKED_R11,
-    _CHECKED_R11,
+# Each round's fold-in is ONE new frozenset in this tuple — the aging
+# subtraction (later evidence supersedes earlier) is computed below.
+_ROUND_SETS: tuple[frozenset[str], ...] = (
+    _CHECKED_R01, _CHECKED_R02, _CHECKED_R04, _CHECKED_R05,
+    _CHECKED_R06, _CHECKED_R07, _CHECKED_R08, _CHECKED_R09,
+    _CHECKED_R10, _CHECKED_R11, _CHECKED_R12,
 )
-_DRIVER_CHECKED: frozenset[str] = (
-    _CHECKED_R01 | _CHECKED_R02 | _CHECKED_R04 | _CHECKED_R05
-    | _CHECKED_R06 | _CHECKED_R07 | _CHECKED_R08 | _CHECKED_R09
-    | _CHECKED_R10 | _CHECKED_R11
+_CHECKED_ROUNDS: tuple[frozenset[str], ...] = tuple(
+    rnd - frozenset().union(*_ROUND_SETS[i + 1:])
+    if i + 1 < len(_ROUND_SETS) else rnd
+    for i, rnd in enumerate(_ROUND_SETS)
 )
+_DRIVER_CHECKED: frozenset[str] = frozenset().union(*_ROUND_SETS)
 
 # Low-risk queries pushed behind the rest of the unchecked set when the
 # unchecked set exceeds the driver's 50-query window. Empty since round
@@ -366,13 +384,14 @@ _DEFERRED: tuple[str, ...] = ()
 
 # Queries whose oracle status or semantics CHANGED after their last
 # driver check, so their recorded evidence is stale regardless of age:
-# they slot directly behind the never-checked set. Round 12: both
-# moved from rows-only to a full SQL oracle (the synthesized media
-# geometry is arithmetic in n_chars, so decode stats and kept-frame
-# counts are declaratively stateable — the byte-histogram trick).
+# they slot directly behind the never-checked set. Round 13: the pHash
+# near-dup family moves from rows-only to a full SQL oracle (the
+# synthesized-raster average-hash is declarative arithmetic — the
+# real-decode-stats trick), and the kmeans seed window was replaced by
+# a TakeOrdered limit (same seed set, new plan — re-prove the hash).
 _PRIORITY_RECHECK: tuple[str, ...] = (
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
+    "multimodal_phash_neardup",
+    "embedding_kmeans_assign",
 )
 
 
