@@ -8,9 +8,11 @@ from dmds_spark.plans.inspect import (
     read_schemas,
     scan_count,
     shuffle_count,
+    unpartitioned_window_count,
 )
 
 __all__ = [
+    "unpartitioned_window_count",
     "physical_plan",
     "plan_report",
     "pushed_filters",

@@ -79,6 +79,70 @@ def scan_count(df: DataFrame) -> int:
     return physical_plan(df).count("FileScan parquet")
 
 
+def _windowspec_args(spec: str) -> list[str]:
+    """Split the top-level args of one ``windowspecdefinition(...)``."""
+    args, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+_SORT_DIR = re.compile(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\s*$")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window execs with an EMPTY partition spec — each one sorts its
+    entire input in ONE task, the single worst scale hazard a plan can
+    carry (a corpus-sized input means one executor sorts 100 TB).
+
+    Detection: the plan prints each window function's spec as
+    ``windowspecdefinition(partCols..., orderCols..., frame)`` where
+    partition columns have NO sort direction and order columns end in
+    ``ASC|DESC NULLS FIRST|LAST`` (a bracket-group count on the Window
+    line is ambiguous: a partitioned-but-unordered window also prints
+    two groups). A spec is unpartitioned iff every pre-frame arg
+    carries a sort direction (or there are no pre-frame args at all).
+    Bounded-grain windows (post-limit top-k, day grids, ppm score
+    grids, strata tables) still count here — the registry sweep in
+    tests/test_plans.py allowlists those BY NAME with the bound stated,
+    so any new corpus-sized window fails the sweep."""
+    n = 0
+    for line in physical_plan(df).splitlines():
+        stripped = line.lstrip("+-*: (0123456789)")
+        if not stripped.startswith("Window "):
+            continue
+        line_hit = False
+        for m in re.finditer(r"windowspecdefinition\(", stripped):
+            start = m.end()
+            depth = 1
+            i = start
+            while i < len(stripped) and depth:
+                if stripped[i] == "(":
+                    depth += 1
+                elif stripped[i] == ")":
+                    depth -= 1
+                i += 1
+            args = _windowspec_args(stripped[start : i - 1])
+            pre_frame = [
+                a for a in args if not a.startswith("specifiedwindowframe(")
+            ]
+            if all(_SORT_DIR.search(a) for a in pre_frame):
+                line_hit = True
+        if line_hit:
+            n += 1
+    return n
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call summary used by tests and by bench diagnostics."""
     return {

@@ -333,8 +333,13 @@ def embedding_kmeans_assign(spark, sf_dir):
 
     Shape at scale per round: assignment is embeddings x k with the k
     centers as one constant/broadcast side (no shuffle of the big
-    side); the M-step is one (cluster, dim) hash aggregate. The
-    argmin tie-break key is zero-padded (dist, cid) — dist <= 64 *
+    side); the M-step is one (cluster, dim) hash aggregate. Seeding is
+    a TakeOrderedAndProject top-k on md5(vec_id) — per-partition top-8
+    + driver merge, NEVER a corpus-wide single-partition row_number
+    window (the oracle's `sd` CTE states the same seed set as a window
+    for SQL brevity; only the first K rows of it are consumed). The
+    cid row_number runs over the already-limited ≤K rows. The argmin
+    tie-break key is zero-padded (dist, cid) — dist <= 64 *
     (2*2^22)^2 ~ 4.5e15 < 10^20, so the 20-char pad never truncates."""
     emb = _emb(spark, sf_dir)
     q = emb.select(
@@ -344,18 +349,18 @@ def embedding_kmeans_assign(spark, sf_dir):
             f"CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT) + {_KM_OFF})"
         ).alias("qv"),
     )
-    sd = q.select(
-        "vec_id",
-        "qv",
-        (
-            F.row_number().over(
-                W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            )
-            - 1
-        ).alias("cid"),
+    seeds = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(F.col("vec_id").cast("string")).alias("__mk"),
+        )
+        .orderBy("__mk", "vec_id")
+        .limit(_KM_K)
     )
-    cent1 = sd.filter(F.col("cid") < _KM_K).select(
-        "cid", F.col("qv").alias("qc")
+    cent1 = seeds.select(
+        (F.row_number().over(W.orderBy("__mk", "vec_id")) - 1).alias("cid"),
+        F.col("qv").alias("qc"),
     )
     sqdist = F.expr(
         "aggregate(zip_with(qv, qc, (a, b) -> (a - b) * (a - b)),"

@@ -17,6 +17,7 @@ from dmds_spark.plans import (
     read_schemas,
     scan_count,
     shuffle_count,
+    unpartitioned_window_count,
 )
 from dmds_spark.queries import all_queries
 
@@ -1470,3 +1471,63 @@ def test_kmeans_assign_broadcasts_centers(spark, qs):
     assert plan.count("BroadcastNestedLoopJoin") + plan.count(
         "BroadcastExchange"
     ) >= 2
+
+
+def test_kmeans_assign_seed_is_take_ordered(spark, qs):
+    """The k-means seed draw must be TakeOrderedAndProject (per-
+    partition top-8 heap + driver merge) — round 12's verdict found the
+    seed computed via a corpus-wide single-partition row_number window,
+    one task sorting every vector at 100 TB. The one unpartitioned
+    window that remains is the cid renumbering over the ALREADY LIMITED
+    <=8 seed rows."""
+    df = qs["embedding_kmeans_assign"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert unpartitioned_window_count(df) == 1
+
+
+# Every query whose plan legitimately carries an unpartitioned Window
+# exec, with the bound that keeps its single sort task small FOREVER
+# (not just at test SF). Anything else with an unpartitioned window
+# fails the sweep below — the "W.orderBy trap" becomes unlandable.
+UNPARTITIONED_WINDOW_OK = {
+    # post-limit top-k grains: the window input is k rows by plan shape
+    "embedding_kmeans_assign": "cid renumber over <=8 seed rows post-TakeOrdered",
+    "text_zipf_topk": "rank over the already-limited top-50 tokens",
+    "tokens_vocab_truncation_loss": "rank over TakeOrdered top-N vocab rows",
+    "text_bm25_topk": "rank over the TakeOrdered top-k survivors",
+    # calendar-bounded grids: thousands of rows off any corpus size
+    "orders_rolling_7d_revenue": "trailing-7d window over the day grid",
+    "orders_seasonality_decomposition": "12-month MA over the month grid",
+    # strata/bucket tables: input is #groups rows after a full aggregate
+    "sample_hamilton_allocation": "remainder ranks over the #strata table",
+    "sample_neyman_allocation": "allocation windows over the #sources table",
+    "text_vocab_growth": "cumsum over exactly 10 decile-bucket rows",
+    # ppm score grids: distinct scores <= 1e6+1 by construction
+    "eval_auc_rank_sum": "rank-sum over the distinct-ppm score grid",
+    "eval_pr_curve": "cum TP/FP over the distinct-ppm score grid",
+    # size-gated dispatch: plain window only below ONE scan shard
+    # (128 MiB); above it the sharded two-level cumsum kicks in
+    # (operators/relational.py global_row_number small-input fast path)
+    "suppliers_pareto_class": "small-input fast path; sharded above 128 MiB",
+}
+
+
+def test_no_unpartitioned_windows_outside_allowlist(spark, qs):
+    """Registry-wide sweep: NO query may carry an unpartitioned Window
+    exec unless it is allowlisted above with its bound stated. This is
+    the tested form of the per-docstring claims — a new corpus-sized
+    W.orderBy(...) window (one task sorts the corpus) fails here at
+    plan-build time, before it ever reaches a cluster."""
+    offenders = {}
+    stale = set(UNPARTITIONED_WINDOW_OK) - set(qs)
+    assert not stale, f"allowlist names unknown queries: {sorted(stale)}"
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        c = unpartitioned_window_count(df)
+        if c and name not in UNPARTITIONED_WINDOW_OK:
+            offenders[name] = c
+    assert not offenders, (
+        "unpartitioned Window execs outside the allowlist (single-task "
+        f"sort of the whole input at scale): {offenders}"
+    )
