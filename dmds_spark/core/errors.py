@@ -40,6 +40,23 @@ class WorldSpecError(DmdsError):
     items-per-chunk (reference panics at src/range.rs:24-30)."""
 
 
+class WorldFencedError(DmdsError):
+    """The writer's lock token vanished or changed MID-WRITE: someone
+    broke a live writer's lock (``World.break_lock``) or reclaimed an
+    expired lease while a flush/flip was in flight. Raised at the
+    COMMIT POINT (manifest/pointer flip, partition overwrite) so the
+    fenced writer aborts before clobbering the new holder's state —
+    the fencing-token discipline the round-12 verdict asked for."""
+
+    def __init__(self, path: str, holder: dict):
+        self.path = path
+        self.holder = holder
+        super().__init__(
+            f"writer for {path} was fenced mid-write (lock now held by "
+            f"{holder or 'nobody'}); aborting before the commit point"
+        )
+
+
 class WorldLockedError(DmdsError):
     """Another process holds the world's writer lock. Carries the
     holder's recorded identity so operators can decide whether to wait

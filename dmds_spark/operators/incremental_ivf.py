@@ -116,7 +116,14 @@ class IncrementalIVFIndex:
 
     def _flip(self, state: dict) -> None:
         from dmds_spark.operators.rollup import _atomic_flip
+        from dmds_spark.world import WriterLock
 
+        # fencing token at the commit point: every _flip runs inside
+        # _writer() (the interned WriterLock on store_dir), so if our
+        # lock was broken or lease-reclaimed while the increment was
+        # being written, abort BEFORE publishing — the increment dir is
+        # orphaned-but-unread and vacuum() reclaims it.
+        WriterLock.for_dir(self.store_dir).verify_token()
         _atomic_flip(self._pointer, state)
 
     def _assign_paths(

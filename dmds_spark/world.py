@@ -45,7 +45,11 @@ from pyspark.sql import types as T
 
 from dmds_spark.core.dims import WorldSpec
 from dmds_spark.core.select import Select, Shape
-from dmds_spark.core.errors import ValueOutOfRangeError, WorldLockedError
+from dmds_spark.core.errors import (
+    ValueOutOfRangeError,
+    WorldFencedError,
+    WorldLockedError,
+)
 from dmds_spark.core.engine import materialize
 
 
@@ -77,18 +81,33 @@ class WriterLock:
       rename-to-unique-name + content re-verify — so a NEW holder's
       lock that appears between a waiter's staleness read and its
       break is never discarded (the classic unlink-break TOCTOU).
-      Cross-host staleness cannot be probed from here — break it
-      explicitly with ``World.break_lock(path)`` after confirming the
-      writer is dead.
+    - CROSS-HOST staleness is handled by lease: a holder that opts in
+      (``heartbeat(lease_sec)`` — ``FlushDaemon`` does this every
+      interval) records ``heartbeat_at``/``lease_sec`` in the lock
+      file, and any waiter may reclaim a lock whose lease has expired,
+      through the same sidecar-serialized, re-verified break path. A
+      holder that never heartbeats (no daemon) writes no lease and is
+      NEVER auto-reclaimed cross-host — break it explicitly with
+      ``World.break_lock(path)`` after confirming the writer is dead.
+      Lease clocks are wall clocks on different hosts: pick lease_sec
+      >> heartbeat interval + worst-case clock skew (the daemon's
+      default is 10 intervals, floor 60 s).
     - The lock is ADVISORY: it fences cooperating ``World`` writers
       only. A rogue process writing parquet into the directory without
       going through ``World`` is not stopped (plain parquet layouts
       have no server to enforce leases; same trust model as the
       reference's in-process lock).
-    - There is no fencing token on the data files themselves: a writer
-      that loses its lock file mid-flush (manual break of a LIVE
-      writer) can still complete that flush. Break locks only for
-      dead writers."""
+    - Fencing token at commit points: ``verify_token()`` re-reads the
+      lock file immediately before every manifest/pointer commit
+      (``World.flush``/``compact``, IVF pointer flips) and raises
+      ``WorldFencedError`` if the token changed — a live writer whose
+      lock was broken (manually or by lease reclaim) aborts BEFORE
+      clobbering the new holder's state. The residual window is the
+      non-versioned dynamic partition overwrite itself, which is not
+      atomic: the check runs before the write starts, so prefer
+      ``versioned=True`` worlds where concurrent breakers are a real
+      possibility (their data writes land in fresh ``_v{N}`` dirs and
+      only the verified manifest flip publishes them)."""
 
     FILENAME = "_writer.lock"
 
@@ -148,6 +167,31 @@ class WriterLock:
         except (OSError, ValueError):
             return None
 
+    @staticmethod
+    def _lease_expired(holder: dict | None) -> bool:
+        """True iff the holder OPTED INTO leasing (wrote both
+        ``heartbeat_at`` and ``lease_sec``) and the lease has lapsed.
+        A lease-less lock never expires — only holders that promise
+        heartbeats can be reclaimed on missed heartbeats."""
+        if not holder:
+            return False
+        try:
+            hb = float(holder["heartbeat_at"])
+            lease = float(holder["lease_sec"])
+        except (KeyError, TypeError, ValueError):
+            return False
+        return time.time() - hb > lease
+
+    def _is_stale(self, holder: dict | None) -> bool:
+        """A lock is stale when its holder is PROVABLY gone: same-host
+        pid dead (exact), or cross-host/undecidable with an expired
+        lease. A live same-host pid is never stale, even with a lapsed
+        lease — the pid probe is strictly better evidence."""
+        alive = self._alive_same_host(holder)
+        if alive is not None:
+            return not alive
+        return self._lease_expired(holder)
+
     def acquire(self) -> None:
         """Take (or refcount into) the writer token. Each caller must
         pair its acquire with exactly one release; ``World`` tracks its
@@ -161,12 +205,16 @@ class WriterLock:
 
     def _acquire_file(self) -> None:
         os.makedirs(self.dir_path, exist_ok=True)
+        now = time.time()
         payload = json.dumps(
             {
                 "pid": os.getpid(),
                 "host": socket.gethostname(),
                 "token": self.token,
-                "acquired_at": time.time(),
+                "acquired_at": now,
+                # lease fields land with the first heartbeat(); until
+                # then heartbeat_at alone (no lease_sec) never expires
+                "heartbeat_at": now,
             }
         ).encode()
         for _ in range(5):  # stale breaks + create races, bounded
@@ -181,11 +229,12 @@ class WriterLock:
                 holder = self._holder()
                 if holder is None:
                     continue  # vanished or torn mid-read: retry create
-                if self._alive_same_host(holder) is False:
-                    # same host, recorded pid dead: stale. Break under
-                    # the flock'd sidecar; retry the create either way
-                    # (False = another breaker is on it — its finish
-                    # frees the path for the next iteration).
+                if self._is_stale(holder):
+                    # same-host dead pid, or cross-host expired lease:
+                    # stale. Break under the flock'd sidecar; retry the
+                    # create either way (False = another breaker is on
+                    # it — its finish frees the path for the next
+                    # iteration).
                     self._break_stale(holder)
                     continue
                 # live, undecidable, or OUR OWN pid outside this
@@ -198,11 +247,14 @@ class WriterLock:
 
     def _break_stale(self, holder: dict) -> bool:
         """Remove the lock file ONLY if it still belongs to ``holder``
-        (same-host, pid verified dead). Breakers serialize on a flock'd
-        sidecar — flock is kernel-released on process death, so the
-        break mutex itself cannot go stale — and the removal is
-        rename-to-unique + re-verify, never a blind unlink: a new
-        holder's lock that raced in is renamed back, not discarded."""
+        and is still stale under the sidecar mutex (same-host pid
+        verified dead, or cross-host lease verified expired — a
+        heartbeat that lands before the re-read rescues the holder).
+        Breakers serialize on a flock'd sidecar — flock is
+        kernel-released on process death, so the break mutex itself
+        cannot go stale — and the removal is rename-to-unique +
+        re-verify, never a blind unlink: a new holder's lock that
+        raced in is renamed back, not discarded."""
         try:
             import fcntl
         except ImportError:  # non-POSIX: no safe auto-break
@@ -218,8 +270,8 @@ class WriterLock:
                 return True  # already broken
             if cur.get("token") != holder.get("token"):
                 return False  # a new holder took over — contended
-            if self._alive_same_host(cur) is not False:
-                return False  # revived / undecidable under the mutex
+            if not self._is_stale(cur):
+                return False  # revived / heartbeated under the mutex
             moved = f"{self.path}.broken.{self.token}"
             try:
                 os.rename(self.path, moved)
@@ -241,6 +293,45 @@ class WriterLock:
             return True
         finally:
             os.close(fd)  # releases the flock
+
+    def heartbeat(self, lease_sec: float) -> bool:
+        """Refresh this holder's lease: rewrite the lock file with a
+        fresh ``heartbeat_at`` and the promised ``lease_sec`` (atomic
+        temp + rename; readers see old or new, never torn). Writing the
+        lease is the holder's OPT-IN to cross-host reclaim — miss
+        heartbeats for longer than lease_sec and any waiter may break
+        the lock, so call this from a live loop (``FlushDaemon`` does,
+        every interval), never from ad-hoc code. Returns False without
+        writing when we do not hold the lock (released, broken, or
+        reclaimed) — the caller's next commit will be fenced by
+        ``verify_token``."""
+        with self._mu:
+            if self._refs == 0:
+                return False
+            holder = self._holder()
+            if not holder or holder.get("token") != self.token:
+                return False  # broken/reclaimed: do not resurrect
+            payload = {
+                **holder,
+                "heartbeat_at": time.time(),
+                "lease_sec": float(lease_sec),
+            }
+            tmp = f"{self.path}.hb.{self.token}"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, self.path)
+            return True
+
+    def verify_token(self) -> None:
+        """Fencing check for commit points: re-read the lock file and
+        raise ``WorldFencedError`` unless it still carries OUR token.
+        Called immediately before every manifest/pointer flip and
+        before a non-versioned partition overwrite starts, so a writer
+        whose lock was broken or lease-reclaimed mid-write aborts
+        instead of clobbering the new holder's state."""
+        holder = self._holder()
+        if self._refs == 0 or not holder or holder.get("token") != self.token:
+            raise WorldFencedError(self.dir_path, holder or {})
 
     def release(self) -> None:
         with self._mu:
@@ -578,6 +669,11 @@ class World:
         as operators/rollup.py)."""
         from dmds_spark.operators.rollup import _atomic_flip
 
+        # fencing token: abort BEFORE publishing if our lock was broken
+        # or lease-reclaimed while the version dir was being written
+        # (the data files are orphaned-but-unread, reclaimed by
+        # vacuum_snapshots — never served)
+        self._writer_lock.verify_token()
         os.makedirs(self._snapdir, exist_ok=True)
         _atomic_flip(
             os.path.join(self._snapdir, f"v{v}.json"),
@@ -1117,6 +1213,7 @@ class World:
             if self.versioned:
                 self._commit_version_write(out)
             else:
+                self._writer_lock.verify_token()  # fence the overwrite
                 out.write.partitionBy(*self.partition_cols()).mode(
                     "overwrite"
                 ).parquet(self.path)
@@ -1165,6 +1262,7 @@ class World:
         # materialize BEFORE overwriting the files we just read
         # (self-overwrite is undefined otherwise)
         out = out.transform(materialize)
+        self._writer_lock.verify_token()  # fence the overwrite
         (
             out.write.partitionBy(*self.partition_cols())
             .mode("overwrite")
@@ -1258,6 +1356,12 @@ class World:
         with self._lock:
             if self._ops:
                 raise RuntimeError("flush pending ops before compact()")
+            # compact REWRITES data files: it needs the cross-process
+            # writer token exactly like an upsert (same check-and-
+            # acquire as _append_op; held until close())
+            if not self._writer_ref:
+                self._writer_lock.acquire()
+                self._writer_ref = True
             base = self._base()
             if base is None:
                 return 0
@@ -1293,6 +1397,7 @@ class World:
                 # materialize before self-overwrite (fresh version dirs
                 # don't need the barrier)
                 out = out.transform(materialize)
+                self._writer_lock.verify_token()  # fence the overwrite
                 (
                     out.write.partitionBy(*pcols)
                     .mode("overwrite")
@@ -1360,6 +1465,16 @@ class World:
 
     # -- writer-session lifecycle -------------------------------------------
 
+    def heartbeat(self, lease_sec: float) -> bool:
+        """Refresh this writer's cross-host lease (see
+        ``WriterLock.heartbeat``). No-op (False) for a World that holds
+        no writer token — read-only Worlds never lease. ``FlushDaemon``
+        calls this every interval; calling it from ad-hoc code without
+        a live loop behind it invites lease reclaim of a live writer."""
+        if not self._writer_ref:
+            return False
+        return self._writer_lock.heartbeat(lease_sec)
+
     def close(self) -> None:
         """Flush anything pending and release the cross-process writer
         lock — the reference's flush-on-drop (ShutdownHandle,
@@ -1426,13 +1541,29 @@ class FlushDaemon:
     """Periodic flush loop (reference ``daemon`` + ``ShutdownHandle``,
     tokio-fs/src/lib.rs:207-235,158-200): every ``interval`` seconds,
     flush each world with ``writes >= 1``; ``close()`` flushes a final
-    time (the reference's flush-on-drop)."""
+    time (the reference's flush-on-drop).
+
+    The loop also HEARTBEATS each world's writer lease every interval
+    (``lease_sec`` defaults to 10 intervals, floor 60 s), which is the
+    cross-host crash-recovery story: a remote writer that dies with the
+    daemon running stops heartbeating, its lease lapses, and the next
+    waiter reclaims the lock automatically instead of wedging until a
+    human calls ``World.break_lock``. Pass ``lease_sec=None`` to opt
+    out (lock then never expires cross-host)."""
 
     LEAST_WRITES = 1  # tokio-fs/src/lib.rs:213
 
-    def __init__(self, worlds: Sequence[World], interval: float):
+    def __init__(
+        self,
+        worlds: Sequence[World],
+        interval: float,
+        lease_sec: float | None = -1.0,
+    ):
         self.worlds = list(worlds)
         self.interval = interval
+        if lease_sec is not None and lease_sec < 0:
+            lease_sec = max(60.0, 10.0 * interval)
+        self.lease_sec = lease_sec
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -1442,6 +1573,8 @@ class FlushDaemon:
             for w in self.worlds:
                 if w.writes >= self.LEAST_WRITES:
                     w.flush()
+                if self.lease_sec is not None:
+                    w.heartbeat(self.lease_sec)
 
     def close(self):
         """Stop the loop and flush everything dirty — the reference's

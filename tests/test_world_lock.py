@@ -281,3 +281,205 @@ def test_racing_first_writes_take_exactly_one_ref(spark, tmp_path):
         for r in spark.read.parquet(path).select("x", "y", "v").collect()
     }
     assert got == {(1, 2, 10), (2, 3, 20)}
+
+
+# -- cross-host leases + fencing tokens (round 13) -------------------------
+
+
+def _foreign_lock(path: str, **extra) -> str:
+    os.makedirs(path, exist_ok=True)
+    p = os.path.join(path, WriterLock.FILENAME)
+    with open(p, "w") as fh:
+        json.dump(
+            {"pid": 1, "host": "remote-host.example", "token": "remote",
+             "acquired_at": 0, **extra}, fh,
+        )
+    return p
+
+
+def test_expired_foreign_lease_is_reclaimed(tmp_path):
+    """A remote writer that heartbeated a lease and then died is
+    reclaimed WITHOUT World.break_lock: the lease lapsed, so the next
+    acquire breaks it through the same sidecar-serialized path as a
+    same-host dead pid. This was the round-12 verdict's #1 hardening
+    gap (a crashed remote writer wedged every later writer)."""
+    import time as _t
+
+    path = str(tmp_path / "w")
+    _foreign_lock(path, heartbeat_at=_t.time() - 100, lease_sec=1.0)
+    lk = WriterLock(path)
+    lk.acquire()  # reclaims, no WorldLockedError, no break_lock
+    got = json.load(open(lk.path))
+    assert got["token"] == lk.token
+    lk.release()
+
+
+def test_fresh_foreign_lease_is_refused(tmp_path):
+    """A remote writer whose lease is CURRENT is live by contract —
+    acquire must refuse exactly as before leases existed."""
+    import time as _t
+
+    path = str(tmp_path / "w")
+    _foreign_lock(path, heartbeat_at=_t.time(), lease_sec=3600.0)
+    with pytest.raises(WorldLockedError, match="remote-host"):
+        WriterLock(path).acquire()
+
+
+def test_leaseless_foreign_lock_is_never_reclaimed(tmp_path):
+    """A holder that never opted into leasing (no lease_sec — e.g. a
+    writer without a FlushDaemon) must NEVER be auto-broken cross-host,
+    however old its heartbeat_at: explicit break_lock stays the only
+    path."""
+    path = str(tmp_path / "w")
+    _foreign_lock(path, heartbeat_at=0)  # ancient, but no lease_sec
+    with pytest.raises(WorldLockedError, match="remote-host"):
+        WriterLock(path).acquire()
+
+
+def test_live_same_host_pid_beats_expired_lease(tmp_path):
+    """The same-host pid probe is strictly better evidence than a wall
+    clock: a LIVE pid with a lapsed lease (paused process, clock jump)
+    is refused, not reclaimed."""
+    path = str(tmp_path / "w")
+    os.makedirs(path)
+    with open(os.path.join(path, WriterLock.FILENAME), "w") as fh:
+        json.dump(
+            {"pid": os.getpid(),  # provably alive
+             "host": __import__("socket").gethostname(),
+             "token": "other", "acquired_at": 0,
+             "heartbeat_at": 0, "lease_sec": 1.0}, fh,
+        )
+    with pytest.raises(WorldLockedError):
+        WriterLock(path).acquire()
+    os.unlink(os.path.join(path, WriterLock.FILENAME))
+
+
+def test_heartbeat_refreshes_lease_and_respects_foreign_token(tmp_path):
+    import time as _t
+
+    path = str(tmp_path / "w")
+    lk = WriterLock(path)
+    lk.acquire()
+    assert lk.heartbeat(5.0) is True
+    st1 = json.load(open(lk.path))
+    assert st1["lease_sec"] == 5.0 and st1["token"] == lk.token
+    _t.sleep(0.02)
+    assert lk.heartbeat(7.0) is True
+    st2 = json.load(open(lk.path))
+    assert st2["heartbeat_at"] > st1["heartbeat_at"]
+    assert st2["lease_sec"] == 7.0
+    # a broken-and-retaken lock must NOT be resurrected by a heartbeat
+    os.unlink(lk.path)
+    with open(lk.path, "w") as fh:
+        json.dump({"pid": 1, "host": "h", "token": "new-holder"}, fh)
+    assert lk.heartbeat(5.0) is False
+    assert json.load(open(lk.path))["token"] == "new-holder"
+    os.unlink(lk.path)
+    lk._refs = 0
+
+
+def test_flush_daemon_heartbeats_lease(spark, tmp_path):
+    """FlushDaemon is the liveness loop: every interval it refreshes
+    each writer world's lease (default 10 intervals, floor 60 s), so a
+    daemon'd writer that crashes stops heartbeating and its world is
+    reclaimable cross-host."""
+    import time as _t
+
+    from dmds_spark.world import FlushDaemon
+
+    path = str(tmp_path / "w")
+    w = World(spark, SPEC, path, validate="off")
+    w.insert_rows([{"x": 1, "y": 2, "v": 10}])
+    with FlushDaemon([w], interval=0.1, lease_sec=2.5):
+        deadline = _t.time() + 10
+        st = {}
+        while _t.time() < deadline:
+            try:
+                st = json.load(open(os.path.join(path, WriterLock.FILENAME)))
+            except (OSError, ValueError):
+                st = {}
+            if st.get("lease_sec"):
+                break
+            _t.sleep(0.05)
+        assert st.get("lease_sec") == 2.5
+        assert st["token"] == w._writer_lock.token
+    w.close()
+
+
+def test_fenced_flush_aborts_before_versioned_commit(spark, tmp_path):
+    """Break a LIVE writer's lock mid-session: its next flush must
+    raise WorldFencedError BEFORE the manifest/pointer commit — the
+    round-12 'no fencing token' hazard, closed. The previous committed
+    snapshot stays served."""
+    from dmds_spark.core.errors import WorldFencedError
+
+    path = str(tmp_path / "w")
+    w = World(spark, SPEC, path, validate="off", versioned=True)
+    w.insert_rows([{"x": 1, "y": 2, "v": 10}])
+    w.flush()
+    assert w.current_version() == 1
+    w.insert_rows([{"x": 2, "y": 3, "v": 20}])
+    assert World.break_lock(path) is True  # fence the live writer
+    with pytest.raises(WorldFencedError):
+        w.flush()
+    assert w.current_version() == 1  # nothing published
+    w._ops = []  # drop the fenced buffer; close() must not re-flush
+    w.close()
+
+
+def test_fenced_flush_aborts_nonversioned_overwrite(spark, tmp_path):
+    from dmds_spark.core.errors import WorldFencedError
+
+    path = str(tmp_path / "w")
+    w = World(spark, SPEC, path, validate="off")
+    w.insert_rows([{"x": 1, "y": 2, "v": 10}])
+    w.flush()
+    w.insert_rows([{"x": 2, "y": 3, "v": 20}])
+    World.break_lock(path)
+    with pytest.raises(WorldFencedError):
+        w.flush()
+    # on-disk state untouched by the fenced writer
+    got = {tuple(r) for r in
+           spark.read.parquet(path).select("x", "y", "v").collect()}
+    assert got == {(1, 2, 10)}
+    w._ops = []
+    w.close()
+
+
+def test_compact_requires_writer_token(spark, tmp_path):
+    """compact() rewrites data files, so it must take the same
+    cross-process writer token as an upsert (round 13: previously it
+    ran lock-free). A foreign holder => WorldLockedError."""
+    path = str(tmp_path / "w")
+    w = World(spark, SPEC, path, validate="off")
+    w.insert_rows([{"x": 1, "y": 2, "v": 10}])
+    w.flush()
+    w.close()  # release so the foreign lock can take the path
+    _foreign_lock(path, heartbeat_at=__import__("time").time(),
+                  lease_sec=3600.0)
+    w2 = World(spark, SPEC, path, validate="off")
+    with pytest.raises(WorldLockedError):
+        w2.compact()
+    os.unlink(os.path.join(path, WriterLock.FILENAME))
+
+
+def test_ivf_flip_is_fenced(spark, tmp_path):
+    """The IVF store's pointer flip re-verifies the writer token at the
+    commit point: a store whose lock was broken mid-sequence aborts the
+    flip instead of publishing over the new holder's state."""
+    from dmds_spark.core.errors import WorldFencedError
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    store = str(tmp_path / "ivf_store")
+    idx = IncrementalIVFIndex(spark, None, store, "vec_id", "embedding",
+                              dim=4)
+    lk = WriterLock.for_dir(store)
+    lk.acquire()
+    try:
+        World.break_lock(store)  # fence the live writer mid-hold
+        with pytest.raises(WorldFencedError):
+            idx._flip({"centroid_version": 1, "versions": [],
+                       "seen_files": [], "last_batch_id": -1})
+        assert not os.path.exists(idx._pointer)  # nothing published
+    finally:
+        lk._refs = 0  # file already gone; don't unlink someone else's
