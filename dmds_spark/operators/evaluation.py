@@ -122,9 +122,9 @@ def pr_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     g = g.withColumn("tp", F.sum("__pos").over(w).cast("long")).withColumn(
         "fp", (F.sum("__n").over(w) - F.col("tp")).cast("long")
     )
-    total_pos = df.agg(
-        F.sum(F.col(label_col).cast("long")).alias("__np")
-    )
+    # total positives from the GROUPED table (<= 1e6+1 rows), not a
+    # second pass over df — the "ONE hash aggregate" contract above
+    total_pos = g.agg(F.sum("__pos").cast("long").alias("__np"))
     return (
         g.crossJoin(F.broadcast(total_pos))
         .select(

@@ -97,11 +97,16 @@ def matches(column, pattern, min_ppm: int = PPM) -> Check:
     return Check("matches", column, pattern=pattern, min_ppm=min_ppm)
 
 
-def constraint_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+def constraint_report(
+    df: DataFrame, checks: list[Check], with_rows: bool = False
+) -> DataFrame:
     """Run the suite in ONE aggregation pass. Output (long format, one
     row per check): constraint, column, ok_ppm (exact integer
     satisfaction rate; for uniqueness: distinct/total), passed (0/1
-    against the check's min_ppm)."""
+    against the check's min_ppm). ``with_rows=True`` prepends the input
+    row count (``n_rows``) to every report row — the single aggregate
+    already computes it, so callers that need the count (the streaming
+    monitor) never pay a second pass over the input."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, ck in enumerate(checks):
         if ck.kind == "uniqueness":
@@ -122,14 +127,15 @@ def constraint_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     structs = []
     for i, ck in enumerate(checks):
         ppm = _floor_ppm(f"__ok_{i}", "__n")
-        structs.append(
-            F.struct(
-                F.lit(ck.name).alias("constraint"),
-                F.lit(ck.column).alias("column"),
-                ppm.cast("long").alias("ok_ppm"),
-                (ppm >= F.lit(ck.min_ppm)).cast("long").alias("passed"),
-            )
-        )
+        fields = [
+            F.lit(ck.name).alias("constraint"),
+            F.lit(ck.column).alias("column"),
+            ppm.cast("long").alias("ok_ppm"),
+            (ppm >= F.lit(ck.min_ppm)).cast("long").alias("passed"),
+        ]
+        if with_rows:
+            fields.insert(0, F.col("__n").cast("long").alias("n_rows"))
+        structs.append(F.struct(*fields))
     return one.select(F.explode(F.array(*structs)).alias("__r")).select(
         "__r.*"
     )

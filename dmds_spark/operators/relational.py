@@ -164,7 +164,8 @@ def asof_join(
     ``tolerance`` (pandas merge_asof semantics): the nearest right row
     only matches when its ``on`` gap is within the tolerance — beyond
     it, every value column comes back NULL. Units: microseconds for
-    timestamp ``on`` columns, raw difference otherwise. Equivalent to
+    timestamp ``on`` columns, whole days for date columns, raw
+    difference for numeric ones (anything else raises). Equivalent to
     post-filtering the nearest pick (any other candidate is farther),
     so it adds ZERO plan cost — one struct field and one CASE.
 
@@ -221,9 +222,28 @@ def asof_join(
     in_tol = F.lit(True)
     if tolerance is not None:
         lo, ro = F.col(on), F.col("__rvp.__ron")
-        if dict(u.dtypes)[on].startswith("timestamp"):
+        on_type = dict(u.dtypes)[on]
+        if on_type.startswith("timestamp"):
             lo, ro = F.unix_micros(lo), F.unix_micros(ro)
-        gap = (lo - ro) if direction == "backward" else (ro - lo)
+            gap = (lo - ro) if direction == "backward" else (ro - lo)
+        elif on_type == "date":
+            # date subtraction yields an INTERVAL, which fails analysis
+            # against an integer tolerance — compare in whole days
+            gap = (
+                F.datediff(lo, ro)
+                if direction == "backward"
+                else F.datediff(ro, lo)
+            )
+        elif on_type in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or on_type.startswith("decimal"):
+            gap = (lo - ro) if direction == "backward" else (ro - lo)
+        else:
+            raise ValueError(
+                f"tolerance is not supported for on column {on!r} of "
+                f"type {on_type} (timestamp: microseconds; date: days; "
+                "numeric: raw difference)"
+            )
         in_tol = gap <= F.lit(tolerance)
     for v in right_value_cols:
         u = u.withColumn(v, F.when(in_tol, F.col("__rvp")[v]))

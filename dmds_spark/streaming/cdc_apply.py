@@ -47,9 +47,14 @@ def apply_cdc_batch(
     """Merge ONE batch of change records into the world (seq-aware,
     replay-idempotent). Usable directly for batch ingest; the streaming
     sink wraps it per trigger."""
+    from dmds_spark.core.engine import materialize
+
+    # materialize the compacted batch ONCE: it feeds both the broadcast
+    # key list (snapshot pruning) and the stored-seq join below —
+    # un-pinned, each consumer re-ran the max_by aggregate per trigger
     lw = latest_wins(
         batch_df, keys=keys, seq=seq, op_col=op_col, payload=payload
-    )
+    ).transform(materialize)
     snap = world.snapshot()
     if set(seq) <= set(snap.columns):
         stored = snap.join(

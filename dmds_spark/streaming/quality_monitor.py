@@ -28,12 +28,19 @@ def quality_monitor_sink(checks: list[Check], out_dir: str):
     passed, plus batch_id and n_rows) to ``{out_dir}/qc-batch-{id}``."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        # ONE pass over the micro-batch: the suite's single aggregate
+        # already computes the row count (with_rows), and collecting
+        # the report (one row PER CHECK, never per data row) both
+        # detects the idle trigger and feeds the write — the previous
+        # shape executed the batch three times (isEmpty, count, agg)
+        rep_rows = constraint_report(
+            batch_df, checks, with_rows=True
+        ).collect()
+        if not rep_rows or rep_rows[0]["n_rows"] == 0:
             return  # idle trigger: no rows, no report
-        n = batch_df.count()
-        rep = constraint_report(batch_df, checks).select(
+        rep = batch_df.sparkSession.createDataFrame(rep_rows).select(
             F.lit(int(batch_id)).alias("batch_id"),
-            F.lit(n).alias("n_rows"),
+            "n_rows",
             "constraint",
             "column",
             "ok_ppm",

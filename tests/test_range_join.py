@@ -366,3 +366,43 @@ def test_asof_tolerance_hand_computed(spark):
     assert run(direction="backward") == {
         ("u", 10): 80.0, ("u", 25): 200.0, ("u", 100): 200.0,
     }
+
+
+def test_asof_tolerance_date_on_column(spark):
+    """A DATE on column compares the tolerance in whole days (raw date
+    subtraction yields an interval, which fails analysis against an
+    integer — the round-12 advisory). Unsupported on dtypes raise a
+    clear error instead of an analysis failure."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from dmds_spark.operators.relational import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [("u", d(2024, 1, 10)), ("u", d(2024, 3, 1))], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", d(2024, 1, 8), 80.0), ("u", d(2024, 1, 20), 200.0)],
+        ["k", "t", "val"],
+    )
+    got = {
+        (r["k"], r["t"]): r["val"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], right_value_cols=["val"],
+            direction="backward", tolerance=5,
+        ).collect()
+    }
+    assert got == {
+        ("u", d(2024, 1, 10)): 80.0,   # gap 2 days <= 5
+        ("u", d(2024, 3, 1)): None,    # nearest is Jan 20: 41 days > 5
+    }
+    # string on column + tolerance: clear ValueError at plan time
+    sleft = spark.createDataFrame([("u", "b")], ["k", "t"])
+    sright = spark.createDataFrame([("u", "a", 1.0)], ["k", "t", "val"])
+    with _pytest.raises(ValueError, match="tolerance is not supported"):
+        asof_join(
+            sleft, sright, on="t", by=["k"], right_value_cols=["val"],
+            tolerance=1,
+        )
