@@ -636,9 +636,16 @@ def perceptual_hashes(media: DataFrame, bits: int = 64) -> DataFrame:
         arr = np.frombuffer(payload, dtype=np.uint8)
         if len(arr) < bits:  # tiny payload: zero-pad to one byte/cell
             arr = np.pad(arr, (0, bits - len(arr)))
-        arr = arr[: len(arr) // bits * bits]
-        cells = arr.reshape(bits, -1).mean(axis=1)
-        packed = np.packbits(cells > arr.mean()).tobytes()
+        arr = arr[: len(arr) // bits * bits].astype(np.int64)
+        m = len(arr) // bits
+        # integer-exact threshold: cell mean > whole mean compared by
+        # cross-multiplication (cell_sum * T > total * m) — float means
+        # round, and a rounded tie flips a bit differently than the
+        # exact rational compare, which would break the SQL oracle's
+        # hash parity (cell_sum*T <= 255*64*4096: far inside i64)
+        cell_sums = arr.reshape(bits, -1).sum(axis=1)
+        total = int(arr.sum())
+        packed = np.packbits(cell_sums * len(arr) > total * m).tobytes()
         if bits == 64:  # signed view: bit 63 may be set
             return int(np.frombuffer(packed, dtype=">i8")[0])
         return int.from_bytes(packed, "big")  # < 2^63: fits unsigned
