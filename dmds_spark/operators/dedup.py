@@ -8,8 +8,13 @@ Scale analysis (100 TB):
 - exact dedup: one hash-shuffle on a 32-char key; map-side partial agg.
 - MinHash LSH: signatures are per-row scans (no shuffle); the candidate
   join shuffles on (band, key) — fixed-width keys, skew bounded by
-  bucket collision rate; AQE splits hot buckets. This is THE standard
-  web-scale near-dup pipeline shape (the approxSimilarityJoin pattern).
+  bucket collision rate; AQE splits hot buckets (TESTED, not asserted:
+  tests/test_skew.py test_lsh_band_join_hot_bucket_skew_split plants a
+  degenerate constant-text bucket and pins SortMergeJoin(skew=true) on
+  the band join; the hot bucket must be an outlier vs the median
+  partition, which a 256 MB+ bucket among advisory-sized ones is).
+  This is THE standard web-scale near-dup pipeline shape (the
+  approxSimilarityJoin pattern).
 - SimHash: per-row scan + self-join on band keys of the bit prefix.
 - n-gram Jaccard: exact verify stage over LSH candidates only — never
   all pairs.
