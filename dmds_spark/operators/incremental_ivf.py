@@ -561,8 +561,17 @@ class IncrementalIVFIndex:
         """Reclaim directories not referenced by the committed pointer:
         compact()-superseded increments, crashed-ingest orphans, and
         pre-retrain generations. Safe under the writer lock because the
-        pointer flip is atomic and unreferenced dirs are never read —
-        mirrors ``World.vacuum_snapshots``."""
+        pointer flip is atomic and unreferenced dirs are never read by
+        FRESH readers — mirrors ``World.vacuum_snapshots``.
+
+        Reader contract (tested:
+        tests/test_incremental_ivf.py::test_reader_across_retrain_flip_and_vacuum):
+        a reader plan built before a flip keeps serving the OLD
+        generation until vacuum; after vacuum, a pinned reader that
+        must touch storage fails with a missing-file error rather than
+        silently serving partial/mixed-generation rows (requires the
+        default ``spark.sql.files.ignoreMissingFiles=false``). Run
+        vacuum only past your reader horizon."""
         with self._writer():
             return {"removed": self._vacuum_unreferenced()}
 

@@ -354,3 +354,77 @@ def test_empty_batch_does_not_poison_store(spark, emb, tmp_path):
     assert idx.assignments().count() == n  # store intact, not poisoned
     # replay of the empty batch id is still skipped
     assert idx.fold_batch(emb.limit(0), 1)["skipped"] is True
+
+
+def test_reader_across_retrain_flip_and_vacuum(spark, emb, tmp_path):
+    """Reader contract across concurrent lifecycle ops (round-12
+    verdict item 7), matching World's snapshot-pinned reads:
+
+    1. a pre-flip search_batch plan SURVIVES a retrain flip — its file
+       listing is pinned to the old generation's directories, which the
+       flip leaves on disk, so it keeps serving the OLD results;
+    2. vacuum() reclaims those directories, after which a pinned
+       reader that has to touch storage FAILS CLEANLY (missing-file
+       error) — it can never silently serve partial or
+       mixed-generation results (Spark's default
+       ignoreMissingFiles=false is load-bearing and asserted here).
+
+    Caveat pinned as reality, not aspiration: a pre-flip plan that
+    already EXECUTED may keep answering after vacuum from its still-
+    registered shuffle map outputs (Spark skips stages whose outputs
+    exist — same-session ephemeral reuse, correct old-generation
+    values). The hard guarantee is the cold reader: first execution
+    after vacuum raises rather than fabricating rows.
+    """
+    anchors = _anchor_rows(emb)
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "rv"), "vec_id", "embedding"
+    )
+    idx.set_centroids(anchors[:4])
+    idx.fold_batch(emb, 0)
+
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pre = idx.search_batch(queries, topk=5, nprobe=2)
+    # a second pre-flip plan, deliberately NEVER executed before the
+    # vacuum — no shuffle outputs to reuse, must hit the deleted files
+    pre_cold = idx.search_batch(queries, topk=5, nprobe=2)
+    baseline = sorted(
+        (r["qid"], r["vec_id"], round(r["sim"], 9)) for r in pre.collect()
+    )
+    assert baseline
+
+    # staged migration: new quantizer (reversed anchors -> different
+    # cell numbering), atomic pointer flip; old generation on disk
+    idx.retrain(list(reversed(anchors[:4])))
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false"
+    ), "contract below relies on missing files raising, not skipping"
+    again = sorted(
+        (r["qid"], r["vec_id"], round(r["sim"], 9)) for r in pre.collect()
+    )
+    assert again == baseline  # pre-flip reader: old generation, intact
+
+    post = idx.search_batch(queries, topk=5, nprobe=2)
+    assert sorted((r["qid"], r["vec_id"]) for r in post.collect()) == sorted(
+        (q, v) for q, v, _ in baseline
+    )  # same neighbors under the migrated index (cells renumbered)
+
+    removed = idx.vacuum()["removed"]
+    assert any(name.startswith("assign/") for name in removed)
+    with pytest.raises(Exception) as ei:
+        pre_cold.collect()
+    msg = str(ei.value)
+    assert (
+        "FileNotFound" in msg
+        or "does not exist" in msg
+        or "PATH_NOT_FOUND" in msg
+        or "FAILED_READ_FILE" in msg
+    ), msg
+    # the committed generation is untouched by the vacuum
+    assert sorted(
+        (r["qid"], r["vec_id"]) for r in
+        idx.search_batch(queries, topk=5, nprobe=2).collect()
+    ) == sorted((q, v) for q, v, _ in baseline)
