@@ -169,3 +169,64 @@ def test_streaming_closed_sessions_match_batch(spark, tmp_path):
     }
     assert want_closed <= got  # everything closable was emitted
     assert got <= all_batch  # nothing invented
+
+
+def test_native_session_window_matches_batch_sessionize(spark):
+    """Cross-pin the sessionization forms on the same corpus: the
+    batch lag+cumsum query (sessionize_10m) and Spark's built-in
+    session_window aggregate must emit IDENTICAL sessions — including
+    at the exact-gap boundary, where both merge (sessionize_10m splits
+    only when gap > 10min, and session_window merges ADJACENT windows,
+    verified by the constructed case below — [t0, t0+10m) and
+    [t0+10m, ...) fuse into one session, so the inclusive-merge
+    semantics agree everywhere, not just off-boundary)."""
+    from pyspark.sql import functions as F
+
+    from dmds_spark.queries import all_queries
+    from dmds_spark.sources.registry import load_events
+    from dmds_spark.streaming.windows import session_window_agg
+
+    ev = load_events(spark, SF)
+    batch = all_queries()["sessionize_10m"](spark, SF)
+    native = session_window_agg(ev, "ts", "10 minutes", "user_id")
+
+    def canon_native(df):
+        return sorted(
+            (r["user_id"], r["n_events"],
+             int(r["session_start"].timestamp() * 1_000_000),
+             int(r["session_end"].timestamp() * 1_000_000))
+            for r in df.collect()
+        )
+
+    def canon_batch(df):
+        return sorted(
+            (r["user_id"], r["n_events"],
+             r["session_start_us"], r["session_end_us"])
+            for r in df.collect()
+        )
+
+    assert canon_native(native) == canon_batch(batch)
+
+    # the exact-gap boundary, constructed: events at t0 and t0+exactly
+    # 10 minutes -> ONE session under BOTH definitions (adjacent
+    # session windows merge; the lag query splits only on gap > 10min)
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    two = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=10))], ["user_id", "ts"]
+    )
+    assert session_window_agg(two, "ts", "10 minutes", "user_id").count() == 1
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(
+        W.partitionBy("user_id").orderBy("ts")
+    )
+    splits = two.select(
+        F.when(
+            prev.isNull()
+            | ((F.unix_micros(F.col("ts")) - prev) > 600_000_000),
+            1,
+        ).otherwise(0).alias("new_session")
+    )
+    assert splits.agg(F.sum("new_session")).collect()[0][0] == 1  # one session
