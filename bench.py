@@ -326,6 +326,24 @@ ADDITIONS = [
     # round-12 batch seven: merge_asof tolerance (same single
     # sort-shuffle plan as join_asof; the gap gate is one CASE)
     "join_asof_tolerance",
+    # round-13 batch one: ranking/retrieval evaluation over a temporal
+    # split (exact-ppm NDCG with an embedded integer discount table,
+    # MRR/hit rates, recall@k curve)
+    "rank_eval_ndcg",
+    "rank_eval_mrr_hit",
+    "rank_eval_recall_curve",
+    # round-13 batch two: leakage-safe feature engineering
+    # (point-in-time history window, hashing-trick collision census,
+    # out-of-fold target encoding)
+    "feature_point_in_time",
+    "feature_hash_bucket_stats",
+    "feature_target_encoding_oof",
+    # round-13 batch three: privacy-risk profiling beyond k-anonymity
+    # (l-diversity report, exact-ppm t-closeness TV distances);
+    # multimodal_phash_neardup (rows-only -> full oracle this round)
+    # was already benched in round 7
+    "privacy_l_diversity",
+    "privacy_t_closeness",
 ]
 
 

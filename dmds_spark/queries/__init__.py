@@ -504,5 +504,11 @@ def _load():
     from dmds_spark.queries import round12d  # noqa: F401
     from dmds_spark.queries import round12e  # noqa: F401
     from dmds_spark.queries import round12f  # noqa: F401
+    # round-13 additions: every pre-existing query has driver evidence
+    # (340/340 after r12), so these lead the round-13 window and the
+    # remaining slots rotate the oldest (r06/r07-vintage) evidence
+    from dmds_spark.queries import round13  # noqa: F401
+    from dmds_spark.queries import round13b  # noqa: F401
+    from dmds_spark.queries import round13c  # noqa: F401
 
     _LOADED = True

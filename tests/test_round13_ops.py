@@ -1,0 +1,197 @@
+"""Round-13 additions: ranking-eval metrics, leakage-safe feature
+engineering, and privacy profiling — hand-computed micro-cases on
+constructed fixtures (the oracle sweep certifies the full corpus; these
+pin the SEMANTICS on inputs small enough to verify by hand) plus
+plan-shape pins for the scale-relevant properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.plans import (
+    broadcast_join_count,
+    physical_plan,
+    scan_count,
+)
+from dmds_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+@pytest.fixture(scope="module")
+def mini_dir(spark, tmp_path_factory):
+    """A hand-sized sf directory: 2 users of events around the cutoff,
+    3 customers, 6 orders — every expected value below is computed on
+    paper."""
+    d = str(tmp_path_factory.mktemp("mini_sf"))
+    t0 = dt.datetime(2024, 1, 10)   # train side (< Jan 16)
+    t1 = dt.datetime(2024, 1, 20)   # test side (>= Jan 16)
+    ev = [
+        # user 1 train: view x3, click x2, purchase x1
+        *[(i, t0, 1, "view", 1.0, "{}") for i in range(3)],
+        *[(10 + i, t0, 1, "click", 1.0, "{}") for i in range(2)],
+        (20, t0, 1, "purchase", 1.0, "{}"),
+        # user 1 test: click x4 (rank-2 item is the relevant one)
+        *[(30 + i, t1, 1, "click", 1.0, "{}") for i in range(4)],
+        # user 2 train: view x2; test: signup x2 (never trained -> miss)
+        *[(40 + i, t0, 2, "view", 1.0, "{}") for i in range(2)],
+        *[(50 + i, t1, 2, "signup", 1.0, "{}") for i in range(2)],
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    orders = [
+        # custkey 1: three orders in date order, 100.00 / 200.00 / 50.00
+        (101, 1, "O", 100.0, dt.datetime(2000, 1, 1), "1-URGENT"),
+        (102, 1, "O", 200.0, dt.datetime(2000, 6, 1), "2-HIGH"),
+        (103, 1, "O", 50.0, dt.datetime(2001, 3, 1), "1-URGENT"),
+        # custkey 2: one pre-slice, one in-slice order
+        (201, 2, "O", 10.0, dt.datetime(1999, 1, 1), "3-MEDIUM"),
+        (202, 2, "O", 30.0, dt.datetime(2001, 2, 1), "3-MEDIUM"),
+        # custkey 3: first-ever order inside the slice
+        (301, 3, "O", 70.0, dt.datetime(2001, 5, 1), "2-HIGH"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    customer = [
+        (1, "a", 0, 0.0, "BUILDING"),
+        (2, "b", 0, 0.0, "BUILDING"),
+        (3, "c", 1, 0.0, "MACHINERY"),
+    ]
+    spark.createDataFrame(
+        customer, "c_custkey long, c_name string, c_nationkey int, "
+                  "c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    return d
+
+
+def test_ndcg_hand_computed(spark, qs, mini_dir):
+    """User 1: train ranking view(3) > click(2) > purchase(1); test
+    relevance click=4. DCG = 4 * w2 (click at rank 2); IDCG = 4 * w1.
+    w1 = 1e6, w2 = floor(1e6/log2(3)) = 630929 -> ndcg = 630929.
+    User 2: test item (signup) never trained -> DCG 0, ndcg 0.
+    Mean = (630929 + 0) // 2 = 315464."""
+    row = qs["rank_eval_ndcg"](spark, mini_dir).collect()[0]
+    assert row["n_users"] == 2
+    assert row["mean_ndcg_ppm"] == (4 * 630_929 * 1_000_000
+                                    // (4 * 1_000_000) + 0) // 2 == 315_464
+
+
+def test_mrr_hit_hand_computed(spark, qs, mini_dir):
+    """User 1 first relevant rank = 2 -> rr 500000, hit@1 no, hit@3
+    yes. User 2: no hit. Means over 2 users."""
+    row = qs["rank_eval_mrr_hit"](spark, mini_dir).collect()[0]
+    assert row["n_users"] == 2
+    assert row["mrr_ppm"] == 250_000      # (500000 + 0) // 2
+    assert row["hit1_ppm"] == 0
+    assert row["hit3_ppm"] == 500_000     # 1 of 2 users
+
+
+def test_recall_curve_hand_computed_and_monotone(spark, qs, mini_dir):
+    """User 1 has 1 relevant item at rank 2 -> recall 0 below k=2,
+    1e6 from k=2. User 2's relevant item is unranked -> always 0.
+    Mean: k=1 -> 0, k>=2 -> 500000. Curve must be nondecreasing."""
+    rows = qs["rank_eval_recall_curve"](spark, mini_dir).collect()
+    got = {r["k"]: r["mean_recall_ppm"] for r in rows}
+    assert got == {1: 0, 2: 500_000, 3: 500_000, 4: 500_000, 5: 500_000}
+    vals = [got[k] for k in sorted(got)]
+    assert vals == sorted(vals)
+
+
+def test_point_in_time_hand_computed(spark, qs, mini_dir):
+    """2001+ slice only, with STRICTLY PRIOR history: order 103 sees
+    (2 orders, 30000c), 202 sees (1, 1000c), 301 sees (0, 0)."""
+    got = {
+        r["o_orderkey"]: (r["prior_orders"], r["prior_revenue_c"])
+        for r in qs["feature_point_in_time"](spark, mini_dir).collect()
+    }
+    assert got == {103: (2, 30_000), 202: (1, 1_000), 301: (0, 0)}
+
+
+def test_target_encoding_excludes_own_fold(spark, qs, mini_dir):
+    """Fold = custkey % 5. For category 1-URGENT (orders 101/103, both
+    fold 1): no other-fold rows -> encoding NULL (denominator 0).
+    For 3-MEDIUM (orders 201/202, both fold 2): same. For 2-HIGH:
+    order 102 (fold 1, 20000c) and 301 (fold 3, 7000c) — fold 1's
+    encoding is fold 3's mean and vice versa: leakage-safe by
+    construction."""
+    rows = qs["feature_target_encoding_oof"](spark, mini_dir).collect()
+    got = {(r["category"], r["fold"]): r["enc_cents"] for r in rows}
+    assert got[("2-HIGH", 1)] == 7_000    # the OTHER fold's value
+    assert got[("2-HIGH", 3)] == 20_000
+    assert got[("1-URGENT", 1)] is None   # no other-fold data
+    assert got[("3-MEDIUM", 2)] is None
+
+
+def test_t_closeness_population_group_scores_zero(spark, qs, mini_dir):
+    """TV bounds [0, 1e6]; and the mini fixture's arithmetic by hand:
+    global priorities = {1-URGENT: 2, 2-HIGH: 2, 3-MEDIUM: 2} (N=6).
+    Group (0, BUILDING) holds custkeys 1,2 = 5 orders {U:2, H:1, M:2};
+    group (1, MACHINERY) holds order 301 = {H:1}. TV((1,MACHINERY)) =
+    (|0*6-2*1| + |1*6-2*1| + |0*6-2*1|) * 1e6 // (2*1*6)
+    = 8e6 // 12 = 666666."""
+    rows = qs["privacy_t_closeness"](spark, mini_dir).collect()
+    got = {(r["nationkey"], r["mktsegment"]): r["tv_ppm"] for r in rows}
+    assert all(0 <= v <= 1_000_000 for v in got.values())
+    assert got[(1, "MACHINERY")] == 666_666
+    assert got[(0, "BUILDING")] == (
+        (abs(2 * 6 - 2 * 5) + abs(1 * 6 - 2 * 5) + abs(2 * 6 - 2 * 5))
+        * 1_000_000 // (2 * 5 * 6)
+    )
+
+
+def test_l_diversity_hand_computed(spark, qs, mini_dir):
+    rows = qs["privacy_l_diversity"](spark, mini_dir).collect()
+    got = {
+        (r["nationkey"], r["mktsegment"]):
+            (r["group_n"], r["l_distinct"], r["below_l3"])
+        for r in rows
+    }
+    assert got == {(0, "BUILDING"): (5, 3, 0), (1, "MACHINERY"): (1, 1, 1)}
+
+
+# -- plan pins --------------------------------------------------------------
+
+
+def test_point_in_time_single_window_single_scan(spark, qs):
+    """ONE scan of orders, ONE user-partitioned window, and the slice
+    filter must NOT push below the window (it needs full history) —
+    scan has no orderdate pushdown, by design."""
+    df = qs["feature_point_in_time"](spark, SF)
+    plan = physical_plan(df)
+    assert scan_count(df) == 1
+    assert plan.count("Window") >= 1
+    from dmds_spark.plans import unpartitioned_window_count
+
+    assert unpartitioned_window_count(df) == 0
+
+
+def test_hash_bucket_stats_no_python(spark, qs):
+    """The hashing trick is pure codegen (md5 + conv) — a Python UDF
+    here would cap featurization at Python speed on 100 TB."""
+    plan = physical_plan(qs["feature_hash_bucket_stats"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t_closeness_broadcasts_bounded_sides(spark, qs):
+    """The 5-row global distribution and the 1-row total attach by
+    broadcast; the corpus is never shuffled for them."""
+    df = qs["privacy_t_closeness"](spark, SF)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_recall_curve_broadcasts_k_grid(spark, qs):
+    df = qs["rank_eval_recall_curve"](spark, SF)
+    assert broadcast_join_count(df) >= 2  # k-grid twice (hits + grid)
