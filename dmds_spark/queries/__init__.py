@@ -385,13 +385,18 @@ _DEFERRED: tuple[str, ...] = ()
 # Queries whose oracle status or semantics CHANGED after their last
 # driver check, so their recorded evidence is stale regardless of age:
 # they slot directly behind the never-checked set. Round 13: the pHash
-# near-dup family moves from rows-only to a full SQL oracle (the
-# synthesized-raster average-hash is declarative arithmetic — the
-# real-decode-stats trick), and the kmeans seed window was replaced by
-# a TakeOrdered limit (same seed set, new plan — re-prove the hash).
+# near-dup family AND the whole audio family move from rows-only to
+# full SQL oracles (the synthesized payload is declarative arithmetic
+# — the real-decode-stats trick applied to the hash cells and the PCM
+# time axis; see queries/_audio_oracle.py), and the kmeans seed window
+# was replaced by a TakeOrdered limit (same seed set, new plan —
+# re-prove the hash).
 _PRIORITY_RECHECK: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "embedding_kmeans_assign",
+    "multimodal_audio_energy",
+    "multimodal_audio_vad",
+    "multimodal_audio_resample",
 )
 
 

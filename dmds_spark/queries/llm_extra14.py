@@ -121,7 +121,10 @@ def multimodal_phash_neardup(spark, sf_dir):
     )
 
 
-@register("multimodal_audio_vad", None)  # binary plumbing: rows-only
+from dmds_spark.queries._audio_oracle import AUDIO_VAD_SQL
+
+
+@register("multimodal_audio_vad", AUDIO_VAD_SQL)
 def multimodal_audio_vad(spark, sf_dir):
     """Voice-activity segmentation: the PCM frame energies
     (operators/multimodal.audio_frame_features — the one Arrow stage)

@@ -542,14 +542,22 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
-@register("multimodal_audio_energy", None)  # binary plumbing: rows-only check
+from dmds_spark.queries._audio_oracle import AUDIO_ENERGY_SQL
+
+
+@register("multimodal_audio_energy", AUDIO_ENERGY_SQL)
 def multimodal_audio_energy(spark, sf_dir):
     """Audio feature extraction end-to-end: documents -> fake media
     payloads -> PCM16 framing (25ms/10ms) -> per-clip energy stats.
     Unlike the image codec this path is fully real (PCM framing is
-    pure array math, operators/multimodal.audio_frame_features);
-    rows-only because the frame features are engine-side binary
-    plumbing, not SQL."""
+    pure array math, operators/multimodal.audio_frame_features).
+
+    Moved rows-only -> FULL ORACLE in round 13: the PCM sample stream
+    is arithmetic in (doc_id, n_chars), so framing, sum-of-squares
+    energy, and zero-crossings restate declaratively (see
+    queries/_audio_oracle.py — including the proof that no sample is
+    ever zero, which collapses the zero-skipping crossing definition
+    to plain sign flips)."""
     from dmds_spark.operators.multimodal import (
         audio_frame_features,
         media_table_from_documents,

@@ -616,16 +616,23 @@ def events_attribution_last_touch(spark, sf_dir):
     )
 
 
-@register("multimodal_audio_resample", None)  # binary plumbing: rows-only
+from dmds_spark.queries._audio_oracle import AUDIO_RESAMPLE_SQL
+
+
+@register("multimodal_audio_resample", AUDIO_RESAMPLE_SQL)
 def multimodal_audio_resample(spark, sf_dir):
     """PCM16 downsample-by-2 with box anti-alias prefilter, end to end:
     documents -> fake media payloads -> decimation -> per-clip summary
     (sample counts + integer energy of the resampled signal). The
     resample itself is fully real pure-integer array math
-    (operators/multimodal.audio_resample); rows-only because the
-    binary payload is engine-side plumbing, not SQL. Output columns
-    are scalar (driver canonicalizer contract) — the energy reduction
-    replaces the binary column at the query boundary."""
+    (operators/multimodal.audio_resample). Output columns are scalar
+    (driver canonicalizer contract) — the energy reduction replaces
+    the binary column at the query boundary.
+
+    Moved rows-only -> FULL ORACLE in round 13: the arithmetic sample
+    stream makes the floored pair-means declarative; the oracle runs
+    the division on the +65536-shifted sum because numpy's // floors
+    while DuckDB's truncates toward zero (queries/_audio_oracle.py)."""
     from pyspark.sql import types as T
 
     from dmds_spark.operators.multimodal import (
