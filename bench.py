@@ -344,6 +344,12 @@ ADDITIONS = [
     # was already benched in round 7
     "privacy_l_diversity",
     "privacy_t_closeness",
+    # round-13 batch four: scale-free forecast accuracy (MASE/sMAPE on
+    # the snaive backtest grid), funnel time-to-convert rank stats off
+    # a bounded distinct-seconds histogram, catalog exposure/coverage
+    "forecast_eval_mase_smape",
+    "events_time_to_convert",
+    "rank_eval_catalog_coverage",
 ]
 
 

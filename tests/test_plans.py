@@ -1506,6 +1506,8 @@ UNPARTITIONED_WINDOW_OK = {
     # ppm score grids: distinct scores <= 1e6+1 by construction
     "eval_auc_rank_sum": "rank-sum over the distinct-ppm score grid",
     "eval_pr_curve": "cum TP/FP over the distinct-ppm score grid",
+    # distinct-seconds histogram: <= attribution-horizon seconds rows
+    "events_time_to_convert": "cum counts over the distinct-seconds grid",
     # size-gated dispatch: plain window only below ONE scan shard
     # (128 MiB); above it the sharded two-level cumsum kicks in
     # (operators/relational.py global_row_number small-input fast path)

@@ -195,3 +195,41 @@ def test_t_closeness_broadcasts_bounded_sides(spark, qs):
 def test_recall_curve_broadcasts_k_grid(spark, qs):
     df = qs["rank_eval_recall_curve"](spark, SF)
     assert broadcast_join_count(df) >= 2  # k-grid twice (hits + grid)
+
+
+def test_time_to_convert_hand_computed(spark, qs, mini_dir):
+    """mini fixture: user 1's first view and single purchase share the
+    same train-side timestamp (Jan 10) -> one converted user with gap
+    0 (ts >= first_view is inclusive); user 2 never purchases.
+    n_viewed = 2."""
+    row = qs["events_time_to_convert"](spark, mini_dir).collect()[0]
+    assert row["n_viewed"] == 2
+    assert row["n_converted"] == 1
+    assert row["median_gap_s"] == 0
+    assert row["p90_gap_s"] == 0
+    assert row["max_gap_s"] == 0
+
+
+def test_catalog_coverage_hand_computed(spark, qs, mini_dir):
+    """User 1 top-3 = view/click/purchase (counts 3/2/1), user 2 top-3
+    = view only -> slots: view 2, click 1, purchase 1 of 4 total;
+    signup and error appear in the catalog with zero exposure."""
+    rows = qs["rank_eval_catalog_coverage"](spark, mini_dir).collect()
+    got = {r["event_type"]: (r["n_users_top3"], r["exposure_ppm"])
+           for r in rows}
+    assert got == {
+        "view": (2, 500_000),
+        "click": (1, 250_000),
+        "purchase": (1, 250_000),
+        "signup": (0, 0),
+    }
+
+
+def test_mase_smape_bounds(spark, qs):
+    """MASE/sMAPE sanity on the real corpus: smape in [0, 2e6] by
+    construction; mase positive; n_scored = grid days - lag per type."""
+    rows = qs["forecast_eval_mase_smape"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["smape_ppm"] <= 2_000_000
+        assert r["mase_ppm"] is None or r["mase_ppm"] >= 0
