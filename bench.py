@@ -350,6 +350,10 @@ ADDITIONS = [
     "forecast_eval_mase_smape",
     "events_time_to_convert",
     "rank_eval_catalog_coverage",
+    # round-13 batch five: product quantization (codebook train/encode
+    # census + asymmetric-distance top-k) — the memory half of IVF+PQ
+    "embedding_pq_codebook_census",
+    "similarity_pq_adc_topk",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Round-13 queries, batch five: product quantization (operators/pq.py)
+— codebook training + encoding census, and ADC top-k search. The whole
+pipeline (md5-seeded subspace codebooks, one integer Lloyd round,
+argmin encoding, asymmetric-distance ranking) is i64-exact on the
+floor(x*1e6)+2^22 grid, so it unrolls into declarative DuckDB just
+like embedding_kmeans_assign — PQ is the memory half of IVF+PQ and
+this makes BOTH halves of the classic ANN stack oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.pq import (
+    PQ_K,
+    PQ_M,
+    PQ_OFF,
+    PQ_SCALE,
+    PQ_SUB,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    quantized,
+)
+from dmds_spark.queries import register
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_KEY = (
+    "lpad(CAST(dist AS VARCHAR), 20, '0')"
+    " || lpad(CAST(cid AS VARCHAR), 4, '0')"
+)
+
+# the shared unrolled pipeline: grid -> subvectors -> md5 seeds ->
+# one Lloyd round -> refined codebooks (cb) -> codes
+_PQ_CTE = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}.0) AS BIGINT)
+              + {PQ_OFF} for x in embedding] AS qv
+      FROM embeddings
+    ), sd AS (
+      SELECT vec_id, qv,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS cid
+      FROM q
+    ), subs AS (
+      SELECT vec_id, s.s AS sub,
+             qv[s.s * {PQ_SUB} + 1 : (s.s + 1) * {PQ_SUB}] AS sv
+      FROM q, UNNEST(range({PQ_M})) AS s(s)
+    ), sseeds AS (
+      SELECT cid, s.s AS sub,
+             qv[s.s * {PQ_SUB} + 1 : (s.s + 1) * {PQ_SUB}] AS qc
+      FROM sd, UNNEST(range({PQ_M})) AS s(s)
+      WHERE cid < {PQ_K}
+    ), d1 AS (
+      SELECT v.vec_id, v.sub, c.cid,
+             list_sum([(v.sv[i] - c.qc[i]) * (v.sv[i] - c.qc[i])
+                       for i in range(1, {PQ_SUB} + 1)]) AS dist
+      FROM subs v JOIN sseeds c ON c.sub = v.sub
+    ), a1 AS (
+      SELECT vec_id, sub, min_by(cid, {_KEY}) AS cid
+      FROM d1 GROUP BY vec_id, sub
+    ), ex AS (
+      SELECT a.sub, a.cid,
+             UNNEST([{{'dim': i, 'qx': v.sv[i]}}
+                     for i in range(1, {PQ_SUB} + 1)]) AS u
+      FROM a1 a JOIN subs v ON v.vec_id = a.vec_id AND v.sub = a.sub
+    ), m AS (
+      SELECT sub, cid, u.dim AS dim,
+             CAST(SUM(u.qx) AS BIGINT) // COUNT(*) AS c2
+      FROM ex GROUP BY sub, cid, u.dim
+    ), cb AS (
+      SELECT sub, cid, list(c2 ORDER BY dim) AS qc
+      FROM m GROUP BY sub, cid
+    ), d2 AS (
+      SELECT v.vec_id, v.sub, c.cid,
+             list_sum([(v.sv[i] - c.qc[i]) * (v.sv[i] - c.qc[i])
+                       for i in range(1, {PQ_SUB} + 1)]) AS dist
+      FROM subs v JOIN cb c ON c.sub = v.sub
+    ), codes AS (
+      SELECT vec_id, sub, min_by(cid, {_KEY}) AS code
+      FROM d2 GROUP BY vec_id, sub
+    )
+"""
+
+
+@register(
+    "embedding_pq_codebook_census",
+    _PQ_CTE + """
+    SELECT CAST(c.sub AS BIGINT) AS sub, CAST(c.cid AS BIGINT) AS code,
+           CAST(COALESCE(n.n_vectors, 0) AS BIGINT) AS n_vectors,
+           CAST(list_sum(c.qc) AS BIGINT) AS codeword_sum
+    FROM cb c LEFT JOIN (
+      SELECT sub, code, COUNT(*) AS n_vectors
+      FROM codes GROUP BY sub, code
+    ) n ON n.sub = c.sub AND n.code = c.cid
+    ORDER BY sub, code
+    """,
+)
+def embedding_pq_codebook_census(spark, sf_dir):
+    """PQ training + encoding census: per (subspace, code), the
+    refined codeword's coordinate sum (the codebook fingerprint) and
+    how many vectors encode to it — the balance view that decides
+    whether K is sized right (empty or hogging codes mean a bad
+    codebook). Exact end to end; see operators/pq.py for the grid and
+    the one-Lloyd-round construction.
+
+    Shape at scale: seed draw is TakeOrdered top-K; both assignment
+    passes join the corpus against BROADCAST codebooks (M*K rows);
+    the M-step and the census are bounded-key hash aggregates."""
+    q = quantized(_emb(spark, sf_dir))
+    cb = pq_codebooks(q)
+    codes = pq_encode(q, cb)
+    census = codes.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        cb.join(census, (cb["sub"] == census["sub"])
+                & (cb["cid"] == census["code"]), "left")
+        .select(
+            cb["sub"].cast("bigint").alias("sub"),
+            cb["cid"].cast("bigint").alias("code"),
+            F.coalesce("n_vectors", F.lit(0)).cast("bigint")
+            .alias("n_vectors"),
+            F.aggregate(
+                cb["qc"], F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("bigint").alias("codeword_sum"),
+        )
+        .orderBy("sub", "code")
+    )
+
+
+_ADC_QUERY_ID = 0
+_ADC_TOPK = 20
+
+
+@register(
+    "similarity_pq_adc_topk",
+    _PQ_CTE + f"""
+    , qsub AS (
+      SELECT sub, sv AS qsv FROM subs WHERE vec_id = {_ADC_QUERY_ID}
+    ), t AS (
+      SELECT c.sub, c.cid AS code,
+             list_sum([(q.qsv[i] - c.qc[i]) * (q.qsv[i] - c.qc[i])
+                       for i in range(1, {PQ_SUB} + 1)]) AS td
+      FROM cb c JOIN qsub q ON q.sub = c.sub
+    )
+    SELECT vec_id, CAST(SUM(t.td) AS BIGINT) AS adc_dist
+    FROM codes JOIN t ON t.sub = codes.sub AND t.code = codes.code
+    GROUP BY vec_id
+    ORDER BY adc_dist, vec_id LIMIT {_ADC_TOPK}
+    """,
+)
+def similarity_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-20 for query vector 0: distances
+    come from an M*K lookup table of (query subvector x codeword)
+    squared distances — M adds per candidate instead of a 64-dim dot
+    product, the billion-scale PQ serving path. Integer-exact, so the
+    approximate ranking itself (including its quantization error) is
+    reproduced bit-for-bit by the oracle.
+
+    Shape at scale: the lookup table is M*K rows built from the
+    broadcast codebook; candidates reduce with ONE hash aggregate over
+    their M code rows; top-k is TakeOrdered. Codes are the only
+    corpus-sized input — 4 small ints per vector, the point of PQ."""
+    q = quantized(_emb(spark, sf_dir))
+    cb = pq_codebooks(q)
+    codes = pq_encode(q, cb)
+    return pq_adc_topk(q, cb, codes, _ADC_QUERY_ID, _ADC_TOPK)

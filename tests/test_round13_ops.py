@@ -233,3 +233,47 @@ def test_mase_smape_bounds(spark, qs):
     for r in rows:
         assert 0 <= r["smape_ppm"] <= 2_000_000
         assert r["mase_ppm"] is None or r["mase_ppm"] >= 0
+
+
+def test_pq_adc_ranks_near_exact(spark, qs):
+    """PQ invariants: (1) the query vector is GUARANTEED ADC-rank-1 —
+    its own code in every subspace is by definition the codeword
+    minimizing the query-subvector distance, so its ADC sum is the
+    global minimum of the lookup table; (2) the ADC top-20 overlaps
+    the exact integer-grid top-20. The overlap floor is deliberately
+    modest: the fixture embeddings are near-uniform random — the
+    WORST case for PQ (no cluster structure for codebooks to exploit;
+    measured 3-7/20 across 4x8..16x16 geometries) — so the test pins
+    the mechanism, not a corpus-specific recall."""
+    from dmds_spark.operators.pq import quantized
+
+    rows = qs["similarity_pq_adc_topk"](spark, SF).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["adc_dist"] >= 0
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = quantized(emb)
+    qv0 = q.filter(F.col("vec_id") == 0).select("qv")
+    exact = (
+        q.crossJoin(F.broadcast(qv0.select(F.col("qv").alias("q0"))))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, q0, (a, b) -> (a-b)*(a-b)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(20)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    adc_ids = {r["vec_id"] for r in rows}
+    assert len(exact_ids & adc_ids) >= 2  # see docstring: random-data floor
+
+
+def test_pq_plan_broadcasts_codebooks(spark, qs):
+    """Every PQ assignment/lookup join must broadcast the M*K side;
+    the corpus side is never shuffled for it. Seed draw is
+    TakeOrderedAndProject."""
+    df = qs["similarity_pq_adc_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df) >= 3  # seeds, codebooks, table
