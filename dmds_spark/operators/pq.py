@@ -121,6 +121,8 @@ def pq_codebooks(q: DataFrame) -> DataFrame:
         .groupBy("sub", "cid", "dim")
         .agg(F.expr("sum(qx) div count(1)").alias("c2"))
     )
+    from dmds_spark.core.engine import materialize
+
     return (
         m.groupBy("sub", "cid")
         .agg(
@@ -131,6 +133,9 @@ def pq_codebooks(q: DataFrame) -> DataFrame:
             "cid",
             F.transform(F.col("__p"), lambda p: p["c2"]).alias("qc"),
         )
+        # M*K rows, consumed by encode AND the ADC table: pin them so
+        # neither consumer re-runs the seed+Lloyd subtree
+        .transform(materialize)
     )
 
 
