@@ -81,10 +81,14 @@ def subvectors(q: DataFrame) -> DataFrame:
     ).select("vec_id", "x.sub", "x.sv")
 
 
-_SQDIST = F.expr(
-    "aggregate(zip_with(sv, qc, (a, b) -> (a - b) * (a - b)),"
-    " 0L, (acc, v) -> acc + v)"
-)
+def _sqdist():
+    # built lazily: F.expr needs an active SparkContext, and this
+    # module is imported by the query registry before any session
+    # exists in some harnesses (pytest collection)
+    return F.expr(
+        "aggregate(zip_with(sv, qc, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
 
 
 def pq_codebooks(q: DataFrame) -> DataFrame:
@@ -110,7 +114,7 @@ def pq_codebooks(q: DataFrame) -> DataFrame:
 
     subs = subvectors(q)
     d1 = subs.join(F.broadcast(sseeds), "sub").select(
-        "vec_id", "sub", "sv", "cid", _SQDIST.alias("dist")
+        "vec_id", "sub", "sv", "cid", _sqdist().alias("dist")
     )
     a1 = d1.groupBy("vec_id", "sub").agg(
         F.min_by("cid", _argmin_key()).alias("cid"),
@@ -143,7 +147,7 @@ def pq_encode(q: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, sub, code): nearest refined codeword per subspace —
     one broadcast join + one argmin aggregate."""
     d2 = subvectors(q).join(F.broadcast(codebooks), "sub").select(
-        "vec_id", "sub", "cid", _SQDIST.alias("dist")
+        "vec_id", "sub", "cid", _sqdist().alias("dist")
     )
     return d2.groupBy("vec_id", "sub").agg(
         F.min_by("cid", _argmin_key()).alias("code")
