@@ -81,12 +81,15 @@ def subvectors(q: DataFrame) -> DataFrame:
     ).select("vec_id", "x.sub", "x.sv")
 
 
-def _sqdist():
-    # built lazily: F.expr needs an active SparkContext, and this
-    # module is imported by the query registry before any session
-    # exists in some harnesses (pytest collection)
+def _sqdist(a: str = "sv", b: str = "qc"):
+    """Exact i64 squared distance between two grid-array columns.
+    Built lazily: F.expr needs an active SparkContext, and this module
+    is imported by the query registry before any session exists in
+    some harnesses (pytest collection). ONE definition — every PQ
+    distance (assignment, encoding, the ADC table) must share the
+    same exactness contract."""
     return F.expr(
-        "aggregate(zip_with(sv, qc, (a, b) -> (a - b) * (a - b)),"
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
         " 0L, (acc, v) -> acc + v)"
     )
 
@@ -171,10 +174,7 @@ def pq_adc_topk(
     t = codebooks.join(F.broadcast(qsub), "sub").select(
         "sub",
         F.col("cid").alias("code"),
-        F.expr(
-            "aggregate(zip_with(qsv, qc, (a, b) -> (a - b) * (a - b)),"
-            " 0L, (acc, v) -> acc + v)"
-        ).alias("td"),
+        _sqdist("qsv", "qc").alias("td"),
     )
     adc = (
         codes.join(F.broadcast(t), ["sub", "code"])

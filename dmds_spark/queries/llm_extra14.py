@@ -2,10 +2,11 @@
 via perceptual hashing (the image-dedup counterpart of MinHash) and
 voice-activity segmentation over the audio frame features — both
 deterministic integer outputs, both built so the Python stage is a
-thin Arrow scan and everything after it is JVM DataFrame algebra. The
-pHash family gained a full SQL oracle in round 13 (the synthesized
-payload is arithmetic, so the whole hash restates declaratively); VAD
-stays rows-only (PCM frame energies have no SQL restatement).
+thin Arrow scan and everything after it is JVM DataFrame algebra. BOTH
+gained full SQL oracles in round 13: the synthesized payload is
+arithmetic in (doc_id, n_chars), so the pHash restates declaratively
+here and VAD's PCM frame energies/islands restate via the shared
+queries/_audio_oracle.py CTEs.
 """
 
 from __future__ import annotations

@@ -11,6 +11,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dmds_spark.queries import register
+from dmds_spark.queries.round13 import _SPLIT_CTE as _RANK_SPLIT_CTE
+from dmds_spark.queries.round13 import _split as _rank_split
 
 _SNAIVE_LAG = 7
 
@@ -168,7 +170,7 @@ def forecast_eval_mase_smape(spark, sf_dir):
       FROM hist
     )
     SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
-           CAST(MAX(c) AS BIGINT) AS n_converted,
+           CAST(COALESCE(MAX(c), 0) AS BIGINT) AS n_converted,
            CAST(MIN(CASE WHEN cum_n >= (c + 1) // 2 THEN gap_s END)
                 AS BIGINT) AS median_gap_s,
            CAST(MIN(CASE WHEN cum_n >= (c * 9 + 9) // 10 THEN gap_s END)
@@ -222,9 +224,13 @@ def events_time_to_convert(spark, sf_dir):
         ).alias("c"),
     )
     n_viewed = v.agg(F.count(F.lit(1)).alias("n_viewed"))
-    return cum.crossJoin(F.broadcast(n_viewed)).agg(
-        F.max("n_viewed").cast("bigint").alias("n_viewed"),
-        F.max("c").cast("bigint").alias("n_converted"),
+    # aggregate cum BEFORE attaching n_viewed: with ZERO conversions
+    # cum is empty, and an agg over (empty cross join n_viewed) would
+    # null out n_viewed too — the oracle's scalar subquery still counts
+    # viewers (caught by the round-13 review on a views-only dataset)
+    stats = cum.agg(
+        F.coalesce(F.max("c"), F.lit(0)).cast("bigint")
+        .alias("n_converted"),
         F.min(
             F.when(F.col("cum_n") >= F.expr("(c + 1) div 2"),
                    F.col("gap_s"))
@@ -235,23 +241,24 @@ def events_time_to_convert(spark, sf_dir):
         ).cast("bigint").alias("p90_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
     )
+    return n_viewed.crossJoin(stats).select(
+        F.col("n_viewed").cast("bigint").alias("n_viewed"),
+        "n_converted",
+        "median_gap_s",
+        "p90_gap_s",
+        "max_gap_s",
+    )
 
 
 @register(
     "rank_eval_catalog_coverage",
-    """
-    WITH train AS (
-      SELECT user_id, event_type, COUNT(*) AS cnt
-      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
-      GROUP BY user_id, event_type
-    ), ranked AS (
-      SELECT user_id, event_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY cnt DESC, event_type) AS rnk
-      FROM train
-    ), cnts AS (
+    # the SAME split/ranking CTE as the whole ranking family — one
+    # definition (round13._SPLIT_CTE), so a cutoff or tie-break change
+    # can never silently diverge the coverage view from the metrics
+    _RANK_SPLIT_CTE + """
+    , cnts AS (
       SELECT event_type, COUNT(*) AS n_users_top3
-      FROM ranked WHERE rnk <= 3 GROUP BY event_type
+      FROM topk WHERE rnk <= 3 GROUP BY event_type
     ), items AS (SELECT DISTINCT event_type FROM events
     ), exposure AS (
       SELECT i.event_type, COALESCE(c.n_users_top3, 0) AS n_users_top3
@@ -270,27 +277,18 @@ def rank_eval_catalog_coverage(spark, sf_dir):
     every catalog item, how many users carry it in their top-3 and its
     share of all top-3 slots (ppm) — items with n_users_top3 = 0 are
     the catalog the recommender never shows anyone (the coverage gap
-    popularity rankings are notorious for). One (user,item) aggregate,
-    one user-partitioned rank window, then the top-3 rows COLLAPSE to
-    an |items|-row count table BEFORE touching the catalog (aggregate-
+    popularity rankings are notorious for). The per-user ranking is
+    the ranking family's SHARED split (round13._split — one cutoff,
+    one tie-break, defined once); the top-3 rows then COLLAPSE to an
+    |items|-row count table BEFORE touching the catalog (aggregate-
     then-join — joining the catalog onto per-user rows first would
     shuffle user-volume data to count it); the slot total broadcasts."""
     from dmds_spark.sources.registry import load_events
 
     e = load_events(spark, sf_dir)
-    train = (
-        e.filter(
-            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
-        )
-        .groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    rnk = F.row_number().over(
-        W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
-    )
+    topk, _ = _rank_split(spark, sf_dir)
     cnts = (
-        train.withColumn("rnk", rnk)
-        .filter(F.col("rnk") <= 3)
+        topk.filter(F.col("rnk") <= 3)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users_top3"))
     )

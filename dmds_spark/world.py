@@ -300,27 +300,49 @@ class WriterLock:
         temp + rename; readers see old or new, never torn). Writing the
         lease is the holder's OPT-IN to cross-host reclaim — miss
         heartbeats for longer than lease_sec and any waiter may break
-        the lock, so call this from a live loop (``FlushDaemon`` does,
-        every interval), never from ad-hoc code. Returns False without
-        writing when we do not hold the lock (released, broken, or
-        reclaimed) — the caller's next commit will be fenced by
-        ``verify_token``."""
+        the lock, so call this from a live loop (``FlushDaemon`` does),
+        never from ad-hoc code. Returns False without writing when we
+        do not hold the lock (released, broken, or reclaimed) — the
+        caller's next commit will be fenced by ``verify_token``.
+
+        The read-verify-replace runs UNDER the same flock'd breaker
+        sidecar the stale-break path uses: otherwise a zombie holder's
+        delayed heartbeat (read before a reclaim, replace after) would
+        clobber the NEW holder's lock file and invert the fencing
+        guarantee — the new holder gets fenced, the zombie commits.
+        Under the sidecar, either the heartbeat lands first (the
+        breaker's re-check then sees a fresh lease and aborts) or the
+        reclaim lands first (the heartbeat's re-read sees the new
+        token and returns False). Without flock (non-POSIX) heartbeats
+        refuse rather than race — leases then simply never refresh,
+        degrading to the explicit break_lock story."""
         with self._mu:
             if self._refs == 0:
                 return False
-            holder = self._holder()
-            if not holder or holder.get("token") != self.token:
-                return False  # broken/reclaimed: do not resurrect
-            payload = {
-                **holder,
-                "heartbeat_at": time.time(),
-                "lease_sec": float(lease_sec),
-            }
-            tmp = f"{self.path}.hb.{self.token}"
-            with open(tmp, "w") as fh:
-                json.dump(payload, fh)
-            os.replace(tmp, self.path)
-            return True
+            try:
+                import fcntl
+            except ImportError:
+                return False  # no safe CAS: do not lease on this OS
+            fd = os.open(self.path + ".break", os.O_CREAT | os.O_RDWR,
+                         0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)  # blocking: breaks are
+                #                                 short (rename+verify)
+                holder = self._holder()
+                if not holder or holder.get("token") != self.token:
+                    return False  # broken/reclaimed: do not resurrect
+                payload = {
+                    **holder,
+                    "heartbeat_at": time.time(),
+                    "lease_sec": float(lease_sec),
+                }
+                tmp = f"{self.path}.hb.{self.token}"
+                with open(tmp, "w") as fh:
+                    json.dump(payload, fh)
+                os.replace(tmp, self.path)
+                return True
+            finally:
+                os.close(fd)  # releases the flock
 
     def verify_token(self) -> None:
         """Fencing check for commit points: re-read the lock file and
@@ -1543,13 +1565,20 @@ class FlushDaemon:
     flush each world with ``writes >= 1``; ``close()`` flushes a final
     time (the reference's flush-on-drop).
 
-    The loop also HEARTBEATS each world's writer lease every interval
-    (``lease_sec`` defaults to 10 intervals, floor 60 s), which is the
-    cross-host crash-recovery story: a remote writer that dies with the
-    daemon running stops heartbeating, its lease lapses, and the next
-    waiter reclaims the lock automatically instead of wedging until a
-    human calls ``World.break_lock``. Pass ``lease_sec=None`` to opt
-    out (lock then never expires cross-host)."""
+    A SEPARATE heartbeat thread renews each world's writer lease
+    (``lease_sec`` defaults to 10 flush intervals, floor 60 s; the
+    heartbeat cadence is lease_sec/4) — which is the cross-host
+    crash-recovery story: a remote writer that dies with the daemon
+    running stops heartbeating, its lease lapses, and the next waiter
+    reclaims the lock automatically instead of wedging until a human
+    calls ``World.break_lock``. Heartbeats deliberately do NOT share
+    the flush loop's thread: a single long flush would otherwise
+    starve every world's lease and let waiters reclaim locks from
+    live, healthy writers mid-flush. Leases can still lapse if a
+    flush outlasts the whole lease while the GIL-holding JVM call
+    starves the heartbeat thread — size lease_sec at or above your
+    worst-case flush wall time. Pass ``lease_sec=None`` to opt out
+    (locks then never expire cross-host)."""
 
     LEAST_WRITES = 1  # tokio-fs/src/lib.rs:213
 
@@ -1567,20 +1596,34 @@ class FlushDaemon:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._hb_thread = None
+        if lease_sec is not None:
+            self._hb_thread = threading.Thread(
+                target=self._hb_loop, daemon=True
+            )
+            self._hb_thread.start()
 
     def _loop(self):
         while not self._stop.wait(self.interval):
             for w in self.worlds:
                 if w.writes >= self.LEAST_WRITES:
                     w.flush()
-                if self.lease_sec is not None:
-                    w.heartbeat(self.lease_sec)
+
+    def _hb_loop(self):
+        # renew well inside the lease (4 beats per lease window) and
+        # never slower than the flush interval
+        beat = min(self.lease_sec / 4.0, self.interval)
+        while not self._stop.wait(beat):
+            for w in self.worlds:
+                w.heartbeat(self.lease_sec)
 
     def close(self):
         """Stop the loop and flush everything dirty — the reference's
         ShutdownHandle::drop (tokio-fs/src/lib.rs:174-200)."""
         self._stop.set()
         self._thread.join(timeout=30)
+        if self._hb_thread is not None:
+            self._hb_thread.join(timeout=30)
         for w in self.worlds:
             if w.writes >= 1:
                 w.flush()

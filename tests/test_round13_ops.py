@@ -277,3 +277,23 @@ def test_pq_plan_broadcasts_codebooks(spark, qs):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert broadcast_join_count(df) >= 3  # seeds, codebooks, table
+
+
+def test_time_to_convert_zero_conversions(spark, qs, tmp_path):
+    """Views but ZERO purchases (the round-13 review's confirmed edge):
+    n_viewed must still be the real viewer count — the previous shape
+    aggregated over an empty cross join and nulled it — and the gap
+    stats are NULL with n_converted 0, matching the oracle."""
+    import datetime as _dt
+
+    d = str(tmp_path / "views_only")
+    rows = [(i, _dt.datetime(2024, 1, 5), i % 3, "view", 1.0, "{}")
+            for i in range(9)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    row = qs["events_time_to_convert"](spark, d).collect()[0]
+    assert row["n_viewed"] == 3
+    assert row["n_converted"] == 0
+    assert row["median_gap_s"] is None and row["max_gap_s"] is None

@@ -483,3 +483,44 @@ def test_ivf_flip_is_fenced(spark, tmp_path):
         assert not os.path.exists(idx._pointer)  # nothing published
     finally:
         lk._refs = 0  # file already gone; don't unlink someone else's
+
+
+def test_heartbeat_serializes_with_breaker_sidecar(tmp_path):
+    """The zombie-heartbeat race (round-13 review): a heartbeat must
+    not clobber a NEW holder's lock file. The heartbeat now runs its
+    read-verify-replace under the same flock'd sidecar as the breakers,
+    so with the sidecar HELD a heartbeat waits; and once a reclaim has
+    replaced the token, the heartbeat re-read refuses. Deterministic
+    form: hold the sidecar in a thread, fire a heartbeat, replace the
+    lock with a new holder's, release — the heartbeat must return
+    False and the new holder's file must survive."""
+    import fcntl
+    import threading
+    import time as _t
+
+    path = str(tmp_path / "w")
+    lk = WriterLock(path)
+    lk.acquire()
+
+    fd = os.open(lk.path + ".break", os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # play the breaker holding the CAS
+    result = {}
+
+    def hb():
+        result["ok"] = lk.heartbeat(5.0)
+
+    t = threading.Thread(target=hb)
+    t.start()
+    _t.sleep(0.3)
+    assert t.is_alive(), "heartbeat must block on the held sidecar"
+    # the 'reclaim' lands while the heartbeat is parked
+    os.unlink(lk.path)
+    with open(lk.path, "w") as fh:
+        json.dump({"pid": 1, "host": "h", "token": "new-holder"}, fh)
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    t.join(timeout=10)
+    assert result["ok"] is False  # refused: token changed under it
+    assert json.load(open(lk.path))["token"] == "new-holder"
+    os.unlink(lk.path)
+    lk._refs = 0
