@@ -354,6 +354,10 @@ ADDITIONS = [
     # census + asymmetric-distance top-k) — the memory half of IVF+PQ
     "embedding_pq_codebook_census",
     "similarity_pq_adc_topk",
+    # round-13 batch six: header-vs-detail money reconciliation and
+    # RAKE keyphrase extraction (island phrases, exact-ppm scores)
+    "quality_reconciliation_report",
+    "text_keyphrase_rake",
 ]
 
 

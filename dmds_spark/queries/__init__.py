@@ -517,5 +517,6 @@ def _load():
     from dmds_spark.queries import round13c  # noqa: F401
     from dmds_spark.queries import round13d  # noqa: F401
     from dmds_spark.queries import round13e  # noqa: F401
+    from dmds_spark.queries import round13f  # noqa: F401
 
     _LOADED = True

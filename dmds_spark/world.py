@@ -699,11 +699,51 @@ class World:
         os.makedirs(self._snapdir, exist_ok=True)
         _atomic_flip(
             os.path.join(self._snapdir, f"v{v}.json"),
-            {"version": v, "owner": owner},
+            # committed_at: the writer's wall clock at commit — the
+            # key snapshot_as_of() resolves timestamps against
+            # (Iceberg's snapshot timestamp). Engine metadata only;
+            # never part of any query result.
+            {"version": v, "owner": owner, "committed_at": time.time()},
         )
         _atomic_flip(
             os.path.join(self._snapdir, "current.json"), {"current": v}
         )
+
+    def snapshot_as_of(self, ts: float) -> int:
+        """Resolve a WALL-CLOCK timestamp (epoch seconds) to the last
+        snapshot version committed at or before it — Iceberg's
+        AS-OF-TIMESTAMP time travel on the manifest's ``committed_at``
+        field. Returns the version number (feed it to
+        ``snapshot(version=...)``). Raises if no retained snapshot is
+        old enough (vacuumed history, or ts before the first commit);
+        manifests written before the field existed (pre-round-13)
+        resolve as if committed at epoch 0 — a conservative "always
+        old enough" for legacy histories.
+
+        Clock caveat, documented: committed_at is the WRITER's clock.
+        With a single writer (the lock's invariant) it is monotone in
+        practice; cross-writer handoffs across skewed hosts can
+        reorder it — pin by VERSION when exactness matters."""
+        if not self.versioned:
+            raise ValueError(
+                "as-of-timestamp reads need World(versioned=True)"
+            )
+        best = None
+        for v in self.snapshot_versions():
+            p = os.path.join(self._snapdir, f"v{v}.json")
+            try:
+                with open(p) as fh:
+                    committed = float(json.load(fh).get("committed_at", 0.0))
+            except (OSError, ValueError):
+                continue  # torn/unreadable manifest: not resolvable
+            if committed <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} "
+                f"(retained: {self.snapshot_versions()})"
+            )
+        return best
 
     def _part_key(self, row) -> str:
         return "/".join(str(int(row[c])) for c in self.partition_cols())

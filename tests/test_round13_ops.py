@@ -297,3 +297,44 @@ def test_time_to_convert_zero_conversions(spark, qs, tmp_path):
     assert row["n_viewed"] == 3
     assert row["n_converted"] == 0
     assert row["median_gap_s"] is None and row["max_gap_s"] is None
+
+
+def test_reconciliation_hand_computed(spark, qs, tmp_path):
+    """Constructed drift: order 1 has matching lines (100 = 60+40),
+    order 2 drifts by 5.00, order 3 has no lines at all."""
+    import datetime as _dt
+
+    d = str(tmp_path / "recon")
+    spark.createDataFrame(
+        [(1, 1, "O", 100.0, _dt.datetime(2000, 1, 1), "1-URGENT"),
+         (2, 1, "O", 50.0, _dt.datetime(2000, 1, 2), "1-URGENT"),
+         (3, 1, "F", 10.0, _dt.datetime(2000, 1, 3), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 45.0)],
+        "l_orderkey long, l_extendedprice double",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    rows = {r["status"]: (r["n_orders"], r["n_headerless"], r["n_exact"],
+                          r["sum_abs_diff_c"])
+            for r in qs["quality_reconciliation_report"](spark, d).collect()}
+    assert rows == {"O": (2, 0, 1, 500), "F": (1, 1, 0, 0)}
+
+
+def test_rake_hand_computed(spark, qs, tmp_path):
+    """One doc: 'deep learning is deep' -> phrases ['deep learning'],
+    ['deep']. deep: freq 2, deg 2+1=3 -> 1500000 ppm; learning:
+    freq 1, deg 2 -> 2000000. Scores: 'deep learning' = 3500000,
+    'deep' = 1500000."""
+    d = str(tmp_path / "rake")
+    spark.createDataFrame(
+        [(1, "deep learning is deep", "en", "s", 21)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = {r["phrase"]: (r["n_words"], r["score_ppm"])
+            for r in qs["text_keyphrase_rake"](spark, d).collect()}
+    assert rows == {"deep learning": (2, 3_500_000),
+                    "deep": (1, 1_500_000)}

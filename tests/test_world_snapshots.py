@@ -267,3 +267,45 @@ def test_pinned_reader_during_concurrent_commit(world):
     assert rows(pinned) == before
     # and v2 actually differs (the writer's changes landed)
     assert rows(world.snapshot(version=2)) != before
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """AS-OF-TIMESTAMP time travel: each commit records committed_at
+    in its manifest; snapshot_as_of(ts) resolves to the last version
+    committed at or before ts, snapshot(version=...) then serves it.
+    Legacy manifests without the field resolve as epoch-0 commits."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from dmds_spark.core.dims import DimSpec, WorldSpec
+
+    spec = WorldSpec(dims=(DimSpec("x", 0, 63, 8),))
+    path = str(tmp_path / "w")
+    w = World(spark, spec, path, validate="off", versioned=True)
+    before_any = _time.time() - 1.0
+    w.insert_rows([{"x": 1, "v": 10}])
+    w.flush()
+    t1 = _time.time()
+    _time.sleep(0.05)
+    w.insert_rows([{"x": 2, "v": 20}])
+    w.flush()
+
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        w.snapshot_as_of(before_any)
+    assert w.snapshot_as_of(t1) == 1
+    assert w.snapshot_as_of(_time.time()) == 2
+    got = {r["x"] for r in
+           w.snapshot(version=w.snapshot_as_of(t1)).collect()}
+    assert got == {1}
+
+    # legacy manifest (no committed_at): resolves as epoch 0
+    p = _os.path.join(w._snapdir, "v1.json")
+    m = _json.load(open(p))
+    m.pop("committed_at")
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    assert w.snapshot_as_of(before_any) == 1
+    w.close()
