@@ -358,6 +358,9 @@ ADDITIONS = [
     # RAKE keyphrase extraction (island phrases, exact-ppm scores)
     "quality_reconciliation_report",
     "text_keyphrase_rake",
+    # round-13 batch seven: the complete IVF+PQ serving stack in one
+    # query (coarse-cell probe -> ADC rerank, fully integer-exact)
+    "similarity_ivfadc_topk",
 ]
 
 

@@ -171,3 +171,96 @@ def similarity_pq_adc_topk(spark, sf_dir):
     cb = pq_codebooks(q)
     codes = pq_encode(q, cb)
     return pq_adc_topk(q, cb, codes, _ADC_QUERY_ID, _ADC_TOPK)
+
+
+_IVF_NPROBE = 2
+_IVF_K = 8  # coarse cells = the vec_id < 8 anchor vectors
+
+
+@register(
+    "similarity_ivfadc_topk",
+    _PQ_CTE + f"""
+    , anchors AS (
+      SELECT vec_id AS aid, qv AS av FROM q WHERE vec_id < {_IVF_K}
+    ), celld AS (
+      SELECT e.vec_id, a.aid,
+             list_sum([(e.qv[i] - a.av[i]) * (e.qv[i] - a.av[i])
+                       for i in range(1, {PQ_M * PQ_SUB} + 1)]) AS cdist
+      FROM q e CROSS JOIN anchors a
+    ), cells AS (
+      SELECT vec_id,
+             min_by(aid, lpad(CAST(cdist AS VARCHAR), 20, '0')
+                         || lpad(CAST(aid AS VARCHAR), 4, '0')) AS cell
+      FROM celld GROUP BY vec_id
+    ), probe AS (
+      SELECT aid AS cell FROM celld
+      WHERE vec_id = {_ADC_QUERY_ID}
+      ORDER BY lpad(CAST(cdist AS VARCHAR), 20, '0')
+               || lpad(CAST(aid AS VARCHAR), 4, '0')
+      LIMIT {_IVF_NPROBE}
+    ), qsub AS (
+      SELECT sub, sv AS qsv FROM subs WHERE vec_id = {_ADC_QUERY_ID}
+    ), t AS (
+      SELECT c.sub, c.cid AS code,
+             list_sum([(x.qsv[i] - c.qc[i]) * (x.qsv[i] - c.qc[i])
+                       for i in range(1, {PQ_SUB} + 1)]) AS td
+      FROM cb c JOIN qsub x ON x.sub = c.sub
+    ), cand AS (
+      SELECT k.vec_id, k.sub, k.code
+      FROM codes k
+      JOIN cells ce ON ce.vec_id = k.vec_id
+      WHERE ce.cell IN (SELECT cell FROM probe)
+    )
+    SELECT cand.vec_id, CAST(SUM(t.td) AS BIGINT) AS adc_dist
+    FROM cand JOIN t ON t.sub = cand.sub AND t.code = cand.code
+    GROUP BY cand.vec_id
+    ORDER BY adc_dist, cand.vec_id LIMIT {_ADC_TOPK}
+    """,
+)
+def similarity_ivfadc_topk(spark, sf_dir):
+    """The COMPLETE IVF+PQ serving stack as one query (IVFADC, Jegou
+    et al.): coarse cells are exact integer-grid nearest-anchor
+    assignments (vec_id < 8 anchors — the same anchor convention as
+    similarity_ivf_topk, but on the grid so the whole pipeline stays
+    i64-exact with zero float anywhere); the query probes its nprobe=2
+    nearest cells and only THOSE candidates are ranked by PQ
+    asymmetric distance. Integer-exact end to end — cell boundaries,
+    probe order, codes, and the final ADC ranking all hash-match the
+    unrolled oracle.
+
+    Shape at scale: the anchor table broadcasts (K rows) for the cell
+    assignment; in a deployed index the cell is the PARTITION KEY so
+    the probe filter is partition pruning (the incremental IVF store
+    does exactly that); the ADC table is M*K broadcast rows and
+    candidates cost M adds each. No corpus shuffle beyond the argmin
+    aggregates."""
+    q = quantized(_emb(spark, sf_dir))
+    anchors = q.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("aid"), F.col("qv").alias("av")
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(qv, av, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    key = F.concat(
+        F.lpad(F.col("cdist").cast("string"), 20, "0"),
+        F.lpad(F.col("aid").cast("string"), 4, "0"),
+    )
+    celld = q.crossJoin(F.broadcast(anchors)).select(
+        "vec_id", "aid", cdist.alias("cdist")
+    )
+    cells = celld.groupBy("vec_id").agg(F.min_by("aid", key).alias("cell"))
+    probe = [
+        r["aid"]
+        for r in celld.filter(F.col("vec_id") == _ADC_QUERY_ID)
+        .select("aid", key.alias("__k"))
+        .orderBy("__k")
+        .limit(_IVF_NPROBE)
+        .collect()
+    ]  # nprobe cell ids: bounded driver-side collect, like the IVF store
+    cb = pq_codebooks(q)
+    codes = pq_encode(q, cb)
+    cand = codes.join(
+        cells.filter(F.col("cell").isin(probe)).select("vec_id"), "vec_id"
+    )
+    return pq_adc_topk(q, cb, cand, _ADC_QUERY_ID, _ADC_TOPK)

@@ -1495,6 +1495,7 @@ UNPARTITIONED_WINDOW_OK = {
     "embedding_kmeans_assign": "cid renumber over <=8 seed rows post-TakeOrdered",
     "embedding_pq_codebook_census": "cid renumber over <=8 seed rows post-TakeOrdered",
     "similarity_pq_adc_topk": "cid renumber over <=8 seed rows post-TakeOrdered",
+    "similarity_ivfadc_topk": "cid renumber over <=8 seed rows post-TakeOrdered",
     "text_zipf_topk": "rank over the already-limited top-50 tokens",
     "tokens_vocab_truncation_loss": "rank over TakeOrdered top-N vocab rows",
     "text_bm25_topk": "rank over the TakeOrdered top-k survivors",

