@@ -361,6 +361,9 @@ ADDITIONS = [
     # round-13 batch seven: the complete IVF+PQ serving stack in one
     # query (coarse-cell probe -> ADC rerank, fully integer-exact)
     "similarity_ivfadc_topk",
+    # round-13 batch eight: Matryoshka truncation-recall study
+    # (full-dim vs 16-dim top-10 overlap, WindowGroupLimit heaps)
+    "embedding_truncation_recall",
 ]
 
 

@@ -264,3 +264,118 @@ def similarity_ivfadc_topk(spark, sf_dir):
         cells.filter(F.col("cell").isin(probe)).select("vec_id"), "vec_id"
     )
     return pq_adc_topk(q, cb, cand, _ADC_QUERY_ID, _ADC_TOPK)
+
+
+_TRUNC_DIM = 16   # prefix dims kept by the truncation under study
+_TRUNC_Q = 20     # query sample: vec_id < 20
+_TRUNC_TOPK = 10
+
+
+@register(
+    "embedding_truncation_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}.0) AS BIGINT)
+              + {PQ_OFF} for x in embedding] AS qv
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS qid, qv AS qqv FROM q WHERE vec_id < {_TRUNC_Q}
+    ), d AS (
+      SELECT s.qid, e.vec_id,
+             list_sum([(e.qv[i] - s.qqv[i]) * (e.qv[i] - s.qqv[i])
+                       for i in range(1, {PQ_M * PQ_SUB} + 1)]) AS dfull,
+             list_sum([(e.qv[i] - s.qqv[i]) * (e.qv[i] - s.qqv[i])
+                       for i in range(1, {_TRUNC_DIM} + 1)]) AS dtrunc
+      FROM q e CROSS JOIN qs s
+      WHERE e.vec_id <> s.qid
+    ), rf AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dfull, vec_id) AS rn
+      FROM d
+    ), rt AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dtrunc, vec_id) AS rn
+      FROM d
+    )
+    SELECT f.qid,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.vec_id) * 1000000 // {_TRUNC_TOPK} AS BIGINT)
+             AS recall_ppm
+    FROM (SELECT qid, vec_id FROM rf WHERE rn <= {_TRUNC_TOPK}) f
+    LEFT JOIN (SELECT qid, vec_id FROM rt WHERE rn <= {_TRUNC_TOPK}) t
+      ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+)
+def embedding_truncation_recall(spark, sf_dir):
+    """Truncation-dimension sizing study (the Matryoshka question: how
+    much ranking quality survives keeping only the first 16 of 64
+    dims?): for each of 20 sample queries, the exact top-10 by
+    full-dim grid distance vs the top-10 by truncated-prefix distance,
+    reported as per-query overlap and recall ppm. Everything on the
+    integer grid with (dist, id) total orders — both rankings and the
+    overlap are bit-exact.
+
+    Shape at scale: this is the STUDY tool, brute force by design over
+    a BOUNDED query sample (20 queries broadcast against one corpus
+    scan); both rank windows partition by qid and execute as
+    WindowGroupLimit (per-partition running top-k heaps — Spark
+    inserts the group-limit above each scan side, plan-pinned), so no
+    task ever holds more than k rows of window state. The production
+    serving path for either dimension is the ANN stack (IVF/PQ), not
+    this."""
+    q = quantized(_emb(spark, sf_dir))
+    qs = q.filter(F.col("vec_id") < _TRUNC_Q).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    d = (
+        q.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qv, qqv, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dfull"),
+            F.expr(
+                f"aggregate(zip_with(slice(qv, 1, {_TRUNC_DIM}),"
+                f" slice(qqv, 1, {_TRUNC_DIM}),"
+                " (x, y) -> (x - y) * (x - y)),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("dtrunc"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rf = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy("dfull", "vec_id")
+        ),
+    ).filter(F.col("rn") <= _TRUNC_TOPK).select("qid", "vec_id")
+    rt = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy("dtrunc", "vec_id")
+        ),
+    ).filter(F.col("rn") <= _TRUNC_TOPK).select(
+        "qid", F.col("vec_id").alias("tvid")
+    )
+    return (
+        rf.join(
+            rt,
+            (rf["qid"] == rt["qid"]) & (rf["vec_id"] == rt["tvid"]),
+            "left",
+        )
+        .groupBy(rf["qid"].alias("qid"))
+        .agg(
+            F.count("tvid").cast("bigint").alias("n_overlap"),
+            F.expr(f"COUNT(tvid) * 1000000 div {_TRUNC_TOPK}")
+            .cast("bigint").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )

@@ -354,3 +354,18 @@ def test_ivfadc_consistent_with_full_adc(spark, qs):
     for vid, dist in pruned:
         if vid in full:
             assert full[vid] == dist  # same exact ADC metric
+
+
+def test_truncation_recall_plan_and_bounds(spark, qs):
+    """The per-query rank windows must execute as WindowGroupLimit
+    (running top-k heaps per partition — no task holds more than k
+    rows of window state); recall values live in [0, 1e6] and the
+    full-dim ranking trivially has recall 1e6 against itself."""
+    df = qs["embedding_truncation_recall"](spark, SF)
+    assert physical_plan(df).count("WindowGroupLimit") >= 2
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["n_overlap"] * 100_000 == r["recall_ppm"] * 1
+               or r["recall_ppm"] == r["n_overlap"] * 100_000
+               for r in rows)
