@@ -179,6 +179,31 @@ def main() -> int:
           f"{lm.count()} held-out docs; phrase 'hash join' found in "
           f"{phrase} docs via positional postings")
 
+    # -- 13. round-13: ranking eval + PQ serving + features -------------
+    ndcg = qs["rank_eval_ndcg"](spark, sf_dir).collect()[0]
+    adc = qs["similarity_ivfadc_topk"](spark, sf_dir).collect()
+    trunc = qs["embedding_truncation_recall"](spark, sf_dir)
+    mean_trunc = trunc.agg(F.avg("recall_ppm")).collect()[0][0]
+    print(f"13. ranking + ANN serving: popularity-ranker NDCG@5 "
+          f"{ndcg['mean_ndcg_ppm'] / 10_000:.1f}% over "
+          f"{ndcg['n_users']} held-out users; IVFADC top-{len(adc)} "
+          f"served from PQ codes (rank-1 self-retrieval "
+          f"{'OK' if adc[0]['vec_id'] == 0 else 'BROKEN'}); "
+          f"16-of-64-dim truncation keeps {mean_trunc / 10_000:.0f}% "
+          f"of exact top-10s")
+
+    # -- 14. round-13: leakage-safe features + release review -----------
+    enc = qs["feature_target_encoding_oof"](spark, sf_dir).count()
+    tv = qs["privacy_t_closeness"](spark, sf_dir).collect()
+    worst = tv[0]
+    recon = qs["quality_reconciliation_report"](spark, sf_dir).collect()
+    drift = sum(r["sum_abs_diff_c"] for r in recon)
+    print(f"14. features + privacy: {enc} out-of-fold target encodings; "
+          f"worst t-closeness group ({worst['nationkey']}, "
+          f"{worst['mktsegment']}) TV {worst['tv_ppm'] / 10_000:.1f}%; "
+          f"header-vs-detail reconciliation drift {drift} cents "
+          f"across {sum(r['n_orders'] for r in recon)} orders")
+
     print("demo: all stages ran")
     return 0
 
