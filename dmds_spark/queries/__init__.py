@@ -362,13 +362,45 @@ _CHECKED_R12: frozenset[str] = frozenset({
     "join_full_outer",
 })
 
+
+# round 13 (CORRECTNESS_r13.json): 50 rows — 47 hash-green, 0
+# failures (3 no_oracle rows-only by design: semdedup/bpe-merge/
+# common-neighbors-capped). Covered all 17 round-13 additions, the 5
+# priority re-checks (pHash + audio family rows-only -> full oracle,
+# kmeans seed TakeOrdered reshape), plus rotated older evidence.
+_CHECKED_R13: frozenset[str] = frozenset({
+    "agg_basic_stats", "agg_count_distinct",
+    "dedup_fuzzy_fingerprint_pairs_fast", "dedup_incremental_minhash",
+    "dedup_minhash_precision", "dedup_semdedup_prune",
+    "embedding_kmeans_assign", "embedding_pq_codebook_census",
+    "embedding_truncation_recall", "events_activity_streaks_topk",
+    "events_time_to_convert", "feature_hash_bucket_stats",
+    "feature_point_in_time", "feature_target_encoding_oof",
+    "forecast_eval_mase_smape", "graph_clustering_coefficient",
+    "graph_common_neighbors_capped", "join_anti", "join_asof",
+    "join_cross", "join_semi", "join_theta_range",
+    "lineitem_revenue_waterfall", "multimodal_audio_energy",
+    "multimodal_audio_resample", "multimodal_audio_vad",
+    "multimodal_phash_neardup", "orders_basket_size_stats",
+    "orders_repeat_purchase_rate", "orders_value_gini",
+    "privacy_l_diversity", "privacy_t_closeness", "profile_benford_digits",
+    "quality_reconciliation_report", "rank_eval_catalog_coverage",
+    "rank_eval_mrr_hit", "rank_eval_ndcg", "rank_eval_recall_curve",
+    "sample_hamilton_allocation", "similarity_ivfadc_topk",
+    "similarity_lsh_bucket_stats", "similarity_pq_adc_topk",
+    "similarity_radius_count", "text_keyphrase_rake",
+    "text_lang_confusion", "text_pii_counts", "text_readability_profile",
+    "text_term_burstiness_topk", "tokens_bpe_merge_candidates",
+    "tokens_packing_efficiency_sweep",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 # Each round's fold-in is ONE new frozenset in this tuple — the aging
 # subtraction (later evidence supersedes earlier) is computed below.
 _ROUND_SETS: tuple[frozenset[str], ...] = (
     _CHECKED_R01, _CHECKED_R02, _CHECKED_R04, _CHECKED_R05,
     _CHECKED_R06, _CHECKED_R07, _CHECKED_R08, _CHECKED_R09,
-    _CHECKED_R10, _CHECKED_R11, _CHECKED_R12,
+    _CHECKED_R10, _CHECKED_R11, _CHECKED_R12, _CHECKED_R13,
 )
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = tuple(
     rnd - frozenset().union(*_ROUND_SETS[i + 1:])
@@ -384,19 +416,17 @@ _DEFERRED: tuple[str, ...] = ()
 
 # Queries whose oracle status or semantics CHANGED after their last
 # driver check, so their recorded evidence is stale regardless of age:
-# they slot directly behind the never-checked set. Round 13: the pHash
-# near-dup family AND the whole audio family move from rows-only to
-# full SQL oracles (the synthesized payload is declarative arithmetic
-# — the real-decode-stats trick applied to the hash cells and the PCM
-# time axis; see queries/_audio_oracle.py), and the kmeans seed window
-# was replaced by a TakeOrdered limit (same seed set, new plan —
-# re-prove the hash).
+# they slot directly behind the never-checked set. Round 14: the three
+# SF-proportional hard-broadcast sites moved to maybe_broadcast (plan
+# reshape, hash-identical — broadcast is a hint; re-prove anyway), and
+# graph_common_neighbors_capped moves rows-only -> full SQL oracle (the
+# per-node degree cap restated as row_number <= cap in DuckDB).
 _PRIORITY_RECHECK: tuple[str, ...] = (
-    "multimodal_phash_neardup",
-    "embedding_kmeans_assign",
-    "multimodal_audio_energy",
-    "multimodal_audio_vad",
-    "multimodal_audio_resample",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "parts_yoy_revenue",
+    "parts_price_dispersion",
+    "graph_common_neighbors_capped",
 )
 
 
