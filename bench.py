@@ -367,6 +367,23 @@ ADDITIONS = [
 ]
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+
+    Steal is time this VM's vCPUs were runnable but the hypervisor ran
+    a co-tenant instead — the direct counter for the noisy-host regime
+    BASELINE.md documents. Returns (0, 0) when /proc/stat is absent
+    (non-Linux) so the bench still runs."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -387,6 +404,12 @@ def main() -> int:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
+    # Per-measured-pass host-load telemetry. Rounds 6-13 all relitigated
+    # noise-vs-regression from timings alone; recording loadavg and the
+    # CPU-steal fraction PER PASS makes each BENCH_r{N}.json artifact
+    # self-adjudicating (steal_pct > ~5 or load1 far above the pass's
+    # own Spark parallelism => co-tenant regime, per BASELINE.md).
+    pass_loads: list[dict] = []
 
     from pyspark.sql import functions as F
 
@@ -432,8 +455,12 @@ def main() -> int:
         # localCheckpoint blocks so heap pressure stays per-query; the
         # explicit GC between passes makes collection pauses land
         # BETWEEN measurements instead of inside an arbitrary one.
-        for _ in range(max(repeats, min_passes)):
+        phase = "baseline" if consume is consume_count else "additions"
+        for i in range(max(repeats, min_passes)):
             spark.sparkContext._jvm.System.gc()
+            steal0, total0 = _cpu_jiffies()
+            load0 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+            t_pass = time.perf_counter()
             for name in names:
                 t0 = time.perf_counter()
                 consume(qs[name](spark, sf_dir))
@@ -441,6 +468,15 @@ def main() -> int:
                 times[name] = min(times.get(name, dt), dt)
                 release_materialized_state(spark)
                 print(f"measured {name} {dt:.2f}s", file=sys.stderr)
+            steal1, total1 = _cpu_jiffies()
+            load1 = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+            dj = max(total1 - total0, 1)
+            pass_loads.append({
+                "phase": phase, "pass": i,
+                "sec": round(time.perf_counter() - t_pass, 2),
+                "load1_start": round(load0, 2), "load1_end": round(load1, 2),
+                "steal_pct": round(100.0 * (steal1 - steal0) / dj, 2),
+            })
 
     # BOTH phases get >= 4 measured passes regardless of the env
     # override: this host shows minutes-scale CPU-steal windows from
@@ -464,6 +500,17 @@ def main() -> int:
     # (the tail started mid-line). Keep the final stdout line COMPACT —
     # comparable-21 timings only — and write the full per-query detail
     # to BENCH_DETAIL.json next to this script instead.
+    load_summary = {
+        "passes": len(pass_loads),
+        "load1_min": min((p["load1_start"] for p in pass_loads), default=0.0),
+        "load1_max": max(
+            (max(p["load1_start"], p["load1_end"]) for p in pass_loads),
+            default=0.0,
+        ),
+        "steal_pct_max": max((p["steal_pct"] for p in pass_loads),
+                             default=0.0),
+        "cpus": os.cpu_count(),
+    }
     detail = {
         "queries": times,
         "missing": missing,
@@ -473,6 +520,8 @@ def main() -> int:
         "value_full": round(sum(times.values()), 4),
         "n_queries": len(times),
         "sf": sf,
+        "load": load_summary,
+        "load_passes": pass_loads,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -480,6 +529,7 @@ def main() -> int:
         json.dump(detail, f, indent=1, sort_keys=True)
     line = dict(detail)
     line["queries"] = {k: times[k] for k in baseline_order}
+    line.pop("load_passes", None)  # per-pass rows live in the detail file
     line["detail"] = "BENCH_DETAIL.json"
     out = json.dumps(line)
     # The round driver json-parses only the LAST ~2000 chars of stdout:
