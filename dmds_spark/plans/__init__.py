@@ -1,6 +1,7 @@
 from dmds_spark.plans.inspect import (
     broadcast_join_count,
     codegen_span_count,
+    forced_broadcast_base_scans,
     partition_filters,
     physical_plan,
     plan_report,
@@ -12,6 +13,7 @@ from dmds_spark.plans.inspect import (
 )
 
 __all__ = [
+    "forced_broadcast_base_scans",
     "unpartitioned_window_count",
     "physical_plan",
     "plan_report",

@@ -143,6 +143,90 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     return n
 
 
+# Tables whose row count grows with the scale factor. Broadcasting a
+# RAW scan of one of these is a forced OOM at 100 TB (billions of rows
+# on the build side); only region/nation (constant 5/25 rows), literal
+# grids, and reduced derivations (aggregates, top-k limits) may carry
+# an unconditional broadcast hint. SF-proportional dims go through
+# core.engine.maybe_broadcast, which attaches the hint only under the
+# size gate.
+SF_PROPORTIONAL_TABLES: tuple[str, ...] = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+
+# Logical nodes that bound the cardinality of everything above them:
+# an Aggregate emits one row per group; limits emit <= k rows. A hint
+# sitting above one of these is a derived-small-side broadcast, not a
+# base-table broadcast.
+_CARDINALITY_REDUCERS = frozenset({
+    "Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate",
+})
+
+
+def _jchildren(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _relation_tables(node) -> set[str]:
+    """SF-proportional table names scanned anywhere under ``node``."""
+    try:
+        paths = node.relation().location().rootPaths().toString()
+    except Exception:
+        paths = ""
+    hits = {t for t in SF_PROPORTIONAL_TABLES if f"{t}.parquet" in paths}
+    for ch in _jchildren(node):
+        hits |= _relation_tables(ch)
+    return hits
+
+
+def _unreduced_sf_scans(node) -> set[str]:
+    """SF-proportional tables reachable from ``node`` WITHOUT crossing
+    a cardinality reducer — i.e. the subtree's output row count still
+    scales with the table."""
+    if node.nodeName() in _CARDINALITY_REDUCERS:
+        return set()
+    try:
+        paths = node.relation().location().rootPaths().toString()
+    except Exception:
+        paths = ""
+    hits = {t for t in SF_PROPORTIONAL_TABLES if f"{t}.parquet" in paths}
+    for ch in _jchildren(node):
+        hits |= _unreduced_sf_scans(ch)
+    return hits
+
+
+def forced_broadcast_base_scans(df: DataFrame) -> list[str]:
+    """Every broadcast JOIN HINT in the optimized logical plan whose
+    hinted side reaches an SF-proportional parquet scan without a
+    cardinality reducer in between — the signature of a hard
+    ``F.broadcast(<base table>)``. Returns the offending table names
+    (one entry per hinted side, comma-joined if several tables).
+
+    Run this with the maybe_broadcast size gate disabled
+    (``SPARK_GRAFT_BROADCAST_MAX_BYTES=-1``) so gated hints vanish and
+    only unconditional hints remain — at test SF the gate would
+    otherwise broadcast every small table and drown the signal."""
+    offenders: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Join":
+            hint = node.hint().toString()
+            kids = _jchildren(node)
+            for side, key in ((0, "leftHint="), (1, "rightHint=")):
+                seg = hint.split(key, 1)
+                if len(seg) == 2 and "strategy=broadcast" in seg[1].split(")", 1)[0]:
+                    raw = _unreduced_sf_scans(kids[side])
+                    if raw:
+                        offenders.append(",".join(sorted(raw)))
+        for ch in _jchildren(node):
+            walk(ch)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return offenders
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call summary used by tests and by bench diagnostics."""
     return {

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dmds_spark.core.engine import maybe_broadcast
 from dmds_spark.operators.relational import (
     global_row_number,
     ntile_from_rn,
@@ -492,7 +493,8 @@ def parts_yoy_revenue(spark, sf_dir):
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     dec = "decimal(38,0)"
     r = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional — size-gated broadcast, not forced.
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .select(
             "p_brand",
             F.year("l_shipdate").cast("long").alias("yr"),
@@ -823,7 +825,8 @@ def parts_price_dispersion(spark, sf_dir):
     li = _li(spark, sf_dir)
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     dec = "decimal(38,0)"
-    c = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    # part is SF-proportional — size-gated broadcast, not forced.
+    c = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_brand", _cents("l_extendedprice").alias("pc")
     )
     a = c.groupBy("p_brand").agg(

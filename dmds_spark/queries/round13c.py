@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dmds_spark.core.engine import maybe_broadcast
 from dmds_spark.queries import register
 
 
@@ -36,7 +37,10 @@ def _joined(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        # customer is SF-proportional: broadcast only under the size
+        # gate (billions of rows at 100 TB would OOM a forced build
+        # side); above the gate AQE picks the strategy at runtime.
+        maybe_broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
         o["o_custkey"] == c["c_custkey"],
     ).select(
         F.col("c_nationkey").cast("bigint").alias("nationkey"),

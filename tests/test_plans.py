@@ -1536,3 +1536,65 @@ def test_no_unpartitioned_windows_outside_allowlist(spark, qs):
         "unpartitioned Window execs outside the allowlist (single-task "
         f"sort of the whole input at scale): {offenders}"
     )
+
+
+# Every query whose optimized plan legitimately carries an
+# UNCONDITIONAL broadcast hint on a subtree that reaches an
+# SF-proportional parquet scan without an Aggregate/Limit reducer,
+# with the bound that keeps the broadcast side small FOREVER stated.
+# Everything here is a key-equality/isin FILTER bound the plan-tree
+# detector cannot see as a reducer (filters are proportional in
+# general; these ones select a constant id set). Anything else fails
+# the sweep below — a hard F.broadcast(customer/part/...) on a raw
+# SF-proportional scan (round 13's verdict found three) can no longer
+# land.
+FORCED_BROADCAST_OK = {
+    # single query vector / constant probe batch: vec_id point filters
+    "similarity_cosine_topk": "query side is vec_id = 0 (1 row)",
+    "similarity_mips_topk": "query side is a fixed <=8-id isin probe set",
+    "similarity_knn_batch": "probe batch is a fixed <=16-id isin set",
+    "similarity_ann_lsh_topk": "query side is a point vec_id filter",
+    "similarity_radius_count": "probe side is 5 fixed vec_ids",
+    "similarity_quantized_rerank_topk": "query + rerank probes: fixed id sets",
+    "similarity_ivf_topk": "query vector + probed-cell centroid rows (<=nprobe)",
+    "similarity_ivf_probe_sweep": "one query vector joined per nprobe grid value",
+    "similarity_ivf_search_batch": "probe batch is a fixed <=16-id isin set",
+    "similarity_pq_adc_topk": "query side is a point vec_id filter",
+    "similarity_ivfadc_topk": "query vector + <=nprobe probed-cell rows",
+    "embedding_truncation_recall": "20-query sample: fixed isin id set",
+    # k-seed selection by key filter: vec_id < K rows exactly
+    "embedding_kmeans_lloyd_step": "centroid side is vec_id < K (K=8 rows)",
+    # documented deliberate broadcast with the 100 TB alternative stated
+    "dedup_cross_source_overlap": (
+        "(doc_id, source) projection broadcast to avoid re-executing the "
+        "LSH pair pipeline (docstring: checkpoint barrier + shuffle joins "
+        "once the id->source map outgrows a broadcast)"
+    ),
+}
+
+
+def test_no_forced_broadcast_of_sf_tables_outside_allowlist(
+    spark, qs, monkeypatch
+):
+    """Registry-wide sweep: with the maybe_broadcast size gate disabled
+    (so gated hints vanish), NO query may carry an unconditional
+    broadcast hint whose side reaches an SF-proportional parquet scan
+    without a cardinality reducer — unless allowlisted above with its
+    bound stated. This is the tested form of core/engine.py's rule
+    ("use maybe_broadcast for every SF-proportional dimension"): a
+    forced F.broadcast(customer) is an OOM at 100 TB regardless of how
+    green it is at test SF."""
+    from dmds_spark.plans import forced_broadcast_base_scans
+
+    monkeypatch.setenv("SPARK_GRAFT_BROADCAST_MAX_BYTES", "-1")
+    stale = set(FORCED_BROADCAST_OK) - set(qs)
+    assert not stale, f"allowlist names unknown queries: {sorted(stale)}"
+    offenders = {}
+    for name, fn in qs.items():
+        hits = forced_broadcast_base_scans(fn(spark, SF))
+        if hits and name not in FORCED_BROADCAST_OK:
+            offenders[name] = hits
+    assert not offenders, (
+        "unconditional broadcast hints on SF-proportional base scans "
+        f"(forced OOM at 100 TB): {offenders}"
+    )
