@@ -28,10 +28,17 @@ def cap_vertex_degree(
     cap: int,
 ) -> DataFrame:
     """Deterministically keep at most ``cap`` edges per
-    ``vertex_col`` vertex: rank edges by the xxhash64 of both
-    endpoints (a stable uniform order — NOT the neighbor id order,
-    which would bias the kept sample toward low ids) and keep rank <=
-    cap. Exact pass-through for every vertex with degree <= cap.
+    ``vertex_col`` vertex: rank edges by the md5 of both endpoints (a
+    stable uniform order — NOT the neighbor id order, which would bias
+    the kept sample toward low ids) and keep rank <= cap. Exact
+    pass-through for every vertex with degree <= cap.
+
+    md5 over "vertex,other", not xxhash64: both engines compute the
+    identical lowercase-hex digest (DuckDB ``md5(c || ',' || s)``), so
+    the capped edge SAMPLE — not just its statistical properties — is
+    oracle-checkable; Spark's xxhash64 has no DuckDB twin. The digest
+    is computed once per edge before the window; the uniform-order and
+    undercount-only properties are unchanged.
 
     Shape: one window over the vertex key — fan-in equals that
     vertex's degree, which is exactly the quantity being bounded, and
@@ -40,7 +47,11 @@ def cap_vertex_degree(
     from pyspark.sql import Window as W
 
     w = W.partitionBy(vertex_col).orderBy(
-        F.xxhash64(F.col(vertex_col), F.col(other_col)),
+        F.md5(F.concat_ws(
+            ",",
+            F.col(vertex_col).cast("string"),
+            F.col(other_col).cast("string"),
+        )),
         F.col(other_col),  # total order under hash collisions
     )
     return (

@@ -138,23 +138,44 @@ def dedup_fuzzy_fingerprint_pairs_fast(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("graph_common_neighbors_capped", None)
+@register(
+    "graph_common_neighbors_capped",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    capped AS (
+      SELECT c, s FROM (
+        SELECT c, s,
+               row_number() OVER (
+                 PARTITION BY c
+                 ORDER BY md5(CAST(c AS VARCHAR) || ',' ||
+                              CAST(s AS VARCHAR)), s
+               ) AS rk
+        FROM e)
+      WHERE rk <= 32
+    )
+    SELECT a.s AS supp_a, b.s AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS common_customers
+    FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+    ORDER BY common_customers DESC, supp_a, supp_b
+    LIMIT 20
+    """,
+)
 def graph_common_neighbors_capped(spark, sf_dir):
     """graph_common_neighbors with the HUB MITIGATION ENGAGED: each
     shared customer endpoint is deterministically capped to its top-32
-    edges by xxhash64 order before the wedge self-join
+    edges by a portable md5 order before the wedge self-join
     (operators/graph.py cap_vertex_degree), bounding the per-vertex
     fan-out at cap^2 regardless of degree skew — the switch the exact
     query's docstring points at for 100 TB, registered here so the
-    capped path has a driver row of its own. Rows-only: the capped
-    count is a LOWER BOUND of the exact count (capping drops wedges,
-    never invents them — undercount-only property pinned against the
-    exact counts in tests/test_graph_ops.py::
-    test_capped_is_undercount_only_and_bounded, determinism across
-    partitionings in test_cap_selection_deterministic_across_
-    partitionings), so it has no exact SQL oracle by construction.
-    Deterministic output: the cap keeps a hash-stable edge sample and
-    the top-20 orders by a total order."""
+    capped path has a driver row of its own. Full SQL oracle since
+    round 14: the cap is a deterministic row_number <= 32 over the
+    md5(c,s) hex digest, identical in both engines, so the capped
+    SAMPLE itself — not just its undercount/determinism properties
+    (still pinned in tests/test_graph_ops.py) — is hash-checked."""
     from dmds_spark.operators.graph import common_neighbor_counts
     from dmds_spark.queries.llm_extra6 import _li
 
