@@ -697,13 +697,24 @@ class World:
         # vacuum_snapshots — never served)
         self._writer_lock.verify_token()
         os.makedirs(self._snapdir, exist_ok=True)
+        # committed_at: the key snapshot_as_of() resolves timestamps
+        # against (Iceberg's snapshot timestamp). Enforced MONOTONE in
+        # version order at commit time: a new manifest's committed_at
+        # is max(prev + 1us, now), so a cross-writer handoff across
+        # hosts with skewed clocks can never publish v+1 "before" v
+        # and reorder as-of resolution. Engine metadata only; never
+        # part of any query result.
+        committed = time.time()
+        prev = os.path.join(self._snapdir, f"v{v - 1}.json")
+        try:
+            with open(prev) as fh:
+                prev_at = float(json.load(fh).get("committed_at", 0.0))
+            committed = max(committed, prev_at + 1e-6)
+        except (OSError, ValueError):
+            pass  # first snapshot, or legacy manifest without the field
         _atomic_flip(
             os.path.join(self._snapdir, f"v{v}.json"),
-            # committed_at: the writer's wall clock at commit — the
-            # key snapshot_as_of() resolves timestamps against
-            # (Iceberg's snapshot timestamp). Engine metadata only;
-            # never part of any query result.
-            {"version": v, "owner": owner, "committed_at": time.time()},
+            {"version": v, "owner": owner, "committed_at": committed},
         )
         _atomic_flip(
             os.path.join(self._snapdir, "current.json"), {"current": v}
@@ -720,10 +731,14 @@ class World:
         resolve as if committed at epoch 0 — a conservative "always
         old enough" for legacy histories.
 
-        Clock caveat, documented: committed_at is the WRITER's clock.
-        With a single writer (the lock's invariant) it is monotone in
-        practice; cross-writer handoffs across skewed hosts can
-        reorder it — pin by VERSION when exactness matters."""
+        Monotone by construction since round 14: _commit_snapshot
+        writes ``committed_at = max(prev + 1us, now)``, so version
+        order and committed_at order always agree — a cross-writer
+        handoff from a fast-clock host to a slow-clock host cannot
+        make a LATER version resolve as older (pinned by the
+        skewed-clock test in tests/test_world_snapshots.py). A
+        backdated ``ts`` still pins by version when exactness
+        matters."""
         if not self.versioned:
             raise ValueError(
                 "as-of-timestamp reads need World(versioned=True)"

@@ -309,3 +309,39 @@ def test_snapshot_as_of_timestamp(spark, tmp_path):
         _json.dump(m, fh)
     assert w.snapshot_as_of(before_any) == 1
     w.close()
+
+
+def test_snapshot_as_of_monotone_under_clock_skew(spark, tmp_path, monkeypatch):
+    """A handoff from a fast-clock writer to a slow-clock writer must
+    not reorder as-of resolution: _commit_snapshot enforces
+    committed_at = max(prev + 1us, now), so v2 committed by a host
+    whose clock reads EARLIER than v1's still records a later
+    committed_at — version order and timestamp order always agree."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from dmds_spark.core.dims import DimSpec, WorldSpec
+
+    spec = WorldSpec(dims=(DimSpec("x", 0, 63, 8),))
+    w = World(spark, spec, str(tmp_path / "w"), validate="off",
+              versioned=True)
+    real_time = _time.time
+    # writer A's clock runs one hour fast for the v1 commit
+    monkeypatch.setattr("dmds_spark.world.time.time",
+                        lambda: real_time() + 3600.0)
+    w.insert_rows([{"x": 1, "v": 10}])
+    w.flush()
+    monkeypatch.undo()  # writer B commits v2 with the true (earlier) clock
+    w.insert_rows([{"x": 2, "v": 20}])
+    w.flush()
+
+    at = {}
+    for v in (1, 2):
+        with open(_os.path.join(w._snapdir, f"v{v}.json")) as fh:
+            at[v] = float(_json.load(fh)["committed_at"])
+    assert at[2] > at[1], "committed_at must be monotone in version order"
+    # as-of at v2's committed_at resolves to v2, never "back" to v1
+    assert w.snapshot_as_of(at[2]) == 2
+    assert w.snapshot_as_of(at[1]) == 1
+    w.close()
