@@ -364,6 +364,9 @@ ADDITIONS = [
     # round-13 batch eight: Matryoshka truncation-recall study
     # (full-dim vs 16-dim top-10 overlap, WindowGroupLimit heaps)
     "embedding_truncation_recall",
+    # round-14 batch one: the MAINTAINED IVFADC store (PQ codes
+    # persisted per increment, ADC served from the codes column)
+    "rollup_incremental_ivfadc",
 ]
 
 

@@ -97,9 +97,12 @@ class IncrementalIVFIndex:
                 "versions": [],
                 "seen_files": [],
                 "last_batch_id": -1,
+                "pq_version": 0,
             }
         with open(self._pointer) as fh:
-            return json.load(fh)
+            st = json.load(fh)
+        st.setdefault("pq_version", 0)  # pre-round-14 pointer: no PQ
+        return st
 
     @staticmethod
     def _base_cv(st: dict) -> int:
@@ -238,6 +241,161 @@ class IncrementalIVFIndex:
         """argmax-cosine cluster id, ties to the LOWEST cluster."""
         return F.array_min(self._cell_rank(centroid_rows, self.vec_col))["c"]
 
+    # -- product quantization (memory-compressed codes) ---------------------
+    # The PQ half of the IVFADC serving stack (operators/pq.py trains
+    # and proves the arithmetic; this section PERSISTS it): codebooks
+    # freeze at create time like the coarse quantizer, every increment
+    # stores each vector's M subspace codes next to its cell id, and
+    # search_batch_adc ranks candidates from the codes column alone —
+    # at 100 TB the ADC scan reads (id, cluster, codes): a few bytes
+    # per vector instead of the D-dim float array (parquet column
+    # pruning is the on-disk twin of FAISS's in-RAM compression). Codes
+    # are a pure function of (vector, frozen codebooks), so the
+    # increment-union == full-recompute contract extends to them
+    # verbatim. Changing the PQ codebooks requires a store rebuild —
+    # the same contract as FAISS (IndexIVFPQ trains once); the staged
+    # retrain() migrates CELLS and carries codes through unchanged.
+
+    def _pq_path(self, version: int) -> str:
+        return os.path.join(self.store_dir, "pq", f"v{version}")
+
+    def set_pq_codebooks(
+        self, rows: list[tuple[int, int, list[int]]]
+    ) -> int:
+        """Freeze PQ codebooks: ``rows`` are (sub, cid, qc) codewords
+        on the exact integer grid (operators/pq.py PQ_SCALE/PQ_OFF).
+        Like set_centroids, refused over existing assignments — codes
+        are a pure function of the frozen codebooks."""
+        with self._writer():
+            st = self._state()
+            if st["versions"]:
+                raise ValueError(
+                    "cannot set_pq_codebooks over existing assignments: "
+                    "codes are a pure function of the frozen codebooks "
+                    "(rebuild the store to change PQ — FAISS contract)"
+                )
+            pv = st["pq_version"] + 1
+            self.spark.createDataFrame(
+                [(int(s), int(c), [int(x) for x in qc])
+                 for s, c, qc in rows],
+                "sub int, cid int, qc array<bigint>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._pq_path(pv)
+            )
+            self._flip({**st, "pq_version": pv})
+            return pv
+
+    def train_pq(self, df: DataFrame) -> int:
+        """Train PQ codebooks on ``df`` (a sample at scale — same
+        bounded-training contract as :meth:`train`) with the exact
+        integer pipeline from operators/pq.py, then freeze them."""
+        from dmds_spark.operators.pq import pq_codebooks, quantized
+
+        cb = (
+            pq_codebooks(quantized(df, self.id_col, self.vec_col))
+            .orderBy("sub", "cid")
+            .collect()
+        )  # M*K rows — bounded
+        return self.set_pq_codebooks(
+            [(r["sub"], r["cid"], list(r["qc"])) for r in cb]
+        )
+
+    def pq_codebooks_df(self) -> DataFrame:
+        st = self._state()
+        if not st["pq_version"]:
+            raise ValueError(
+                "store has no PQ codebooks: call train_pq/set_pq_codebooks"
+            )
+        return self.spark.read.parquet(self._pq_path(st["pq_version"]))
+
+    def _pq_books(self) -> dict[int, dict[int, list[int]]]:
+        """{sub: {cid: codeword}} — M*K rows, driver-side bounded."""
+        books: dict[int, dict[int, list[int]]] = {}
+        for r in self.pq_codebooks_df().collect():
+            books.setdefault(int(r["sub"]), {})[int(r["cid"])] = list(r["qc"])
+        return books
+
+    @staticmethod
+    def _sq(a: Column, b: Column) -> Column:
+        """Exact i64 squared distance between two grid arrays — the
+        same fold as operators/pq.py _sqdist (one exactness contract)."""
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _grid(self, vec_col: str) -> Column:
+        """The floor(x*1e6)+2^22 integer grid of operators/pq.py
+        quantized() — byte-identical so stored codes hash-match a
+        declarative pq_encode restatement."""
+        from dmds_spark.operators.pq import PQ_OFF, PQ_SCALE
+
+        return F.expr(
+            f"transform({vec_col}, x -> CAST(floor("
+            f"CAST(x AS DOUBLE) * {PQ_SCALE}.0) AS BIGINT) + {PQ_OFF})"
+        )
+
+    def _codes_expr(
+        self, books: dict[int, dict[int, list[int]]], vec_col: str
+    ) -> Column:
+        """array<int> of M per-subspace nearest-codeword ids for one
+        vector column — a PURE PROJECTION against constant-folded
+        codeword literals (no join, no shuffle at ingest). The argmin
+        tie-break is lexicographic (dist, cid) over structs — equal to
+        pq_encode's zero-padded min_by key (distances are non-negative
+        i64)."""
+        from dmds_spark.operators.pq import PQ_DIM, PQ_M
+
+        sub = (self.dim if self.dim else PQ_DIM) // PQ_M
+        qv = self._grid(vec_col)
+        outs = []
+        for s in range(PQ_M):
+            sv = F.slice(qv, s * sub + 1, sub)
+            cand = F.array(*[
+                F.struct(
+                    self._sq(
+                        sv,
+                        F.from_json(F.lit(json.dumps(cw)),
+                                    "array<bigint>"),
+                    ).alias("d"),
+                    F.lit(int(c)).cast("int").alias("c"),
+                )
+                for c, cw in sorted(books.get(s, {}).items())
+            ])
+            outs.append(F.array_min(cand)["c"])
+        return F.array(*outs)
+
+    def _adc_tbl(
+        self, books: dict[int, dict[int, list[int]]], vec_col: str
+    ) -> Column:
+        """M x K asymmetric-distance lookup table for one QUERY vector
+        column: tbl[s][c] = i64 squared distance between the query's
+        s-th subvector and codeword c — codes index it positionally,
+        so cids absent from a subspace's codebook (a Lloyd round can
+        empty a seed) fill with 0L, which no stored code references."""
+        from dmds_spark.operators.pq import PQ_DIM, PQ_K, PQ_M
+
+        sub = (self.dim if self.dim else PQ_DIM) // PQ_M
+        qv = self._grid(vec_col)
+        arrs = []
+        for s in range(PQ_M):
+            sv = F.slice(qv, s * sub + 1, sub)
+            slots = []
+            for c in range(PQ_K):
+                cw = books.get(s, {}).get(c)
+                slots.append(
+                    self._sq(
+                        sv,
+                        F.from_json(F.lit(json.dumps(cw)),
+                                    "array<bigint>"),
+                    )
+                    if cw is not None
+                    else F.lit(0).cast("long")
+                )
+            arrs.append(F.array(*slots))
+        return F.array(*arrs)
+
     # -- ingest ------------------------------------------------------------
     def _ingest(self, vecs: DataFrame, st: dict) -> int | None:
         """Write one assignment increment; returns its version number,
@@ -246,10 +404,20 @@ class IncrementalIVFIndex:
         parquet-less directory that would poison every later
         ``assignments()`` schema inference, so it is rolled back and
         never committed (the caller still advances its replay marks)."""
-        assigned = vecs.select(
+        cols = [
             F.col(self.id_col),
             F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
-            self._nearest(self._centroid_rows()).alias("cluster"),
+        ]
+        if st["pq_version"]:
+            # PQ codes ride along with the cell id: a pure projection
+            # against the constant-folded frozen codebooks — O(new),
+            # no join, no shuffle, same as the cell assignment itself
+            cols.append(
+                self._codes_expr(self._pq_books(), self.vec_col)
+                .alias("codes")
+            )
+        assigned = vecs.select(
+            *cols, self._nearest(self._centroid_rows()).alias("cluster")
         )
         v = (max(st["versions"]) + 1) if st["versions"] else 1
         # partitioned by cluster: a search probing nprobe cells prunes
@@ -451,6 +619,124 @@ class IncrementalIVFIndex:
             .drop("rn")
         )
 
+    def search_batch_adc(
+        self,
+        queries: DataFrame,
+        qid_col: str = "qid",
+        qvec_col: str = "qvec",
+        topk: int = 10,
+        nprobe: int = 2,
+        rerank: int = 0,
+    ) -> DataFrame:
+        """IVFADC serving over the STORED codes (Jegou et al.): per
+        query, probe the ``nprobe`` nearest cells, rank every candidate
+        by PQ asymmetric distance computed from the codes column alone,
+        and (optionally) exact-rerank the per-query ADC shortlist of
+        ``rerank`` rows down to ``topk`` by true cosine.
+
+        Shape at 100 TB — the reason PQ lives in the store at all:
+
+        * the ADC phase scans ONLY (id, cluster, codes) of the probed
+          cell partitions — parquet column pruning never touches the
+          D-dim vector column, so the candidate pass reads a few bytes
+          per vector (the on-disk twin of FAISS's in-RAM compressed
+          codes);
+        * each query's M x K lookup table is a pure projection against
+          the constant-folded codebooks, attached to candidates through
+          the broadcast (qid, cluster, tbl) probe set — per candidate
+          the distance is M array lookups + adds, no shuffle;
+        * per-query shortlists come from a qid-partitioned rank window
+          (WindowGroupLimit top-k heaps, never a global sort);
+        * only the exact-rerank phase touches the vector column, and
+          only for the probed-cell scan joined to the broadcast
+          shortlist (Q * rerank rows).
+
+        With ``rerank=0`` returns (qid, id, cluster, adc_dist) —
+        integer-exact, the oracle-checked path. With ``rerank=r >=
+        topk`` returns (qid, id, cluster, adc_dist, sim) re-ranked by
+        exact cosine."""
+        from pyspark.sql import Window as W
+
+        st = self._state()
+        if not st["pq_version"]:
+            raise ValueError(
+                "ADC search needs frozen PQ codebooks: call "
+                "train_pq/set_pq_codebooks before ingesting"
+            )
+        store = self.assignments()
+        if store is None:
+            raise ValueError("index is empty: ingest before searching")
+        if "codes" not in store.columns:
+            raise ValueError(
+                "store has no codes column (built before PQ froze): "
+                "rebuild the store with PQ enabled"
+            )
+        books = self._pq_books()
+        cand = self._cell_rank(self._centroid_rows(), "qvec")
+        probed = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).cast("array<double>").alias("qvec"),
+        ).select(
+            "qid",
+            "qvec",
+            self._adc_tbl(books, "qvec").alias("tbl"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cand), 1, nprobe),
+                    lambda s: s["c"],
+                )
+            ).alias("cluster"),
+        )
+        cells = [
+            r["cluster"]
+            for r in probed.select("cluster").distinct().collect()
+        ]  # bounded by k — reaches the scan as a partition filter
+        shortlist_n = max(topk, rerank)
+        w_adc = W.partitionBy("qid").orderBy("adc_dist", F.col(self.id_col))
+        shortlist = (
+            store.select(self.id_col, "cluster", "codes")
+            .filter(F.col("cluster").isin(cells))  # partition-pruned
+            .join(F.broadcast(probed.select("qid", "cluster", "tbl")),
+                  "cluster")
+            .select(
+                "qid",
+                self.id_col,
+                "cluster",
+                F.expr(
+                    "aggregate(transform(codes, (c, s) -> tbl[s][c]),"
+                    " 0L, (acc, v) -> acc + v)"
+                ).alias("adc_dist"),
+            )
+            .withColumn("rn", F.row_number().over(w_adc))
+            .filter(F.col("rn") <= shortlist_n)
+            .drop("rn")
+        )
+        if not rerank:
+            return shortlist
+        qside = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).cast("array<double>").alias("qvec"),
+        )
+        w_sim = W.partitionBy("qid").orderBy(
+            F.col("sim").desc(), F.col(self.id_col)
+        )
+        return (
+            store.select(self.id_col, "cluster", self.vec_col)
+            .filter(F.col("cluster").isin(cells))
+            .join(F.broadcast(shortlist.drop("cluster")), self.id_col)
+            .join(F.broadcast(qside), "qid")
+            .select(
+                "qid",
+                self.id_col,
+                "cluster",
+                "adc_dist",
+                _cos(F.col(self.vec_col), F.col("qvec")).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w_sim))
+            .filter(F.col("rn") <= topk)
+            .drop("rn")
+        )
+
     def compact(self) -> dict:
         """Merge increment files into one version (small-file hygiene
         after many micro-batches); content unchanged, never recomputed.
@@ -509,10 +795,14 @@ class IncrementalIVFIndex:
                 old = self.spark.read.parquet(
                     self._current_assign_paths([v], st)[0]
                 )
+                carry = [F.col(self.id_col), F.col(self.vec_col)]
+                if "codes" in old.columns:
+                    # PQ codes depend only on the frozen codebooks, not
+                    # the coarse quantizer: a centroid retrain moves
+                    # each row's CELL and carries its codes unchanged
+                    carry.append(F.col("codes"))
                 old.select(
-                    F.col(self.id_col),
-                    F.col(self.vec_col),
-                    nearest.alias("cluster"),
+                    *carry, nearest.alias("cluster")
                 ).write.mode("overwrite").partitionBy("cluster").parquet(
                     self._assign_paths([v], cv2, base)[0]
                 )
@@ -598,4 +888,11 @@ class IncrementalIVFIndex:
                     shutil.rmtree(os.path.join(cdir, name),
                                   ignore_errors=True)
                     removed.append(f"centroids/{name}")
+        pdir = os.path.join(self.store_dir, "pq")
+        if os.path.isdir(pdir) and st["pq_version"]:
+            for name in sorted(os.listdir(pdir)):
+                if name != f"v{st['pq_version']}":
+                    shutil.rmtree(os.path.join(pdir, name),
+                                  ignore_errors=True)
+                    removed.append(f"pq/{name}")
         return removed

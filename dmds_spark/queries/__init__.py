@@ -548,5 +548,9 @@ def _load():
     from dmds_spark.queries import round13d  # noqa: F401
     from dmds_spark.queries import round13e  # noqa: F401
     from dmds_spark.queries import round13f  # noqa: F401
+    # round-14 additions: every pre-existing query has driver evidence
+    # (357/357 after r13), so these lead the round-14 window and the
+    # remaining slots rotate the priority rechecks + oldest evidence
+    from dmds_spark.queries import round14  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,129 @@
+"""Round-14 queries, batch one: the MAINTAINED IVFADC serving stack —
+PQ codes persisted in the incremental IVF store
+(operators/incremental_ivf.py set_pq_codebooks/train_pq/
+search_batch_adc). Round 13 proved the IVF+PQ arithmetic inline
+(queries/round13e.py); this batch proves the production shape: codes
+assigned O(new) per increment next to the cell ids, carried through
+retrain, and served by asymmetric distance over the stored codes
+column — the billion-scale deployment the inline queries prototype.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dmds_spark.queries import register
+from dmds_spark.queries.round13e import _PQ_CTE, PQ_SUB
+
+_IVFADC_Q = 3        # query batch: vec_id < 3
+_IVFADC_NPROBE = 2
+_IVFADC_TOPK = 10
+_IVFADC_CELLS = 8    # coarse cells = the vec_id < 8 anchor vectors
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register(
+    "rollup_incremental_ivfadc",
+    _PQ_CTE + f"""
+    , anchors AS (
+      SELECT vec_id AS aid, embedding AS av FROM embeddings
+      WHERE vec_id < {_IVFADC_CELLS}
+    ), cellr AS (
+      SELECT e.vec_id, a.aid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, a.av) DESC,
+                        a.aid
+             ) AS rn
+      FROM embeddings e CROSS JOIN anchors a
+    ), assign AS (
+      SELECT vec_id, aid AS cell FROM cellr WHERE rn = 1
+    ), qv AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {_IVFADC_Q}
+    ), probe AS (
+      SELECT x.qid, x.cell FROM (
+        SELECT q.qid, a.aid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qe, a.av) DESC, a.aid
+               ) AS rn
+        FROM qv q CROSS JOIN anchors a) x
+      WHERE x.rn <= {_IVFADC_NPROBE}
+    ), qsub AS (
+      SELECT vec_id AS qid, sub, sv AS qsv FROM subs
+      WHERE vec_id < {_IVFADC_Q}
+    ), t AS (
+      SELECT x.qid, c.sub, c.cid AS code,
+             list_sum([(x.qsv[i] - c.qc[i]) * (x.qsv[i] - c.qc[i])
+                       for i in range(1, {PQ_SUB} + 1)]) AS td
+      FROM cb c JOIN qsub x ON x.sub = c.sub
+    ), cand AS (
+      SELECT p.qid, k.vec_id, k.sub, k.code
+      FROM codes k
+      JOIN assign a ON a.vec_id = k.vec_id
+      JOIN probe p ON p.cell = a.cell
+    ), adc AS (
+      SELECT cand.qid, cand.vec_id,
+             CAST(SUM(t.td) AS BIGINT) AS adc_dist
+      FROM cand JOIN t ON t.qid = cand.qid AND t.sub = cand.sub
+                      AND t.code = cand.code
+      GROUP BY cand.qid, cand.vec_id
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, vec_id, adc_dist FROM (
+      SELECT qid, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) z
+    WHERE z.rn <= {_IVFADC_TOPK}
+    """,
+)
+def rollup_incremental_ivfadc(spark, sf_dir):
+    """The maintained IVF+PQ store proven against the oracle end to
+    end: freeze 8 anchor centroids AND the PQ codebooks (trained on
+    the corpus with the exact integer pipeline), ingest the even-id
+    half, append the odd half, replay the refresh (idempotent no-op)
+    — then serve a 3-query ADC batch over the STORED codes with
+    nprobe=2. The oracle states the full single-pass build + IVFADC
+    search declaratively, so the driver's hash-compare certifies
+    increment-union == full rebuild FOR THE CODES TOO, and that the
+    served asymmetric-distance ranking (including its quantization
+    error) is reproduced bit-for-bit (operators/incremental_ivf.py;
+    same acceptance shape as rollup_incremental_ivf).
+
+    Shape at scale: codes are a pure projection against constant-
+    folded codebooks at ingest (O(new), no shuffle); the ADC scan
+    reads ONLY (id, cluster, codes) of the probed cell partitions —
+    column pruning never touches the 64-float vector column, which is
+    the memory/IO point of PQ; per-query shortlists are qid-keyed
+    rank windows. Integer-exact throughout — no rerank here so every
+    output column is i64 (the rerank path is pinned stream==batch
+    style in tests/test_incremental_ivf.py)."""
+    from dmds_spark.core.scratch import scratch_dir
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    root = scratch_dir("inc_ivfadc", sf_dir)
+    src = f"{root}/src"
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    anchors = (
+        e.filter(F.col("vec_id") < _IVFADC_CELLS).orderBy("vec_id").collect()
+    )  # 8 rows — bounded by k, never data size
+    idx = IncrementalIVFIndex(
+        spark, src, f"{root}/store", "vec_id", "embedding"
+    )
+    idx.set_centroids([list(r["embedding"]) for r in anchors])
+    idx.train_pq(e)
+    e.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+    idx.refresh()
+    e.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+    idx.refresh()
+    idx.refresh()  # replay: no new files, committed state unchanged
+    queries = e.filter(F.col("vec_id") < _IVFADC_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return idx.search_batch_adc(
+        queries, topk=_IVFADC_TOPK, nprobe=_IVFADC_NPROBE
+    ).select(F.col("qid").cast("bigint").alias("qid"), "vec_id", "adc_dist")

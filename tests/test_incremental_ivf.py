@@ -428,3 +428,211 @@ def test_reader_across_retrain_flip_and_vacuum(spark, emb, tmp_path):
         (r["qid"], r["vec_id"]) for r in
         idx.search_batch(queries, topk=5, nprobe=2).collect()
     ) == sorted((q, v) for q, v, _ in baseline)
+
+
+# -- PQ codes in the maintained store (round 14) -------------------------
+
+
+def _pq_idx(spark, emb, path, halves=True):
+    idx = IncrementalIVFIndex(spark, None, str(path), "vec_id", "embedding")
+    idx.set_centroids(_anchor_rows(emb))
+    idx.train_pq(emb)
+    if halves:
+        idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+        idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+        idx.fold_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)  # replay
+    else:
+        idx.fold_batch(emb, 0)
+    return idx
+
+
+def test_pq_codes_increment_union_equals_full_encode(spark, emb, tmp_path):
+    """Codes are a pure function of (vector, frozen codebooks), so the
+    two-increment store's codes column must equal an inline
+    pq_encode() of the whole corpus, row for row — the
+    increment-union == full-recompute contract extended to PQ."""
+    from dmds_spark.operators.pq import pq_codebooks, pq_encode, quantized
+
+    idx = _pq_idx(spark, emb, tmp_path / "pq")
+    q = quantized(emb)
+    inline = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(q, pq_codebooks(q)).collect()
+    }
+    stored = {
+        (r["vec_id"], s): c
+        for r in idx.assignments().select("vec_id", "codes").collect()
+        for s, c in enumerate(r["codes"])
+    }
+    assert stored == inline and len(stored) == emb.count() * 4
+
+
+def test_adc_all_cells_matches_inline_adc(spark, emb, tmp_path):
+    """search_batch_adc with nprobe == #cells is pure ADC — it must
+    reproduce operators/pq.py pq_adc_topk per query exactly (the
+    integer distances leave no tolerance)."""
+    from dmds_spark.operators.pq import pq_codebooks, pq_encode, quantized
+
+    idx = _pq_idx(spark, emb, tmp_path / "a")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(
+        (r["qid"], r["vec_id"], r["adc_dist"])
+        for r in idx.search_batch_adc(queries, topk=10, nprobe=8).collect()
+    )
+    q = quantized(emb)
+    cb = pq_codebooks(q)
+    codes = pq_encode(q, cb)
+    from dmds_spark.operators.pq import pq_adc_topk
+
+    ref = sorted(
+        (qid, r["vec_id"], r["adc_dist"])
+        for qid in (0, 1, 2)
+        for r in pq_adc_topk(q, cb, codes, qid, 10).collect()
+    )
+    assert got == ref
+
+
+def test_adc_rerank_matches_exact_cosine_on_shortlist(spark, emb, tmp_path):
+    """The rerank path must equal an independent recompute: exact
+    cosine over the ADC shortlist (rerank rows), top-k by (sim desc,
+    id). Verified with a driver-side numpy recompute."""
+    import math
+
+    idx = _pq_idx(spark, emb, tmp_path / "r")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    short = idx.search_batch_adc(queries, topk=20, nprobe=2)  # == shortlist
+    got = idx.search_batch_adc(queries, topk=5, nprobe=2, rerank=20)
+    vecs = {
+        r["vec_id"]: list(r["embedding"]) for r in emb.collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    by_q = {}
+    for r in short.collect():
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    want = set()
+    for qid, ids in by_q.items():
+        ranked = sorted(ids, key=lambda v: (-cos(vecs[qid], vecs[v]), v))
+        want |= {(qid, v) for v in ranked[:5]}
+    assert {(r["qid"], r["vec_id"]) for r in got.collect()} == want
+    assert set(got.columns) == {"qid", "vec_id", "cluster", "adc_dist", "sim"}
+
+
+def test_pq_freeze_contract_and_error_paths(spark, emb, tmp_path):
+    """PQ codebooks freeze like centroids: refused over existing
+    assignments; ADC search refused without codebooks; a legacy store
+    (built before PQ froze) fails with the rebuild message rather than
+    fabricating codes."""
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "c"), "vec_id", "embedding"
+    )
+    idx.set_centroids(_anchor_rows(emb))
+    idx.fold_batch(emb, 0)
+    with pytest.raises(ValueError, match="pure function of the frozen"):
+        idx.train_pq(emb)
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="needs frozen PQ codebooks"):
+        idx.search_batch_adc(queries)
+    # legacy: pointer gains pq_version but rows predate codes
+    import json as _json
+    import os as _os
+
+    st = idx._state()
+    p2 = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "c"), "vec_id", "embedding"
+    )
+    _pq_dir = p2._pq_path(1)
+    spark.createDataFrame(
+        [(0, 0, [0] * 16)], "sub int, cid int, qc array<bigint>"
+    ).write.parquet(_pq_dir)
+    with open(_os.path.join(str(tmp_path / "c"), "_current.json"), "w") as fh:
+        _json.dump({**st, "pq_version": 1}, fh)
+    with pytest.raises(ValueError, match="no codes column"):
+        p2.search_batch_adc(queries)
+
+
+def test_retrain_carries_codes_and_vacuum_keeps_pq(spark, emb, tmp_path):
+    """A coarse-quantizer retrain moves cells and must carry each
+    row's codes unchanged (codes depend only on the PQ codebooks);
+    vacuum keeps the current pq generation."""
+    idx = _pq_idx(spark, emb, tmp_path / "m", halves=False)
+    before = {r["vec_id"]: list(r["codes"])
+              for r in idx.assignments().collect()}
+    idx.retrain(list(reversed(_anchor_rows(emb))))
+    after = {r["vec_id"]: list(r["codes"])
+             for r in idx.assignments().collect()}
+    assert after == before
+    removed = idx.vacuum()["removed"]
+    assert not any(name.startswith("pq/") for name in removed)
+    import os as _os
+
+    assert _os.path.isdir(idx._pq_path(1))
+
+
+def test_adc_reader_across_retrain_flip_and_vacuum(spark, emb, tmp_path):
+    """The :func:`test_reader_across_retrain_flip_and_vacuum` contract
+    extended to the ADC path: a pre-flip search_batch_adc plan keeps
+    serving the old generation across a retrain flip; a cold pre-flip
+    plan fails cleanly (missing files) after vacuum, never silently
+    serving mixed generations."""
+    anchors = _anchor_rows(emb)
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "rv"), "vec_id", "embedding"
+    )
+    idx.set_centroids(anchors[:4])
+    idx.train_pq(emb)
+    idx.fold_batch(emb, 0)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pre = idx.search_batch_adc(queries, topk=5, nprobe=2)
+    pre_cold = idx.search_batch_adc(queries, topk=5, nprobe=2)
+    baseline = sorted(
+        (r["qid"], r["vec_id"], r["adc_dist"]) for r in pre.collect()
+    )
+    assert baseline
+    idx.retrain(list(reversed(anchors[:4])))
+    assert sorted(
+        (r["qid"], r["vec_id"], r["adc_dist"]) for r in pre.collect()
+    ) == baseline  # pre-flip reader: old generation, intact
+    idx.vacuum()
+    with pytest.raises(Exception) as ei:
+        pre_cold.collect()
+    msg = str(ei.value)
+    assert (
+        "FileNotFound" in msg
+        or "does not exist" in msg
+        or "PATH_NOT_FOUND" in msg
+        or "FAILED_READ_FILE" in msg
+    ), msg
+
+
+def test_adc_scan_prunes_vector_column_and_partitions(spark, emb, tmp_path):
+    """The 100 TB point of stored codes, pinned on the plan: the ADC
+    phase's scan reads ONLY (id, codes) under the cluster partition
+    key — the 64-float vector column must NOT appear in any ReadSchema
+    of the no-rerank plan; the probed cells reach the scan as a
+    partition filter; the corpus side carries no broadcast hint."""
+    from dmds_spark.plans import partition_filters, read_schemas
+
+    idx = _pq_idx(spark, emb, tmp_path / "p", halves=False)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    df = idx.search_batch_adc(queries, topk=5, nprobe=2)
+    store_schemas = [s for s in read_schemas(df) if "codes" in s]
+    assert store_schemas and all(
+        "embedding" not in s for s in store_schemas
+    ), store_schemas
+    assert any("cluster" in f for f in partition_filters(df))
