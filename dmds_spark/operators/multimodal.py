@@ -2,14 +2,15 @@
 image/audio/video as opaque ``binary`` columns with typed metadata,
 processed through Arrow-batched ``mapInPandas`` stages.
 
-Image decode/resize is REAL for uncompressed containers everywhere:
-P6 PPM and BI_RGB BMP parse and resample with numpy alone (encoders
-included, so tests and oracles synthesize real containers with
-arithmetic rasters). Only COMPRESSED codecs (JPEG/PNG decode, and the
-audio/video demuxers) depend on libraries absent from this container —
-those routes go through the optional Pillow import and raise
-``NotImplementedError`` without it, while ``fake=True`` selects the
-deterministic DMDS header parser. Everything around the codecs is
+Image decode/resize is REAL with no environment dependency for P6 PPM
+and BI_RGB BMP (numpy) AND — since round 14 — for 8-bit non-interlaced
+PNG (stdlib zlib inflate + numpy row unfilters; encoders included, so
+tests and oracles synthesize real containers with arithmetic rasters).
+Only JPEG/other compressed codecs (and the audio/video demuxers)
+depend on libraries absent from this container — those routes go
+through the optional Pillow import and raise ``NotImplementedError``
+without it, while ``fake=True`` selects the deterministic DMDS header
+parser. Everything around the codecs is
 real and tested: schemas, Arrow batch shapes, partition behavior, UDF
 signatures, frame explosion, and feature extraction (byte histograms
 are real math on the real bytes).
@@ -210,6 +211,169 @@ def bmp_pixels(raw: bytes) -> "object":
     return img[:, :, [2, 1, 0] + ([3] if channels == 4 else [])].copy()
 
 
+# PNG — the first COMPRESSED codec with no environment gate: the
+# stream is zlib (stdlib) and the five per-row filters are numpy, so
+# PNG decodes everywhere Pillow does not exist. 8-bit gray/RGB/
+# gray+alpha/RGBA, non-interlaced (palette, 16-bit, and Adam7 raise —
+# they are re-encode concerns, not pipeline-dump formats). The encoder
+# can cycle all five filter types so round-trip tests exercise every
+# unfilter path. Decode cost: None/Sub/Up rows vectorize; Average and
+# Paeth rows are left-dependent so they walk pixels in Python — fine
+# for the synthesized fixtures here, and a production cluster with
+# Pillow installed takes the PIL branch anyway (documented trade, not
+# a hidden one).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(raw: bytes):
+    """Yield (type, data) for each chunk; CRCs are not verified (the
+    zlib stream self-checks via adler32; header fields are validated
+    semantically)."""
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        yield ctype, raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def _png_header(raw: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from IHDR; raises on the unsupported
+    shapes (palette, 16-bit, interlaced) rather than mis-decoding."""
+    for ctype, data in _png_chunks(raw):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}): "
+                    "only 8-bit gray/RGB/GA/RGBA decode here"
+                )
+            if interlace:
+                raise ValueError("Adam7-interlaced PNG unsupported")
+            return w, h, _PNG_CHANNELS[color]
+    raise ValueError("PNG missing IHDR")
+
+
+def _paeth(left, up, ul):
+    """The Paeth predictor over numpy int arrays (PNG spec §9.4)."""
+    import numpy as np
+
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+
+
+def png_pixels(raw: bytes) -> "object":
+    """Full stdlib+numpy PNG decode -> (height, width, channels)
+    uint8: concatenated IDAT zlib-inflates to h scanlines of
+    (filter_type, stride bytes); each row unfilters against the
+    reconstructed previous row."""
+    import zlib
+
+    import numpy as np
+
+    w, h, c = _png_header(raw)
+    dec = zlib.decompress(
+        b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
+    )
+    stride = w * c
+    if len(dec) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    arr = np.frombuffer(dec, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-channel-phase cumulative sum
+            cur = row.reshape(w, c).cumsum(axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-dependent walk
+            cur = np.zeros(stride, dtype=np.int64)
+            left = np.zeros(c, dtype=np.int64)
+            ul = np.zeros(c, dtype=np.int64)
+            for x in range(w):
+                up = prev[x * c : (x + 1) * c]
+                pred = (left + up) // 2 if ft == 3 else _paeth(left, up, ul)
+                left = (row[x * c : (x + 1) * c] + pred) % 256
+                cur[x * c : (x + 1) * c] = left
+                ul = up
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon.reshape(h, w, c).copy()
+
+
+def encode_png(
+    width: int, height: int, seed: int, cycle_filters: bool = True
+) -> bytes:
+    """A real 8-bit RGB PNG whose raster byte j is
+    ``(seed*31 + j*7) % 256`` — the arithmetic payload of
+    :func:`encode_ppm` in a COMPRESSED container. With
+    ``cycle_filters`` row y filters with type y % 5, so a single
+    image exercises every unfilter path; forward filtering uses only
+    raw neighbor bytes (predictors reference reconstructed values,
+    which equal the raw raster), so it vectorizes per row."""
+    import zlib
+
+    import numpy as np
+
+    c = 3
+    stride = width * c
+    raster = (
+        (seed * 31 + np.arange(height * stride, dtype=np.int64) * 7) % 256
+    ).reshape(height, stride)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    zc = np.zeros(c, dtype=np.int64)
+    for y in range(height):
+        row = raster[y]
+        ft = (y % 5) if cycle_filters else 0
+        left = np.concatenate([zc, row[:-c]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = (row - left) % 256
+        elif ft == 2:
+            filt = (row - prev) % 256
+        elif ft == 3:
+            filt = (row - (left + prev) // 2) % 256
+        else:
+            ul = np.concatenate([zc, prev[:-c]])
+            filt = (row - _paeth(left, prev, ul)) % 256
+        lines.append(ft)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(content: bytes, fake: bool | None = None) -> dict:
     """Decode one image's header.
 
@@ -233,11 +397,14 @@ def decode_image(content: bytes, fake: bool | None = None) -> dict:
     if content[:2] == b"BM":
         width, height, channels, _off = _bmp_header(content)
         return {"width": width, "height": abs(height), "channels": channels}
+    if content[:8] == _PNG_MAGIC:
+        width, height, channels = _png_header(content)
+        return {"width": width, "height": height, "channels": channels}
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "decoding COMPRESSED image formats requires Pillow, which is "
-            "not installed; uncompressed PPM/BMP decode without it, and "
+            "decoding JPEG/other compressed formats requires Pillow, "
+            "which is not installed; PPM/BMP/PNG decode without it, and "
             "fake=True selects the deterministic header parser"
         )
     import io
@@ -348,6 +515,112 @@ def ppm_media_table_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def png_media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Like :func:`ppm_media_table_from_documents` but the container is
+    a COMPRESSED one — a real PNG per document, same arithmetic
+    geometry (w = 16 + n_chars%48, h = 16 + (n_chars//7)%48) and
+    raster byte j = (doc_id*31 + j*7) % 256, rows filter-cycled so
+    every unfilter path runs in the distributed query. Round 14's
+    un-gating of the first compressed codec: encode AND decode are
+    stdlib+numpy, so the whole zlib+filter round trip is oracle-able
+    with no imaging library anywhere."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], "kind": [], "content": [], "meta": []}
+                )
+                continue
+            doc_ids = pdf["doc_id"].astype("int64")
+            n_chars = pdf["n_chars"].astype("int64")
+            width = (16 + n_chars % 48).to_numpy()
+            height = (16 + (n_chars // 7) % 48).to_numpy()
+            contents = [
+                encode_png(int(w), int(h), int(d))
+                for w, h, d in zip(width, height, doc_ids)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": doc_ids.to_numpy(),
+                    "kind": ["image"] * n,
+                    "content": contents,
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(h),
+                            "channels": 3,
+                            "n_bytes": len(c),
+                        }
+                        for w, h, c in zip(width, height, contents)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+RASTER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("raster_sum", T.LongType()),
+    ]
+)
+
+
+def raster_stats(media: DataFrame) -> DataFrame:
+    """FULL pixel decode (PPM/BMP/PNG — no environment gate) per
+    image: geometry plus the exact i64 sum of every raster byte. The
+    sum certifies the whole decompress+unfilter path end to end — a
+    header parse cannot fake it. Same Arrow/mapInPandas shape as
+    decode_images; bytes never leave the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype="int64") for f in RASTER_STATS_SCHEMA}
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:2] == b"P6":
+                    px = ppm_pixels(raw)
+                elif raw[:2] == b"BM":
+                    px = bmp_pixels(raw)
+                elif raw[:8] == _PNG_MAGIC:
+                    px = png_pixels(raw)
+                else:
+                    raise ValueError(
+                        "raster_stats decodes PPM/BMP/PNG containers"
+                    )
+                h, w, c = px.shape
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": int(w),
+                        "height": int(h),
+                        "channels": int(c),
+                        "raster_sum": int(
+                            px.astype(np.int64).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run, RASTER_STATS_SCHEMA
+    )
 
 
 DECODED_SCHEMA = T.StructType(
@@ -562,11 +835,19 @@ def resize_images(
                         target_width, target_height, src["channels"], int(media_id)
                     )
                     channels = src["channels"]
-                elif raw[:2] in (b"P6", b"BM"):
-                    px = (
-                        ppm_pixels(raw) if raw[:2] == b"P6"
-                        else bmp_pixels(raw)[:, :, :3]
-                    )
+                elif raw[:2] in (b"P6", b"BM") or raw[:8] == _PNG_MAGIC:
+                    import numpy as np
+
+                    if raw[:2] == b"P6":
+                        px = ppm_pixels(raw)
+                    elif raw[:2] == b"BM":
+                        px = bmp_pixels(raw)[:, :, :3]
+                    else:
+                        px = png_pixels(raw)
+                        px = (
+                            np.repeat(px, 3, axis=2) if px.shape[2] == 1
+                            else px[:, :, :3]
+                        )
                     resized = encode_ppm_pixels(
                         _nearest(px, target_width, target_height)
                     )
@@ -575,8 +856,8 @@ def resize_images(
                     Image = _pil()
                     if Image is None:
                         raise NotImplementedError(
-                            "COMPRESSED media bytes need Pillow to "
-                            "resample (uncompressed PPM/BMP resize "
+                            "JPEG/other compressed media bytes need "
+                            "Pillow to resample (PPM/BMP/PNG resize "
                             "without it)"
                         )
                     with Image.open(io.BytesIO(raw)) as im:

@@ -58,19 +58,21 @@ def test_decode_auto_sniffs_fake_bytes():
 
 
 def test_decode_real_image_roundtrip():
-    # with Pillow installed the real path decodes real bytes; without
-    # it, the same call degrades to a clear NotImplementedError
-    from dmds_spark.operators.multimodal import _pil
+    # PNG decodes with or without Pillow (stdlib codec since round 14);
+    # JPEG magic without Pillow degrades to a clear NotImplementedError
+    from dmds_spark.operators.multimodal import _pil, encode_png
 
+    got = decode_image(encode_png(33, 21, 9))
+    assert got == {"width": 33, "height": 21, "channels": 3}
     Image = _pil()
     if Image is None:
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         return
     import io
 
     buf = io.BytesIO()
-    Image.new("RGB", (33, 21)).save(buf, "PNG")
+    Image.new("RGB", (33, 21)).save(buf, "JPEG")
     got = decode_image(buf.getvalue())
     assert got == {"width": 33, "height": 21, "channels": 3}
 
@@ -216,15 +218,17 @@ def test_resize_images_real_codec(spark):
 
 
 def test_compressed_without_pil_raises():
-    """The ONLY remaining environment gate: compressed containers need
-    Pillow; the error must be clear, and uncompressed must not hit it."""
+    """The remaining environment gate (JPEG and friends — PNG decodes
+    stdlib-side since round 14): compressed containers beyond PNG need
+    Pillow; the error must be clear, and uncompressed must not hit
+    it."""
     from dmds_spark.operators.multimodal import _pil, decode_image
 
     if _pil() is not None:
         pytest.skip("Pillow installed: compressed path active")
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
-    with pytest.raises(NotImplementedError, match="COMPRESSED"):
-        decode_image(png_magic, fake=False)
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(jpeg_magic, fake=False)
 
 
 # --------------------------------------------------------------------------
@@ -235,13 +239,13 @@ def test_compressed_without_pil_raises():
 # stay validated somewhere a real cluster runs it (the r2 verdict ask).
 
 
-def _png_bytes(width, height, color=(7, 11, 13)):
+def _jpeg_bytes(width, height, color=(7, 11, 13)):
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.new("RGB", (width, height), color).save(buf, "PNG")
+    Image.new("RGB", (width, height), color).save(buf, "JPEG")
     return buf.getvalue()
 
 
@@ -249,10 +253,10 @@ def test_decode_image_compressed_codec():
     pytest.importorskip("PIL")
     from dmds_spark.operators.multimodal import decode_image
 
-    d = decode_image(_png_bytes(40, 30), fake=False)
+    d = decode_image(_jpeg_bytes(40, 30), fake=False)
     assert d == {"width": 40, "height": 30, "channels": 3}
     # auto-sniff: a compressed magic routes past the container parsers
-    d2 = decode_image(_png_bytes(8, 8), fake=None)
+    d2 = decode_image(_jpeg_bytes(8, 8), fake=None)
     assert d2["width"] == 8 and d2["height"] == 8
 
 
@@ -260,7 +264,7 @@ def test_decode_images_compressed_codec_distributed(spark):
     pytest.importorskip("PIL")
     from dmds_spark.operators.multimodal import decode_images
 
-    rows = [(i, "image", _png_bytes(16 + i, 12 + i), None) for i in range(6)]
+    rows = [(i, "image", _jpeg_bytes(16 + i, 12 + i), None) for i in range(6)]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in decode_images(media, fake=False).collect()}
     assert len(got) == 6
@@ -271,11 +275,30 @@ def test_resize_images_compressed_codec(spark):
     pytest.importorskip("PIL")
     from dmds_spark.operators.multimodal import decode_images, resize_images
 
-    rows = [(i, "image", _png_bytes(64, 48), None) for i in range(4)]
+    rows = [(i, "image", _jpeg_bytes(64, 48), None) for i in range(4)]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = decode_images(resize_images(media, 20, 10, fake=False), fake=False).collect()
     assert len(out) == 4
     assert all(r["width"] == 20 and r["height"] == 10 for r in out)
+
+
+def test_png_decoder_reads_pillow_written_png():
+    """Cross-writer validation (Pillow boxes only): a PNG produced by
+    an INDEPENDENT encoder must decode to the exact pixels through the
+    stdlib codec — the round-trip tests above share our own writer."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from dmds_spark.operators.multimodal import png_pixels
+
+    rng = np.random.default_rng(42)
+    want = rng.integers(0, 256, size=(13, 29, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(want, "RGB").save(buf, "PNG")
+    assert np.array_equal(png_pixels(buf.getvalue()), want)
 
 
 # --------------------------------------------------------------------------
@@ -747,3 +770,106 @@ def test_phash_bits_contract(spark):
         assert got == want, bits
         if bits < 64:
             assert 0 <= got < (1 << bits)
+
+
+# --------------------------------------------------------------------------
+# PNG (round 14): the first COMPRESSED codec with NO environment gate —
+# stdlib zlib + numpy filters. Round trips pin every filter type; the
+# distributed query multimodal_png_decode_stats oracles the raster sum.
+# --------------------------------------------------------------------------
+
+
+def test_png_roundtrip_every_filter_type():
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import encode_png, png_pixels
+
+    for w, h, seed in [(16, 16, 3), (33, 7, 11), (1, 1, 0), (5, 23, 255)]:
+        px = png_pixels(encode_png(w, h, seed))  # rows cycle filters 0-4
+        want = (
+            (seed * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256
+        ).astype(np.uint8).reshape(h, w, 3)
+        assert (px == want).all(), (w, h, seed)
+
+
+def test_png_filters_agree_with_unfiltered_encoding():
+    """The same raster encoded with cycling filters and with all-None
+    filters must decode identically — the unfilter math, isolated from
+    the payload."""
+    from dmds_spark.operators.multimodal import encode_png, png_pixels
+
+    a = png_pixels(encode_png(20, 9, 5, cycle_filters=True))
+    b = png_pixels(encode_png(20, 9, 5, cycle_filters=False))
+    assert (a == b).all()
+
+
+def test_png_header_and_decode_image():
+    from dmds_spark.operators.multimodal import decode_image, encode_png
+
+    raw = encode_png(40, 12, 7)
+    assert decode_image(raw) == {"width": 40, "height": 12, "channels": 3}
+    assert decode_image(raw, fake=False) == {
+        "width": 40, "height": 12, "channels": 3,
+    }
+
+
+def test_png_unsupported_shapes_raise():
+    import struct as _s
+    import zlib as _z
+
+    from dmds_spark.operators.multimodal import _PNG_MAGIC, png_pixels
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def ihdr(depth, color, interlace):
+        return chunk(
+            b"IHDR", _s.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        )
+
+    for depth, color, interlace, msg in [
+        (16, 2, 0, "unsupported PNG"),     # 16-bit
+        (8, 3, 0, "unsupported PNG"),      # palette
+        (8, 2, 1, "interlaced"),           # Adam7
+    ]:
+        raw = _PNG_MAGIC + ihdr(depth, color, interlace) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match=msg):
+            png_pixels(raw)
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_pixels(b"JUNK" * 4)
+
+
+def test_png_resize_and_raster_stats_distributed(spark):
+    """PNG media flows through resize (decode -> nearest -> PPM
+    re-encode, no Pillow) and raster_stats end to end."""
+    import numpy as np
+
+    from dmds_spark.operators.multimodal import (
+        encode_png,
+        ppm_pixels,
+        png_media_table_from_documents,
+        raster_stats,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 333), (3, 77)], "doc_id long, n_chars long"
+    )
+    media = png_media_table_from_documents(docs)
+    stats = {r["media_id"]: r for r in raster_stats(media).collect()}
+    for d, n_chars in [(1, 100), (2, 333), (3, 77)]:
+        w, h = 16 + n_chars % 48, 16 + (n_chars // 7) % 48
+        want = int(
+            ((d * 31 + np.arange(w * h * 3, dtype=np.int64) * 7) % 256).sum()
+        )
+        r = stats[d]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["raster_sum"] == want
+    out = {r["media_id"]: r for r in
+           resize_images(media, 8, 8).collect()}
+    for d in (1, 2, 3):
+        px = ppm_pixels(bytes(out[d]["content"]))
+        assert px.shape == (8, 8, 3)
