@@ -367,6 +367,9 @@ ADDITIONS = [
     # round-14 batch one: the MAINTAINED IVFADC store (PQ codes
     # persisted per increment, ADC served from the codes column)
     "rollup_incremental_ivfadc",
+    # round-14 batch two: first compressed codec un-gated (stdlib PNG
+    # encode -> inflate+unfilter decode, raster-sum certified)
+    "multimodal_png_decode_stats",
 ]
 
 
