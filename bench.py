@@ -370,6 +370,11 @@ ADDITIONS = [
     # round-14 batch two: first compressed codec un-gated (stdlib PNG
     # encode -> inflate+unfilter decode, raster-sum certified)
     "multimodal_png_decode_stats",
+    # round-14 batch three: survivorship/golden record (MDM merge),
+    # split-conformal coverage, B-cubed dedup cluster quality
+    "survivorship_golden_record",
+    "eval_conformal_coverage",
+    "dedup_bcubed_quality",
 ]
 
 

@@ -552,5 +552,6 @@ def _load():
     # (357/357 after r13), so these lead the round-14 window and the
     # remaining slots rotate the priority rechecks + oldest evidence
     from dmds_spark.queries import round14  # noqa: F401
+    from dmds_spark.queries import round14b  # noqa: F401
 
     _LOADED = True

@@ -1509,6 +1509,10 @@ UNPARTITIONED_WINDOW_OK = {
     # ppm score grids: distinct scores <= 1e6+1 by construction
     "eval_auc_rank_sum": "rank-sum over the distinct-ppm score grid",
     "eval_pr_curve": "cum TP/FP over the distinct-ppm score grid",
+    "eval_conformal_coverage": (
+        "cum counts over the distinct-|residual| cents grid (bounded "
+        "by the value range, ~50k rows at any corpus size)"
+    ),
     # distinct-seconds histogram: <= attribution-horizon seconds rows
     "events_time_to_convert": "cum counts over the distinct-seconds grid",
     # size-gated dispatch: plain window only below ONE scan shard

@@ -1,0 +1,136 @@
+"""Round-14 additions: survivorship/golden record, split-conformal
+coverage, and B-cubed cluster quality — hand-computed micro-cases on
+constructed fixtures (the oracle sweep certifies the full corpus; these
+pin the SEMANTICS) plus plan-shape pins for the scale properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.plans import physical_plan, unpartitioned_window_count
+from dmds_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+@pytest.fixture(scope="module")
+def mini_dir(spark, tmp_path_factory):
+    """Hand-sized events: user 1 with three distinct-type events, user
+    2 with a same-timestamp tie; conformal calibration/test slices for
+    one event type around the Jan-16 cutoff."""
+    d = str(tmp_path_factory.mktemp("mini_sf14"))
+    t = dt.datetime
+    cal, tst = t(2024, 1, 10), t(2024, 1, 20)
+    ev = [
+        # user 1 (also the calibration slice: cents 100/200/300)
+        (1, t(2024, 1, 10, 10), 1, "view", 1.00, '{"k": 7}'),
+        (2, t(2024, 1, 10, 11), 1, "purchase", 2.00, '{"k": 9}'),
+        (3, t(2024, 1, 10, 12), 1, "click", 3.00, '{"k": 2}'),
+        # user 2: SAME timestamp twice -> event_id breaks the tie
+        (4, cal, 2, "error", 1.00, '{"k": 1}'),
+        (5, cal, 2, "error", 2.00, '{"k": 4}'),
+        # test slice (>= Jan 16): residuals vs per-type cal means
+        (6, tst, 1, "view", 1.50, '{"k": 0}'),
+        (7, tst, 1, "purchase", 3.50, '{"k": 0}'),
+        (8, tst, 2, "error", 2.50, '{"k": 0}'),
+        (9, tst, 2, "click", 2.00, '{"k": 0}'),
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_survivorship_hand_computed(spark, qs, mini_dir):
+    """User 1 (events 1,2,3,6,7): the latest observation is event 7
+    (Jan 20, higher id than the same-timestamp event 6) -> last_k = 0;
+    two purchases carry the top precedence and the later one (350
+    cents) survives; type counts view=2/purchase=2/click=1 tie ->
+    lexicographically smallest of the modals ('purchase' < 'view').
+    User 2 (events 4,5,8,9): same-timestamp ties resolve by event_id
+    (event 9 latest -> last_k = 0); click outranks error in precedence
+    -> best 200 cents; modal 'error' (3 of 4)."""
+    got = {
+        r["user_id"]: r
+        for r in qs["survivorship_golden_record"](spark, mini_dir).collect()
+    }
+    u1, u2 = got[1], got[2]
+    assert u1["last_k"] == 0
+    assert u1["best_value_cents"] == 350
+    assert u1["modal_type"] == "purchase"
+    assert u1["n_records"] == 5
+    assert u1["first_seen_us"] < u1["last_seen_us"]
+    assert u2["last_k"] == 0
+    assert u2["best_value_cents"] == 200
+    assert u2["modal_type"] == "error"
+    assert u2["n_records"] == 4
+
+
+def test_conformal_hand_computed(spark, qs, mini_dir):
+    """Calibration (pre-cutoff): view 100, purchase 200, click 300,
+    error 100, error 200 — per-type means: view 100, purchase 200,
+    click 300, error 150. All calibration residuals are 0 except the
+    two error events (|100-150| = |200-150| = 50): score multiset
+    {0,0,0,50,50}. n_cal = 5, k = ceil(0.9*6) = 6 -> capped to 5 ->
+    q_hat = max = 50. Test residuals: view 50 (covered), purchase 150
+    (not), error 100 (not), click 100 (not)."""
+    rows = {
+        r["event_type"]: r
+        for r in qs["eval_conformal_coverage"](spark, mini_dir).collect()
+    }
+    assert all(r["q_hat_cents"] == 50 for r in rows.values())
+    assert rows["view"]["n_test"] == 1 and rows["view"]["n_covered"] == 1
+    assert rows["view"]["coverage_ppm"] == 1_000_000
+    assert rows["purchase"]["n_covered"] == 0
+    assert rows["error"]["n_covered"] == 0
+    assert rows["click"]["n_covered"] == 0
+
+
+def test_conformal_grid_window_is_the_only_unpartitioned_one(spark, qs):
+    df = qs["eval_conformal_coverage"](spark, SF)
+    assert unpartitioned_window_count(df) == 1  # the bounded score grid
+
+
+def test_survivorship_is_pure_hash_aggregation(spark, qs):
+    """The golden record must come from max_by/min_by hash aggregates —
+    no Window over the event stream (the store-design latest-wins
+    rule), and map-side partial aggregation present."""
+    plan = physical_plan(qs["survivorship_golden_record"](spark, SF))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_min_by" in plan
+
+
+def test_bcubed_perfect_on_identical_texts(spark, qs, tmp_path):
+    """Planted truth: two identical-text pairs + a singleton. Estimate
+    and exact clusterings agree exactly (identical signatures, jaccard
+    1.0), so B-cubed precision == recall == 1e6 over 5 docs."""
+    d = str(tmp_path / "docs_sf")
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 8),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 8),
+        (3, "one two three four five six seven eight nine", "en", "s", 9),
+        (4, "one two three four five six seven eight nine", "en", "s", 9),
+        (5, "completely different words nothing shared here at all x", "en", "s", 9),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    row = qs["dedup_bcubed_quality"](spark, d).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["bcubed_precision_ppm"] == 1_000_000
+    assert row["bcubed_recall_ppm"] == 1_000_000
+
+
+def test_bcubed_no_cartesian(spark, qs):
+    plan = physical_plan(qs["dedup_bcubed_quality"](spark, SF))
+    assert "CartesianProduct" not in plan
