@@ -375,6 +375,9 @@ ADDITIONS = [
     "survivorship_golden_record",
     "eval_conformal_coverage",
     "dedup_bcubed_quality",
+    # round-14 batch four: robust statistics over calendar grids
+    "orders_theilsen_trend",
+    "events_cusum_changepoint",
 ]
 
 

@@ -553,5 +553,6 @@ def _load():
     # remaining slots rotate the priority rechecks + oldest evidence
     from dmds_spark.queries import round14  # noqa: F401
     from dmds_spark.queries import round14b  # noqa: F401
+    from dmds_spark.queries import round14c  # noqa: F401
 
     _LOADED = True

@@ -1513,6 +1513,11 @@ UNPARTITIONED_WINDOW_OK = {
         "cum counts over the distinct-|residual| cents grid (bounded "
         "by the value range, ~50k rows at any corpus size)"
     ),
+    "orders_theilsen_trend": (
+        "cum counts over the distinct-slope grid (bounded by the "
+        "calendar pair count, < 700k for a century of days)"
+    ),
+    "events_cusum_changepoint": "running sum over the calendar day grid",
     # distinct-seconds histogram: <= attribution-horizon seconds rows
     "events_time_to_convert": "cum counts over the distinct-seconds grid",
     # size-gated dispatch: plain window only below ONE scan shard

@@ -134,3 +134,100 @@ def test_bcubed_perfect_on_identical_texts(spark, qs, tmp_path):
 def test_bcubed_no_cartesian(spark, qs):
     plan = physical_plan(qs["dedup_bcubed_quality"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_theilsen_hand_computed(spark, qs, tmp_path):
+    """Four days of revenue 10.00/20.00/10.00/40.00 at days 0,1,2,3:
+    pairwise slopes (cents/day) = {1000, 0, 1000, -1000, 1000, 3000};
+    sorted [-1000, 0, 1000, 1000, 1000, 3000]; lower median (k =
+    (6+1)//2 = 3) -> 1000."""
+    import datetime as dt
+
+    d = str(tmp_path / "ts_sf")
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (1, 1, "O", 10.0, base, "x"),
+        (2, 1, "O", 20.0, base + dt.timedelta(days=1), "x"),
+        (3, 1, "O", 10.0, base + dt.timedelta(days=2), "x"),
+        (4, 1, "O", 40.0, base + dt.timedelta(days=3), "x"),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    row = qs["orders_theilsen_trend"](spark, d).collect()[0]
+    assert row["n_days"] == 4 and row["n_pairs"] == 6
+    assert row["slope_cents_per_day"] == 1000
+
+
+def test_theilsen_negative_slope_exact(spark, qs, tmp_path):
+    """Strictly decreasing revenue: every pairwise slope is negative —
+    the shifted floor division must still match pure-Python floor
+    (the negative-integer-division divergence trap)."""
+    import datetime as dt
+
+    d = str(tmp_path / "ts_neg")
+    base = dt.datetime(2020, 1, 1)
+    vals = [40.0, 25.0, 13.0]  # cents 4000, 2500, 1300
+    rows = [
+        (i + 1, 1, "O", v, base + dt.timedelta(days=2 * i), "x")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    # slopes (floor): (2500-4000)//2 = -750, (1300-4000)//4 = -675,
+    # (1300-2500)//2 = -600 -> sorted [-750, -675, -600], median -675
+    row = qs["orders_theilsen_trend"](spark, d).collect()[0]
+    assert row["slope_cents_per_day"] == -675
+
+
+def test_cusum_hand_computed(spark, qs, tmp_path):
+    """Counts 1,1,5,5 over four days: total 12, n 4. g_t =
+    |4*cum_t - t*12| = |4*1-12|=8, |4*2-24|=16, |4*7-36|=8,
+    |4*12-48|=0 -> max 16 at the 2nd day (the level shift)."""
+    import datetime as dt
+
+    d = str(tmp_path / "cp_sf")
+    base = dt.datetime(2024, 1, 1)
+    ev, eid = [], 0
+    for day, n in enumerate([1, 1, 5, 5]):
+        for _ in range(n):
+            ev.append((eid, base + dt.timedelta(days=day), 1, "view",
+                       1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    row = qs["events_cusum_changepoint"](spark, d).collect()[0]
+    assert row["n_days"] == 4 and row["total_events"] == 12
+    day0 = (base.date() - dt.date(1970, 1, 1)).days
+    assert row["changepoint_day"] == day0 + 1
+    assert row["max_cusum_stat"] == 16
+
+
+def test_cusum_tie_breaks_to_earliest_day(spark, qs, tmp_path):
+    """Symmetric series 3,1,1,3: g = |4*3-8|=4, |4*4-16|=0,
+    |4*5-24|=4, 0 -> ties at days 0 and 2; the earliest wins."""
+    import datetime as dt
+
+    d = str(tmp_path / "cp_tie")
+    base = dt.datetime(2024, 1, 1)
+    ev, eid = [], 0
+    for day, n in enumerate([3, 1, 1, 3]):
+        for _ in range(n):
+            ev.append((eid, base + dt.timedelta(days=day), 1, "view",
+                       1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    row = qs["events_cusum_changepoint"](spark, d).collect()[0]
+    day0 = (base.date() - dt.date(1970, 1, 1)).days
+    assert row["max_cusum_stat"] == 4
+    assert row["changepoint_day"] == day0
