@@ -378,6 +378,10 @@ ADDITIONS = [
     # round-14 batch four: robust statistics over calendar grids
     "orders_theilsen_trend",
     "events_cusum_changepoint",
+    # round-14 batch five: the MAINTAINED inverted index (O(new)
+    # posting increments; BM25 served from the store)
+    "rollup_incremental_postings",
+    "retrieval_bm25_incremental",
 ]
 
 

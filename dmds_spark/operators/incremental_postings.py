@@ -1,0 +1,359 @@
+"""Persisted, incrementally-maintained inverted index (postings store).
+
+``text_inverted_postings`` / ``text_bm25_topk`` build the index from
+scratch every query; a 100 TB corpus maintains it instead: every
+appended batch of documents pays exactly ONE tokenize scan, producing
+its (term, doc_id, tf) posting rows and (doc_id, dl) length rows —
+O(new), never a corpus re-scan. Because both grains are pure functions
+of each document alone (no cross-document state), the union of
+per-increment rows is EXACTLY the posting table a full single-batch
+rebuild produces — the same increment-union == full-recompute claim
+the IVF store makes for cell assignments, proven the same way
+(``rollup_incremental_postings`` hash-checks the per-term directory
+against the declarative full build; ``retrieval_bm25_incremental``
+hash-checks ranked retrieval SERVED from the store against the
+declarative BM25).
+
+Layout and lifecycle mirror ``operators/incremental_ivf.py`` (same
+crash-safe pointer-flip discipline, same cross-process WriterLock and
+fencing token, same compact()/vacuum() hygiene; reference analogue:
+the dirty-chunk incremental flush, tokio-fs/src/lib.rs:207-235):
+
+* ``postings/batch-v{N}`` — (term, doc_id, tf) partitioned by the
+  term's hash bucket ``tb = pmod(xxhash64(term), 64)``: a query for k
+  terms prunes to <= k of 64 directories per increment (the partition
+  filter IS the index lookup);
+* ``doclen/batch-v{N}`` — (doc_id, dl): the corpus statistics grain
+  (N, total tokens, per-doc length) reads this doc-sized table, never
+  the token-sized postings;
+* ``_current.json`` — committed versions + replay marks, flipped
+  atomically; a crashed increment leaves orphan dirs that are never
+  read and vacuum() reclaims.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TERM_BUCKETS = 64
+
+
+class IncrementalPostingsIndex:
+    """A maintained inverted index over an append-only document corpus.
+
+    ``refresh()`` ingests unseen source files, ``fold_batch()`` a
+    DataFrame micro-batch (replay-safe by batch id); ``postings()`` /
+    ``doclens()`` return the accumulated grains; ``term_directory()``
+    the per-term (df, cf, postings checksum) rows;
+    ``search_bm25()`` ranked retrieval served from the store.
+    ``id_col`` values must be UNIQUE across all ingested batches
+    (append-only corpus), same contract as IncrementalIVFIndex."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str | None,
+        store_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.store_dir = store_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        os.makedirs(store_dir, exist_ok=True)
+
+    # -- writer fencing / pointer (the incremental_ivf discipline) --------
+    def _writer(self):
+        from dmds_spark.operators.rollup import store_writer
+
+        return store_writer(self.store_dir)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.store_dir, "_current.json")
+
+    def _state(self) -> dict:
+        if not os.path.exists(self._pointer):
+            return {"versions": [], "seen_files": [], "last_batch_id": -1}
+        with open(self._pointer) as fh:
+            return json.load(fh)
+
+    def _flip(self, state: dict) -> None:
+        from dmds_spark.operators.rollup import _atomic_flip
+        from dmds_spark.world import WriterLock
+
+        WriterLock.for_dir(self.store_dir).verify_token()
+        _atomic_flip(self._pointer, state)
+
+    def _grain_paths(self, grain: str, versions: list[int]) -> list[str]:
+        return [
+            os.path.join(self.store_dir, grain, f"batch-v{v}")
+            for v in versions
+        ]
+
+    # -- ingest ------------------------------------------------------------
+    def _derive(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """One tokenize scan -> (postings, doclens) for a batch. The
+        whitespace split is the registry's oracle-parity tokenization
+        (== DuckDB string_split, trailing empty token included)."""
+        tok = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.explode(F.split(F.col(self.text_col), " ")).alias("term"),
+        )
+        postings = (
+            tok.groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "tb",
+                F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).cast("int"),
+            )
+        )
+        doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        return postings, doclens
+
+    def _ingest(self, docs: DataFrame, st: dict) -> int | None:
+        """Write one increment of both grains; None for an empty batch
+        (rolled back, never committed — the IVF empty-batch rule)."""
+        postings, doclens = self._derive(docs)
+        v = (max(st["versions"]) + 1) if st["versions"] else 1
+        ppath = self._grain_paths("postings", [v])[0]
+        dpath = self._grain_paths("doclen", [v])[0]
+        postings.write.mode("overwrite").partitionBy("tb").parquet(ppath)
+        doclens.write.mode("overwrite").parquet(dpath)
+        # emptiness is checked on the PARTITIONED grain: an empty
+        # partitioned write leaves no parquet files (the IVF rule),
+        # whereas an empty unpartitioned write still emits a 0-row
+        # part file — and any non-empty doc batch has >= 1 posting
+        wrote = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(ppath)
+            for f in fs
+        )
+        if not wrote:
+            shutil.rmtree(ppath, ignore_errors=True)
+            shutil.rmtree(dpath, ignore_errors=True)
+            return None
+        return v
+
+    def refresh(self) -> dict:
+        """Ingest unseen files from ``source_dir`` — O(new). Raises
+        SourceMutatedError on in-place rewrites."""
+        from dmds_spark.operators.rollup import (
+            _list_source_files,
+            _seen_as_dict,
+            _split_new_and_check,
+        )
+
+        if self.source_dir is None:
+            raise ValueError("refresh() needs source_dir (use fold_batch)")
+        with self._writer():
+            st = self._state()
+            seen = _seen_as_dict(st["seen_files"], st.get("size_src"))
+            current = _list_source_files(self.spark, self.source_dir)
+            new_files = _split_new_and_check(current, seen,
+                                             "postings store")
+            if not new_files:
+                return {"new_files": 0,
+                        "version": max(st["versions"], default=0)}
+            v = self._ingest(self.spark.read.parquet(*new_files), st)
+            self._flip(
+                {
+                    **st,
+                    "versions": st["versions"]
+                    + ([v] if v is not None else []),
+                    "seen_files": {
+                        **{f: current.get(f, sz) for f, sz in seen.items()},
+                        **{f: current[f] for f in new_files},
+                    },
+                    "size_src": "fs",
+                }
+            )
+            return {"new_files": len(new_files),
+                    "version": v if v is not None
+                    else max(st["versions"], default=0)}
+
+    def fold_batch(self, docs: DataFrame, batch_id: int | None = None) -> dict:
+        """Micro-batch maintenance, replay-safe by batch-id high-water
+        mark (at-least-once foreachBatch delivery folds exactly once)."""
+        with self._writer():
+            st = self._state()
+            if batch_id is not None and batch_id <= st["last_batch_id"]:
+                return {"skipped": True,
+                        "version": max(st["versions"], default=0)}
+            v = self._ingest(docs, st)
+            self._flip(
+                {
+                    **st,
+                    "versions": st["versions"]
+                    + ([v] if v is not None else []),
+                    "last_batch_id": (
+                        batch_id if batch_id is not None
+                        else st["last_batch_id"]
+                    ),
+                }
+            )
+            return {"skipped": False,
+                    "version": v if v is not None
+                    else max(st["versions"], default=0)}
+
+    def foreach_batch(self):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.fold_batch(batch_df, batch_id)
+
+        return _sink
+
+    # -- readers -----------------------------------------------------------
+    def _union(self, grain: str) -> DataFrame | None:
+        st = self._state()
+        if not st["versions"]:
+            return None
+        parts = [
+            self.spark.read.parquet(p)
+            for p in self._grain_paths(grain, st["versions"])
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def postings(self) -> DataFrame | None:
+        return self._union("postings")
+
+    def doclens(self) -> DataFrame | None:
+        return self._union("doclen")
+
+    def term_directory(self) -> DataFrame:
+        """Per-term directory: df, cf, md5 of the doc-ordered posting
+        list — the text_inverted_postings report read from the store."""
+        p = self.postings()
+        if p is None:
+            raise ValueError("index is empty: ingest before reading")
+        return p.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list("doc_id"))
+                ).cast("binary")
+            ).alias("postings_md5"),
+        )
+
+    def search_bm25(self, terms: tuple[str, ...], topk: int = 20) -> DataFrame:
+        """Rational BM25 top-k SERVED from the maintained store — the
+        exact integer scoring of queries/round9b.py text_bm25_topk
+        (k1=1.2, b=0.75, idf and tf-saturation as DECIMAL(38,0) floor
+        divisions; no libm anywhere), with the index doing its job:
+        the posting scan carries BOTH the term-bucket partition filter
+        (<= |terms| of 64 directories per increment) and the term
+        pushdown, so retrieval reads O(matched posting lists) — never
+        the corpus. Corpus statistics (N, total tokens) aggregate the
+        doc-grain doclen store. Returns (doc_id, score_str, rnk)."""
+        from pyspark.sql import Window as W
+
+        from dmds_spark.operators.relational import exact_floordiv
+
+        p, dl = self.postings(), self.doclens()
+        if p is None or dl is None:
+            raise ValueError("index is empty: ingest before searching")
+        buckets = sorted(
+            {self._term_bucket(t) for t in terms}
+        )  # <= |terms| ints, computed driver-side for the partition filter
+        tf = p.filter(
+            F.col("tb").isin(buckets) & F.col("term").isin(*terms)
+        ).select("term", "doc_id", "tf")
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        corpus = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("d_tot")
+        )
+        s = 1_000_000
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        idf_s = exact_floordiv(
+            (2 * (dec(F.col("n_docs")) - F.col("df")) + 1) * F.lit(s),
+            2 * F.col("df") + 1,
+        )
+        tfp_s = exact_floordiv(
+            dec(F.col("tf")) * F.lit(22) * F.col("d_tot") * F.lit(s),
+            dec(F.col("tf")) * 10 * F.col("d_tot")
+            + 3 * dec(F.col("d_tot"))
+            + 9 * dec(F.col("dl")) * F.col("n_docs"),
+        )
+        scored = (
+            tf.join(F.broadcast(df), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                "doc_id",
+                (idf_s * tfp_s).cast("decimal(38,0)").alias("part"),
+            )
+        )
+        total = scored.groupBy("doc_id").agg(
+            F.sum("part").cast("decimal(38,0)").alias("score")
+        )
+        order = [F.col("score").desc(), F.col("doc_id")]
+        top = total.orderBy(*order).limit(topk)
+        return top.withColumn(
+            "rnk", F.row_number().over(W.orderBy(*order))
+        ).select(
+            "doc_id",
+            F.col("score").cast("string").alias("score_str"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+
+    def _term_bucket(self, term: str) -> int:
+        """Driver-side twin of the stored ``tb`` column (one tiny Spark
+        expression evaluation — exact by construction, no reimplemented
+        xxhash)."""
+        row = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(term)), F.lit(TERM_BUCKETS))
+            .cast("int").alias("b")
+        ).collect()
+        return int(row[0]["b"])
+
+    # -- lifecycle ---------------------------------------------------------
+    def compact(self) -> dict:
+        """Merge increment files into one version per grain; content
+        unchanged, never recomputed. Superseded dirs stay on disk for
+        lazy readers until vacuum()."""
+        with self._writer():
+            st = self._state()
+            if len(st["versions"]) <= 1:
+                return {"compacted": False, "versions": len(st["versions"])}
+            v = max(st["versions"]) + 1
+            self.postings().coalesce(
+                max(1, len(st["versions"]) // 8)
+            ).write.mode("overwrite").partitionBy("tb").parquet(
+                self._grain_paths("postings", [v])[0]
+            )
+            self.doclens().coalesce(1).write.mode("overwrite").parquet(
+                self._grain_paths("doclen", [v])[0]
+            )
+            self._flip({**st, "versions": [v]})
+            return {"compacted": True, "versions": 1}
+
+    def vacuum(self) -> dict:
+        """Reclaim directories not referenced by the committed pointer
+        (compact()-superseded increments, crashed-ingest orphans)."""
+        with self._writer():
+            st = self._state()
+            removed: list[str] = []
+            for grain in ("postings", "doclen"):
+                keep = {
+                    os.path.basename(p)
+                    for p in self._grain_paths(grain, st["versions"])
+                }
+                gdir = os.path.join(self.store_dir, grain)
+                if not os.path.isdir(gdir):
+                    continue
+                for name in sorted(os.listdir(gdir)):
+                    if name not in keep:
+                        shutil.rmtree(os.path.join(gdir, name),
+                                      ignore_errors=True)
+                        removed.append(f"{grain}/{name}")
+            return {"removed": removed}

@@ -1,0 +1,118 @@
+"""Pins for the persisted incremental inverted index
+(operators/incremental_postings.py): increment-union == full rebuild,
+replay safety, store-served BM25 == from-scratch BM25, term-bucket
+partition pruning, compaction and vacuum."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmds_spark.operators.incremental_postings import (
+    IncrementalPostingsIndex,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _dir_rows(idx):
+    return sorted(
+        (r["term"], r["df"], r["cf"], r["postings_md5"])
+        for r in idx.term_directory().collect()
+    )
+
+
+def test_two_increments_equal_full_rebuild(spark, docs, tmp_path):
+    inc = IncrementalPostingsIndex(spark, None, str(tmp_path / "inc"))
+    inc.fold_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    inc.fold_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    full = IncrementalPostingsIndex(spark, None, str(tmp_path / "full"))
+    full.fold_batch(docs, 0)
+    assert _dir_rows(inc) == _dir_rows(full)
+    assert inc.doclens().count() == docs.count()
+
+
+def test_replay_and_empty_batch(spark, docs, tmp_path):
+    idx = IncrementalPostingsIndex(spark, None, str(tmp_path / "r"))
+    idx.fold_batch(docs, 0)
+    n = idx.postings().count()
+    assert idx.fold_batch(docs, 0)["skipped"] is True  # replay
+    out = idx.fold_batch(docs.filter(F.col("doc_id") < 0), 1)  # empty
+    assert out["skipped"] is False
+    assert idx._state()["versions"] == [1]
+    assert idx._state()["last_batch_id"] == 1
+    assert idx.postings().count() == n
+
+
+def test_store_served_bm25_matches_from_scratch(spark, docs, tmp_path):
+    from dmds_spark.queries import all_queries
+    from dmds_spark.queries.round9b import BM25_TERMS, BM25_TOPK
+
+    idx = IncrementalPostingsIndex(spark, None, str(tmp_path / "b"))
+    idx.fold_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    idx.fold_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    got = sorted(
+        (r["doc_id"], r["score_str"], r["rnk"])
+        for r in idx.search_bm25(BM25_TERMS, BM25_TOPK).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["score_str"], r["rnk"])
+        for r in all_queries()["text_bm25_topk"](spark, SF).collect()
+    )
+    assert got == want and len(got) == BM25_TOPK
+
+
+def test_bm25_scan_prunes_term_buckets(spark, docs, tmp_path):
+    """The index's whole point, pinned on the plan: the posting scan
+    carries the tb partition filter (<= |terms| of 64 buckets) and the
+    term pushdown — retrieval reads posting lists, not the corpus."""
+    from dmds_spark.plans import partition_filters, pushed_filters
+    from dmds_spark.queries.round9b import BM25_TERMS
+
+    idx = IncrementalPostingsIndex(spark, None, str(tmp_path / "p"))
+    idx.fold_batch(docs, 0)
+    df = idx.search_bm25(BM25_TERMS, 10)
+    assert any("tb" in f for f in partition_filters(df))
+    assert any("term" in f for f in pushed_filters(df))
+
+
+def test_compact_and_vacuum(spark, docs, tmp_path):
+    import os
+
+    idx = IncrementalPostingsIndex(spark, None, str(tmp_path / "c"))
+    idx.fold_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    idx.fold_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    before = _dir_rows(idx)
+    assert idx.compact()["compacted"] is True
+    assert _dir_rows(idx) == before
+    removed = idx.vacuum()["removed"]
+    assert any(n.startswith("postings/") for n in removed)
+    assert any(n.startswith("doclen/") for n in removed)
+    # the compacted generation survives and still serves
+    assert _dir_rows(idx) == before
+    assert os.path.isdir(
+        idx._grain_paths("postings", idx._state()["versions"])[0]
+    )
+
+
+def test_refresh_detects_source_mutation(spark, docs, tmp_path):
+    from dmds_spark.operators.rollup import SourceMutatedError
+
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(src)
+    idx = IncrementalPostingsIndex(spark, src, str(tmp_path / "m"))
+    idx.refresh()
+    # in-place rewrite (SAME path, different size) must raise eagerly
+    part = glob.glob(os.path.join(src, "*.parquet"))[0]
+    with open(part, "ab") as fh:
+        fh.write(b"xx")
+    with pytest.raises(SourceMutatedError):
+        idx.refresh()

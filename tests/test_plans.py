@@ -1499,6 +1499,7 @@ UNPARTITIONED_WINDOW_OK = {
     "text_zipf_topk": "rank over the already-limited top-50 tokens",
     "tokens_vocab_truncation_loss": "rank over TakeOrdered top-N vocab rows",
     "text_bm25_topk": "rank over the TakeOrdered top-k survivors",
+    "retrieval_bm25_incremental": "rank over the TakeOrdered top-k survivors",
     # calendar-bounded grids: thousands of rows off any corpus size
     "orders_rolling_7d_revenue": "trailing-7d window over the day grid",
     "orders_seasonality_decomposition": "12-month MA over the month grid",
@@ -1570,6 +1571,9 @@ FORCED_BROADCAST_OK = {
     "similarity_ivf_search_batch": "probe batch is a fixed <=16-id isin set",
     "similarity_pq_adc_topk": "query side is a point vec_id filter",
     "similarity_ivfadc_topk": "query vector + <=nprobe probed-cell rows",
+    "rollup_incremental_ivfadc": (
+        "query batch is vec_id < 3 (3 rows) + its <=nprobe cells/tables"
+    ),
     "embedding_truncation_recall": "20-query sample: fixed isin id set",
     # k-seed selection by key filter: vec_id < K rows exactly
     "embedding_kmeans_lloyd_step": "centroid side is vec_id < K (K=8 rows)",
