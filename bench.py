@@ -382,6 +382,9 @@ ADDITIONS = [
     # posting increments; BM25 served from the store)
     "rollup_incremental_postings",
     "retrieval_bm25_incremental",
+    # round-14 batch six: market-basket rules + chi-square independence
+    "basket_association_rules",
+    "profile_chi2_independence",
 ]
 
 

@@ -555,5 +555,6 @@ def _load():
     from dmds_spark.queries import round14b  # noqa: F401
     from dmds_spark.queries import round14c  # noqa: F401
     from dmds_spark.queries import round14d  # noqa: F401
+    from dmds_spark.queries import round14e  # noqa: F401
 
     _LOADED = True

@@ -231,3 +231,75 @@ def test_cusum_tie_breaks_to_earliest_day(spark, qs, tmp_path):
     day0 = (base.date() - dt.date(1970, 1, 1)).days
     assert row["max_cusum_stat"] == 4
     assert row["changepoint_day"] == day0
+
+
+def test_association_rules_hand_computed(spark, qs, tmp_path):
+    """3 baskets over items from two 'brands': baskets {A,B}, {A,B},
+    {A}. n_A=3, n_B=2, n_AB=2, N=3. conf(A->B) = 2/3 -> 666666 ppm;
+    conf(B->A) = 1e6; lift both ways = 2*3/(3*2) = 1.0 -> 1e6 ppm."""
+    d = str(tmp_path / "ar_sf")
+    # part: partkey 1 -> Brand#A, 2 -> Brand#B
+    spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(f"{d}/part.parquet")
+    li = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    import dmds_spark.queries.round14e as m
+
+    orig = m._AR_MINSUP
+    try:
+        m._AR_MINSUP = 1
+        got = {
+            (r["ante"], r["cons"]): r
+            for r in m.basket_association_rules(spark, d).collect()
+        }
+    finally:
+        m._AR_MINSUP = orig
+    ab, ba = got[("Brand#A", "Brand#B")], got[("Brand#B", "Brand#A")]
+    assert ab["n_ab"] == 2 and ba["n_ab"] == 2
+    assert ab["confidence_ppm"] == 666_666
+    assert ba["confidence_ppm"] == 1_000_000
+    assert ab["lift_ppm"] == 1_000_000 and ba["lift_ppm"] == 1_000_000
+
+
+def test_chi2_hand_computed(spark, qs, tmp_path):
+    """2x2 table [[30,10],[10,30]]: T=80, all margins 40. Every cell:
+    (O*T - R*C)^2 * 1e6 / (T*R*C) = (O*80 - 1600)^2 * 1e6 / 128000.
+    O=30: (2400-1600)^2 = 640000 -> 5e6 ppm; O=10: same (800)^2 ->
+    5e6 ppm. chi2 = 20e6 ppm (classic chi2 = 20 for this table)."""
+    d = str(tmp_path / "chi_sf")
+    rows = []
+    i = 0
+    for src, lang, n in [("s1", "en", 30), ("s1", "de", 10),
+                         ("s2", "en", 10), ("s2", "de", 30)]:
+        for _ in range(n):
+            rows.append((i, "t", lang, src, 1))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    row = qs["profile_chi2_independence"](spark, d).collect()[0]
+    assert (row["n_rows"], row["n_cols"], row["dof"]) == (2, 2, 1)
+    assert row["chi2_ppm"] == 20_000_000
+
+
+def test_chi2_zero_on_independent_table(spark, qs, tmp_path):
+    """Perfectly independent margins -> every observed == expected ->
+    chi2 exactly 0 (the floor of 0 is 0 in both engines)."""
+    d = str(tmp_path / "chi_ind")
+    rows = []
+    i = 0
+    for src, lang, n in [("s1", "en", 20), ("s1", "de", 10),
+                         ("s2", "en", 40), ("s2", "de", 20)]:
+        for _ in range(n):
+            rows.append((i, "t", lang, src, 1))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    row = qs["profile_chi2_independence"](spark, d).collect()[0]
+    assert row["chi2_ppm"] == 0
