@@ -116,3 +116,29 @@ def test_refresh_detects_source_mutation(spark, docs, tmp_path):
         fh.write(b"xx")
     with pytest.raises(SourceMutatedError):
         idx.refresh()
+
+
+def test_stream_foreach_batch_matches_batch(spark, docs, tmp_path):
+    """Drive the posting store from a real micro-batched stream (one
+    file per trigger): the accumulated index must equal a single
+    full-batch ingest — per-term directory row for row."""
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    idx = IncrementalPostingsIndex(spark, None, str(tmp_path / "stream"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part-*.parquet")
+    )
+    q = (
+        sdf.writeStream.foreachBatch(idx.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    full = IncrementalPostingsIndex(spark, None, str(tmp_path / "full"))
+    full.fold_batch(docs, 0)
+    assert len(idx._state()["versions"]) >= 2  # really micro-batched
+    assert _dir_rows(idx) == _dir_rows(full)
