@@ -385,6 +385,7 @@ ADDITIONS = [
     # round-14 batch six: market-basket rules + chi-square independence
     "basket_association_rules",
     "profile_chi2_independence",
+    "orders_kendall_tau",
 ]
 
 

@@ -183,3 +183,73 @@ def events_cusum_changepoint(spark, sf_dir):
         "changepoint_day",
         "max_cusum_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-a (trend significance companion to Theil-Sen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS d,
+             CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0)))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_conc,
+             CAST(SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disc,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b ON b.d > a.d
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT d.n_days, p.n_pairs, p.n_conc, p.n_disc,
+           CAST((p.n_conc - p.n_disc + p.n_pairs) * 1000000 // p.n_pairs
+                - 1000000 AS BIGINT) AS tau_a_ppm
+    FROM pairs p, nd d
+    """,
+)
+def orders_kendall_tau(spark, sf_dir):
+    """Kendall tau-a over the daily-revenue series: concordant minus
+    discordant day pairs over all pairs — the nonparametric trend-
+    significance statistic that pairs with orders_theilsen_trend (the
+    Mann-Kendall test's core). Exact ppm via the +n_pairs shift before
+    the floor division (tau is signed; the shift keeps the numerator
+    non-negative so both engines' integer division agrees — the
+    Theil-Sen rule). Revenue ties count as neither (tau-a).
+
+    Shape at scale: the same calendar-bounded day-grid self-join as
+    Theil-Sen (one corpus aggregate, then < 700k pairs for a century);
+    the statistic is a 1-row rollup — no window at all."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .alias("d")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(F.when(F.col("rb") > F.col("ra"), 1).otherwise(0))
+        .cast("bigint").alias("n_conc"),
+        F.sum(F.when(F.col("rb") < F.col("ra"), 1).otherwise(0))
+        .cast("bigint").alias("n_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        "n_pairs",
+        "n_conc",
+        "n_disc",
+        F.expr(
+            "(n_conc - n_disc + n_pairs) * 1000000 div n_pairs - 1000000"
+        ).cast("bigint").alias("tau_a_ppm"),
+    )

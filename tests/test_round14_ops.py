@@ -303,3 +303,26 @@ def test_chi2_zero_on_independent_table(spark, qs, tmp_path):
     ).coalesce(1).write.parquet(f"{d}/documents.parquet")
     row = qs["profile_chi2_independence"](spark, d).collect()[0]
     assert row["chi2_ppm"] == 0
+
+
+def test_kendall_tau_hand_computed(spark, qs, tmp_path):
+    """Revenue 10/20/15/30 over days 0..3: pairs C=5, D=1 (20>15),
+    n=6 -> tau = 4/6 -> floor ppm 666666. Negative check by symmetry
+    lives in the shift: (C-D+n)*1e6//n - 1e6."""
+    import datetime as dt
+
+    d = str(tmp_path / "kt_sf")
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (i + 1, 1, "O", v, base + dt.timedelta(days=i), "x")
+        for i, v in enumerate([10.0, 20.0, 15.0, 30.0])
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    row = qs["orders_kendall_tau"](spark, d).collect()[0]
+    assert (row["n_days"], row["n_pairs"]) == (4, 6)
+    assert (row["n_conc"], row["n_disc"]) == (5, 1)
+    assert row["tau_a_ppm"] == 666_666
