@@ -386,6 +386,9 @@ ADDITIONS = [
     "basket_association_rules",
     "profile_chi2_independence",
     "orders_kendall_tau",
+    # round-14 batch seven: phrase retrieval from the maintained
+    # positional grain
+    "retrieval_phrase_incremental",
 ]
 
 

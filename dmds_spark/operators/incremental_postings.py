@@ -61,12 +61,19 @@ class IncrementalPostingsIndex:
         store_dir: str,
         id_col: str = "doc_id",
         text_col: str = "text",
+        positions: bool = False,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.store_dir = store_dir
         self.id_col = id_col
         self.text_col = text_col
+        # positions=True additionally maintains the POSITIONAL grain
+        # (term, doc_id, pos) — token-sized, the price of phrase and
+        # proximity queries; leave off for df/tf-only workloads. Like
+        # the PQ codebooks, the choice freezes at the first ingest
+        # (grains must cover the same increments).
+        self.positions = positions
         os.makedirs(store_dir, exist_ok=True)
 
     # -- writer fencing / pointer (the incremental_ivf discipline) --------
@@ -118,15 +125,37 @@ class IncrementalPostingsIndex:
         doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
         return postings, doclens
 
+    def _positional_rows(self, docs: DataFrame) -> DataFrame:
+        """(term, doc_id, pos, tb): 1-based positions (the DuckDB
+        generate_subscripts convention, queries/round12c.py)."""
+        return docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(self.text_col), " "))
+            .alias("pos0", "term"),
+        ).select(
+            "term",
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).cast("int")
+            .alias("tb"),
+        )
+
     def _ingest(self, docs: DataFrame, st: dict) -> int | None:
-        """Write one increment of both grains; None for an empty batch
-        (rolled back, never committed — the IVF empty-batch rule)."""
+        """Write one increment of each maintained grain; None for an
+        empty batch (rolled back, never committed — the IVF
+        empty-batch rule)."""
         postings, doclens = self._derive(docs)
         v = (max(st["versions"]) + 1) if st["versions"] else 1
         ppath = self._grain_paths("postings", [v])[0]
         dpath = self._grain_paths("doclen", [v])[0]
         postings.write.mode("overwrite").partitionBy("tb").parquet(ppath)
         doclens.write.mode("overwrite").parquet(dpath)
+        if self.positions:
+            self._positional_rows(docs).write.mode(
+                "overwrite"
+            ).partitionBy("tb").parquet(
+                self._grain_paths("positional", [v])[0]
+            )
         # emptiness is checked on the PARTITIONED grain: an empty
         # partitioned write leaves no parquet files (the IVF rule),
         # whereas an empty unpartitioned write still emits a 0-row
@@ -139,6 +168,9 @@ class IncrementalPostingsIndex:
         if not wrote:
             shutil.rmtree(ppath, ignore_errors=True)
             shutil.rmtree(dpath, ignore_errors=True)
+            if self.positions:
+                shutil.rmtree(self._grain_paths("positional", [v])[0],
+                              ignore_errors=True)
             return None
         return v
 
@@ -228,6 +260,42 @@ class IncrementalPostingsIndex:
 
     def doclens(self) -> DataFrame | None:
         return self._union("doclen")
+
+    def positional(self) -> DataFrame | None:
+        if not self.positions:
+            raise ValueError(
+                "store was built without the positional grain "
+                "(positions=True at construction + rebuild)"
+            )
+        return self._union("positional")
+
+    def search_phrase(self, phrase: tuple[str, ...]) -> DataFrame:
+        """Exact phrase retrieval from the stored POSITIONAL grain:
+        the phrase terms' posting lists (term-bucket partition filter
+        + term pushdown per increment) chain-join on (doc, adjacent
+        position) — cost is O(matched posting lists), never the
+        corpus. Returns per-doc (doc_id, n_hits, first_pos, last_pos),
+        the text_phrase_retrieval report served from the store."""
+        if len(phrase) < 2:
+            raise ValueError("phrase needs >= 2 terms")
+        pos = self.positional()
+        if pos is None:
+            raise ValueError("index is empty: ingest before searching")
+        buckets = sorted({self._term_bucket(t) for t in phrase})
+        tok = pos.filter(
+            F.col("tb").isin(buckets) & F.col("term").isin(*phrase)
+        )
+        out = tok.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+        for i, t in enumerate(phrase[1:], start=1):
+            nxt = tok.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            out = out.join(nxt, ["doc_id", "pos"])
+        return out.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+        )
 
     def term_directory(self) -> DataFrame:
         """Per-term directory: df, cf, md5 of the doc-ordered posting
@@ -334,6 +402,12 @@ class IncrementalPostingsIndex:
             self.doclens().coalesce(1).write.mode("overwrite").parquet(
                 self._grain_paths("doclen", [v])[0]
             )
+            if self.positions:
+                self.positional().coalesce(
+                    max(1, len(st["versions"]) // 8)
+                ).write.mode("overwrite").partitionBy("tb").parquet(
+                    self._grain_paths("positional", [v])[0]
+                )
             self._flip({**st, "versions": [v]})
             return {"compacted": True, "versions": 1}
 
@@ -343,7 +417,7 @@ class IncrementalPostingsIndex:
         with self._writer():
             st = self._state()
             removed: list[str] = []
-            for grain in ("postings", "doclen"):
+            for grain in ("postings", "doclen", "positional"):
                 keep = {
                     os.path.basename(p)
                     for p in self._grain_paths(grain, st["versions"])

@@ -94,3 +94,53 @@ def retrieval_bm25_incremental(spark, sf_dir):
     from dmds_spark.queries.round9b import BM25_TERMS
 
     return _built_store(spark, sf_dir).search_bm25(BM25_TERMS, BM25_TOPK)
+
+
+@register(
+    "retrieval_phrase_incremental",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+    b AS (SELECT doc_id, pos FROM tok WHERE term = 'join')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(a.pos) AS BIGINT) AS first_pos,
+           CAST(max(a.pos) AS BIGINT) AS last_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+)
+def retrieval_phrase_incremental(spark, sf_dir):
+    """Exact phrase retrieval SERVED from the maintained POSITIONAL
+    grain: the store ingests two increments of the corpus with
+    positions=True (one posexplode scan per batch — 1-based positions,
+    the DuckDB generate_subscripts convention), then answers the
+    "hash join" phrase by chain-joining the two terms' stored posting
+    lists on (doc, adjacent position). The oracle is the declarative
+    positional build text_phrase_retrieval hash-matches, so
+    store-served phrase hits == from-scratch hits — completing the
+    maintained retrieval stack (boolean df/tf + ranked BM25 + phrase).
+
+    Shape at scale: the positional grain is token-sized — the price
+    of phrase queries, paid O(new) per increment; the query scan
+    carries the term-bucket partition filter + term pushdown, so it
+    reads two posting lists per increment, never the corpus."""
+    from dmds_spark.core.scratch import scratch_dir
+    from dmds_spark.operators.incremental_postings import (
+        IncrementalPostingsIndex,
+    )
+
+    root = scratch_dir("inc_phrase", sf_dir)
+    src = f"{root}/src"
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = IncrementalPostingsIndex(
+        spark, src, f"{root}/store", "doc_id", "text", positions=True
+    )
+    d.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    idx.refresh()
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    idx.refresh()
+    return idx.search_phrase(("hash", "join"))

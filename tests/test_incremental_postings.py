@@ -142,3 +142,32 @@ def test_stream_foreach_batch_matches_batch(spark, docs, tmp_path):
     full.fold_batch(docs, 0)
     assert len(idx._state()["versions"]) >= 2  # really micro-batched
     assert _dir_rows(idx) == _dir_rows(full)
+
+
+def test_phrase_from_store_matches_per_query_build(spark, docs, tmp_path):
+    """Positional grain: store-served phrase hits equal the per-query
+    text_phrase_retrieval build; a positions=False store refuses."""
+    from dmds_spark.queries import all_queries
+
+    idx = IncrementalPostingsIndex(
+        spark, None, str(tmp_path / "pos"), positions=True
+    )
+    idx.fold_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    idx.fold_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    got = sorted(
+        (r["doc_id"], r["n_hits"], r["first_pos"], r["last_pos"])
+        for r in idx.search_phrase(("hash", "join")).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_hits"], r["first_pos"], r["last_pos"])
+        for r in all_queries()["text_phrase_retrieval"](spark, SF).collect()
+    )
+    assert got == want and got
+    # three-term chain is a strict subset of the two-term hits' docs
+    three = {r["doc_id"]
+             for r in idx.search_phrase(("hash", "join", "hash")).collect()}
+    assert three <= {d for d, *_ in got}
+    flat = IncrementalPostingsIndex(spark, None, str(tmp_path / "flat"))
+    flat.fold_batch(docs, 0)
+    with pytest.raises(ValueError, match="positional grain"):
+        flat.search_phrase(("hash", "join"))
