@@ -389,6 +389,9 @@ ADDITIONS = [
     # round-14 batch seven: phrase retrieval from the maintained
     # positional grain
     "retrieval_phrase_incremental",
+    # round-14 batch eight: quantile-forecast scoring + two-sample test
+    "forecast_eval_pinball",
+    "events_mannwhitney_u",
 ]
 
 

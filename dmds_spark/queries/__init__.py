@@ -556,5 +556,6 @@ def _load():
     from dmds_spark.queries import round14c  # noqa: F401
     from dmds_spark.queries import round14d  # noqa: F401
     from dmds_spark.queries import round14e  # noqa: F401
+    from dmds_spark.queries import round14f  # noqa: F401
 
     _LOADED = True

@@ -1519,6 +1519,10 @@ UNPARTITIONED_WINDOW_OK = {
         "calendar pair count, < 700k for a century of days)"
     ),
     "events_cusum_changepoint": "running sum over the calendar day grid",
+    "events_mannwhitney_u": (
+        "cum counts over the distinct-cents histogram (bounded by the "
+        "value range)"
+    ),
     # distinct-seconds histogram: <= attribution-horizon seconds rows
     "events_time_to_convert": "cum counts over the distinct-seconds grid",
     # size-gated dispatch: plain window only below ONE scan shard

@@ -326,3 +326,59 @@ def test_kendall_tau_hand_computed(spark, qs, tmp_path):
     assert (row["n_days"], row["n_pairs"]) == (4, 6)
     assert (row["n_conc"], row["n_disc"]) == (5, 1)
     assert row["tau_a_ppm"] == 666_666
+
+
+def test_pinball_hand_computed_and_mae_crosscheck(spark, qs, tmp_path):
+    """One event type, daily counts [2,0,0,0,0,0,0, 5,1]: snaive lag-7
+    scores days 8 (n=5, fc=2, e=3) and 9 (n=1, fc=0, e=1).
+    10x losses: tau .1 -> max(1e, -9e) = e -> 3, 1; tau .5 -> 5e ->
+    15, 5; tau .9 -> 9e -> 27, 9. ppm = sum*1e5/2 -> 200000, 1000000,
+    1800000. tau=.5 must equal half the MAE (MAE = 2 -> 1e6 ppm)."""
+    import datetime as dt
+
+    d = str(tmp_path / "pb_sf")
+    base = dt.datetime(2024, 1, 1)
+    ev, eid = [], 0
+    for day, n in enumerate([2, 0, 0, 0, 0, 0, 0, 5, 1]):
+        for _ in range(n):
+            ev.append((eid, base + dt.timedelta(days=day), 1, "view",
+                       1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    rows = {r["tau_pct"]: r
+            for r in qs["forecast_eval_pinball"](spark, d).collect()}
+    assert all(r["n_scored"] == 2 for r in rows.values())
+    assert rows[10]["pinball_ppm"] == 200_000
+    assert rows[50]["pinball_ppm"] == 1_000_000
+    assert rows[90]["pinball_ppm"] == 1_800_000
+
+
+def test_mannwhitney_hand_computed(spark, qs, tmp_path):
+    """Sample 1 (pre-cutoff) cents {100, 300}, sample 2 {200, 300}.
+    Sorted with doubled midranks: 100 -> 2, 200 -> 4, 300,300 ->
+    2*2 + 2 + 1 = 7 each. R1_x2 = 2 + 7 = 9... recomputed below:
+    values 100(s1), 200(s2), 300(s1), 300(s2): doubled ranks 2, 4,
+    7, 7. R1_x2 = 2 + 7 = 9; U1_x2 = 9 - 2*3 = 3 (U1 = 1.5 with the
+    tie). rank-biserial = 2*1.5/4 - 1 = -0.25."""
+    import datetime as dt
+
+    d = str(tmp_path / "mw_sf")
+    pre, post = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    ev = [
+        (1, pre, 1, "view", 1.00, "{}"),
+        (2, pre, 1, "view", 3.00, "{}"),
+        (3, post, 1, "view", 2.00, "{}"),
+        (4, post, 1, "view", 3.00, "{}"),
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    row = qs["events_mannwhitney_u"](spark, d).collect()[0]
+    assert (row["n1"], row["n2"]) == (2, 2)
+    assert row["u1_x2"] == 3  # 2*U1 with the tied pair counted half
+    # rb = 2*(3/2)/(2*2) - 1 = -0.25 -> floor-chained ppm
+    assert row["rank_biserial_ppm"] == (3 * 1_000_000 // 8) * 2 - 1_000_000
