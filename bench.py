@@ -466,7 +466,7 @@ def main() -> int:
         reducer.collect()
 
     def run_phase(names: list[str], min_passes: int = 0,
-                  consume=consume_count) -> None:
+                  consume=consume_count, phase: str = "baseline") -> None:
         # warmup (not measured): one pass absorbs JVM startup, codegen
         # for every exec kind in the phase, and parquet footer caches —
         # the measured passes then time the PLAN, not the JIT
@@ -483,7 +483,6 @@ def main() -> int:
         # localCheckpoint blocks so heap pressure stays per-query; the
         # explicit GC between passes makes collection pauses land
         # BETWEEN measurements instead of inside an arbitrary one.
-        phase = "baseline" if consume is consume_count else "additions"
         for i in range(max(repeats, min_passes)):
             spark.sparkContext._jvm.System.gc()
             steal0, total0 = _cpu_jiffies()
@@ -514,12 +513,13 @@ def main() -> int:
     # box, purely because the additions phase only had 2 passes). All
     # queries are sub-6 s when healthy, so extra passes are cheap
     # insurance that at least one pass lands in a quiet window.
-    run_phase(baseline_order, min_passes=4)
+    run_phase(baseline_order, min_passes=4, phase="baseline")
     # SPARK_GRAFT_BENCH_PHASE=baseline: comparable-21 only (fast
     # re-measure for round-over-round drift checks). The driver sets
     # nothing, so its per-round record always covers the full set.
     if os.environ.get("SPARK_GRAFT_BENCH_PHASE", "all") != "baseline":
-        run_phase(additions, min_passes=4, consume=consume_hash)
+        run_phase(additions, min_passes=4, consume=consume_hash,
+                  phase="additions")
 
     total = round(sum(times[k] for k in baseline_order), 4)
     # The driver records only the LAST ~2000 chars of stdout and tries

@@ -88,9 +88,29 @@ class IncrementalPostingsIndex:
 
     def _state(self) -> dict:
         if not os.path.exists(self._pointer):
-            return {"versions": [], "seen_files": [], "last_batch_id": -1}
+            return {"versions": [], "seen_files": [], "last_batch_id": -1,
+                    "positions": self.positions}
         with open(self._pointer) as fh:
-            return json.load(fh)
+            st = json.load(fh)
+        # the grain choice is STORE state, not instance state: every
+        # committed pointer records it, and an instance opened with the
+        # other flag is refused BEFORE it can write an increment that
+        # lacks the grain or vacuum a grain it does not know about
+        # (the latter would silently delete all positional data).
+        stored = st.get("positions")
+        if stored is None and st.get("versions"):
+            # legacy pointer (pre-flag): infer from the disk layout
+            stored = os.path.isdir(os.path.join(self.store_dir,
+                                                "positional"))
+            st["positions"] = stored
+        if stored is not None and stored != self.positions:
+            raise ValueError(
+                f"store at {self.store_dir} was built with positions="
+                f"{stored}; opened with positions={self.positions} — "
+                "the grain choice freezes at the first ingest (rebuild "
+                "to change it)"
+            )
+        return st
 
     def _flip(self, state: dict) -> None:
         from dmds_spark.operators.rollup import _atomic_flip
@@ -281,7 +301,7 @@ class IncrementalPostingsIndex:
         pos = self.positional()
         if pos is None:
             raise ValueError("index is empty: ingest before searching")
-        buckets = sorted({self._term_bucket(t) for t in phrase})
+        buckets = self._term_buckets(phrase)
         tok = pos.filter(
             F.col("tb").isin(buckets) & F.col("term").isin(*phrase)
         )
@@ -315,74 +335,45 @@ class IncrementalPostingsIndex:
 
     def search_bm25(self, terms: tuple[str, ...], topk: int = 20) -> DataFrame:
         """Rational BM25 top-k SERVED from the maintained store — the
-        exact integer scoring of queries/round9b.py text_bm25_topk
-        (k1=1.2, b=0.75, idf and tf-saturation as DECIMAL(38,0) floor
-        divisions; no libm anywhere), with the index doing its job:
-        the posting scan carries BOTH the term-bucket partition filter
-        (<= |terms| of 64 directories per increment) and the term
-        pushdown, so retrieval reads O(matched posting lists) — never
-        the corpus. Corpus statistics (N, total tokens) aggregate the
-        doc-grain doclen store. Returns (doc_id, score_str, rnk)."""
-        from pyspark.sql import Window as W
-
-        from dmds_spark.operators.relational import exact_floordiv
+        SAME scoring pipeline as queries/round9b.py text_bm25_topk
+        (both call operators/bm25.py rational_bm25_topk, so the
+        store-served twin cannot silently diverge), with the index
+        doing its job: the posting scan carries BOTH the term-bucket
+        partition filter (<= |terms| of 64 directories per increment)
+        and the term pushdown, so retrieval reads O(matched posting
+        lists) — never the corpus. Corpus statistics (N, total tokens)
+        aggregate the doc-grain doclen store. Returns
+        (doc_id, score_str, rnk)."""
+        from dmds_spark.operators.bm25 import rational_bm25_topk
 
         p, dl = self.postings(), self.doclens()
         if p is None or dl is None:
             raise ValueError("index is empty: ingest before searching")
-        buckets = sorted(
-            {self._term_bucket(t) for t in terms}
-        )  # <= |terms| ints, computed driver-side for the partition filter
+        buckets = self._term_buckets(terms)
         tf = p.filter(
             F.col("tb").isin(buckets) & F.col("term").isin(*terms)
         ).select("term", "doc_id", "tf")
-        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        corpus = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("d_tot")
-        )
-        s = 1_000_000
-        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-        idf_s = exact_floordiv(
-            (2 * (dec(F.col("n_docs")) - F.col("df")) + 1) * F.lit(s),
-            2 * F.col("df") + 1,
-        )
-        tfp_s = exact_floordiv(
-            dec(F.col("tf")) * F.lit(22) * F.col("d_tot") * F.lit(s),
-            dec(F.col("tf")) * 10 * F.col("d_tot")
-            + 3 * dec(F.col("d_tot"))
-            + 9 * dec(F.col("dl")) * F.col("n_docs"),
-        )
-        scored = (
-            tf.join(F.broadcast(df), "term")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(corpus))
-            .select(
-                "doc_id",
-                (idf_s * tfp_s).cast("decimal(38,0)").alias("part"),
-            )
-        )
-        total = scored.groupBy("doc_id").agg(
-            F.sum("part").cast("decimal(38,0)").alias("score")
-        )
-        order = [F.col("score").desc(), F.col("doc_id")]
-        top = total.orderBy(*order).limit(topk)
-        return top.withColumn(
-            "rnk", F.row_number().over(W.orderBy(*order))
-        ).select(
-            "doc_id",
-            F.col("score").cast("string").alias("score_str"),
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
+        return rational_bm25_topk(tf, dl, topk)
 
-    def _term_bucket(self, term: str) -> int:
-        """Driver-side twin of the stored ``tb`` column (one tiny Spark
-        expression evaluation — exact by construction, no reimplemented
-        xxhash)."""
-        row = self.spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(term)), F.lit(TERM_BUCKETS))
-            .cast("int").alias("b")
-        ).collect()
-        return int(row[0]["b"])
+    _bucket_cache: dict[str, int] = {}  # term -> tb, shared process-wide
+
+    def _term_buckets(self, terms: tuple[str, ...]) -> list[int]:
+        """Driver-side twin of the stored ``tb`` column: ONE Spark job
+        evaluates every uncached term (a single-row projection with one
+        column per term — exact by construction, no reimplemented
+        xxhash), memoized process-wide (the hash is a pure function of
+        the term, independent of any store)."""
+        missing = [t for t in dict.fromkeys(terms)
+                   if t not in self._bucket_cache]
+        if missing:
+            row = self.spark.range(1).select(*[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(TERM_BUCKETS))
+                .cast("int").alias(f"b{i}")
+                for i, t in enumerate(missing)
+            ]).collect()[0]
+            for i, t in enumerate(missing):
+                self._bucket_cache[t] = int(row[f"b{i}"])
+        return sorted({self._bucket_cache[t] for t in terms})
 
     # -- lifecycle ---------------------------------------------------------
     def compact(self) -> dict:

@@ -413,8 +413,16 @@ def decode_image(content: bytes, fake: bool | None = None) -> dict:
         width, height, channels, _off = _bmp_header(content)
         return {"width": width, "height": abs(height), "channels": channels}
     if content[:8] == _PNG_MAGIC:
-        width, height, channels = _png_header(content)
-        return {"width": width, "height": height, "channels": channels}
+        try:
+            width, height, channels = _png_header(content)
+            return {"width": width, "height": height,
+                    "channels": channels}
+        except ValueError:
+            if _pil() is None:
+                raise
+            # unsupported PNG shape (palette / 16-bit / Adam7): fall
+            # through to Pillow where installed — the stdlib codec
+            # NARROWS the environment gate, it must never widen it
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
@@ -837,6 +845,20 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        def _pil_resize(raw: bytes) -> tuple[bytes, int]:
+            Image = _pil()
+            if Image is None:
+                raise NotImplementedError(
+                    "JPEG/other compressed media bytes need Pillow to "
+                    "resample (PPM/BMP/PNG resize without it)"
+                )
+            with Image.open(io.BytesIO(raw)) as im:
+                fmt = im.format or "PNG"
+                channels = len(im.getbands())
+                buf = io.BytesIO()
+                im.resize((target_width, target_height)).save(buf, fmt)
+                return buf.getvalue(), channels
+
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
@@ -858,29 +880,32 @@ def resize_images(
                     elif raw[:2] == b"BM":
                         px = bmp_pixels(raw)[:, :, :3]
                     else:
-                        px = png_pixels(raw)
-                        px = (
-                            np.repeat(px, 3, axis=2) if px.shape[2] == 1
-                            else px[:, :, :3]
+                        try:
+                            px = png_pixels(raw)
+                        except ValueError:
+                            if _pil() is None:
+                                raise
+                            # unsupported PNG shape (palette / 16-bit /
+                            # Adam7): Pillow takes it where installed —
+                            # the stdlib codec narrows the gate, never
+                            # widens it
+                            px = None
+                    if px is not None:
+                        # gray (1ch) and gray+alpha (2ch) replicate
+                        # luminance to RGB for the P6 re-encode (alpha
+                        # drops — P6 has no alpha); RGBA keeps RGB
+                        if px.shape[2] in (1, 2):
+                            px = np.repeat(px[:, :, :1], 3, axis=2)
+                        else:
+                            px = px[:, :, :3]
+                        resized = encode_ppm_pixels(
+                            _nearest(px, target_width, target_height)
                         )
-                    resized = encode_ppm_pixels(
-                        _nearest(px, target_width, target_height)
-                    )
-                    channels = 3
+                        channels = 3
+                    else:
+                        resized, channels = _pil_resize(raw)
                 else:
-                    Image = _pil()
-                    if Image is None:
-                        raise NotImplementedError(
-                            "JPEG/other compressed media bytes need "
-                            "Pillow to resample (PPM/BMP/PNG resize "
-                            "without it)"
-                        )
-                    with Image.open(io.BytesIO(raw)) as im:
-                        fmt = im.format or "PNG"
-                        channels = len(im.getbands())
-                        buf = io.BytesIO()
-                        im.resize((target_width, target_height)).save(buf, fmt)
-                        resized = buf.getvalue()
+                    resized, channels = _pil_resize(raw)
                 out.append(
                     {
                         "media_id": int(media_id),

@@ -169,18 +169,6 @@ def _jchildren(node):
     return [seq.apply(i) for i in range(seq.size())]
 
 
-def _relation_tables(node) -> set[str]:
-    """SF-proportional table names scanned anywhere under ``node``."""
-    try:
-        paths = node.relation().location().rootPaths().toString()
-    except Exception:
-        paths = ""
-    hits = {t for t in SF_PROPORTIONAL_TABLES if f"{t}.parquet" in paths}
-    for ch in _jchildren(node):
-        hits |= _relation_tables(ch)
-    return hits
-
-
 def _unreduced_sf_scans(node) -> set[str]:
     """SF-proportional tables reachable from ``node`` WITHOUT crossing
     a cardinality reducer — i.e. the subtree's output row count still

@@ -427,6 +427,9 @@ _PRIORITY_RECHECK: tuple[str, ...] = (
     "parts_yoy_revenue",
     "parts_price_dispersion",
     "graph_common_neighbors_capped",
+    # round-14 reshape: BM25 scoring moved to the shared
+    # operators/bm25.py (hash-identical expressions — re-prove anyway)
+    "text_bm25_topk",
 )
 
 

@@ -93,62 +93,20 @@ def text_bm25_topk(spark, sf_dir):
     driver side of the exchange) and only the k survivors see the
     rank window. The wide decimal product keeps the score exact past
     2^63 at web-corpus N."""
+    # the scoring pipeline lives in operators/bm25.py since round 14 —
+    # ONE definition shared with the maintained posting store's
+    # search_bm25, so the store-served twin cannot silently diverge
+    from dmds_spark.operators.bm25 import rational_bm25_topk
+
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("d_tot")
-    )
     tf = (
         tok.filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    # shared exact floor division — full decimal(38,0) range on BOTH
-    # factors: a narrower cast (the original decimal(18,0)) overflows
-    # idf_s to NULL once (2(N-df)+1)*1e6 passes 1e18 (~1.5e12 docs for
-    # a df=1 term) and SUM silently drops the term, mis-ranking
-    from dmds_spark.operators.relational import exact_floordiv as floordiv
-
-    # build products in DECIMAL from the first multiply so the
-    # intermediates stay exact at web-corpus N (long would overflow)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    idf_s = floordiv(
-        (2 * (dec(F.col("n_docs")) - F.col("df")) + 1) * F.lit(_S),
-        2 * F.col("df") + 1,
-    )
-    tfp_s = floordiv(
-        dec(F.col("tf")) * F.lit(22) * F.col("d_tot") * F.lit(_S),
-        dec(F.col("tf")) * 10 * F.col("d_tot")
-        + 3 * dec(F.col("d_tot"))
-        + 9 * dec(F.col("dl")) * F.col("n_docs"),
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            (idf_s * tfp_s).cast("decimal(38,0)").alias("part"),
-        )
-    )
-    total = scored.groupBy("doc_id").agg(
-        F.sum("part").cast("decimal(38,0)").alias("score")
-    )
-    order = [F.col("score").desc(), F.col("doc_id")]
-    # TakeOrderedAndProject top-k, THEN rank the k survivors: the
-    # row_number window's input is k rows, never the corpus
-    topk = total.orderBy(*order).limit(BM25_TOPK)
-    return (
-        topk.withColumn("rnk", F.row_number().over(W.orderBy(*order)))
-        .select(
-            "doc_id",
-            F.col("score").cast("string").alias("score_str"),
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
-    )
+    return rational_bm25_topk(tf, dl, BM25_TOPK)
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,21 @@ def test_phrase_from_store_matches_per_query_build(spark, docs, tmp_path):
     flat.fold_batch(docs, 0)
     with pytest.raises(ValueError, match="positional grain"):
         flat.search_phrase(("hash", "join"))
+
+
+def test_positions_flag_is_store_state(spark, docs, tmp_path):
+    """The grain choice persists in the pointer: an instance opened
+    with the OTHER flag is refused before it can write an increment
+    missing the grain — or vacuum a grain it does not know about
+    (which would silently delete all positional data)."""
+    path = str(tmp_path / "g")
+    idx = IncrementalPostingsIndex(spark, None, path, positions=True)
+    idx.fold_batch(docs.filter(F.col("doc_id") < 100), 0)
+    wrong = IncrementalPostingsIndex(spark, None, path, positions=False)
+    with pytest.raises(ValueError, match="positions=True"):
+        wrong.fold_batch(docs, 1)
+    with pytest.raises(ValueError, match="positions=True"):
+        wrong.vacuum()
+    # the correctly-flagged instance still serves
+    again = IncrementalPostingsIndex(spark, None, path, positions=True)
+    assert again.search_phrase(("hash", "join")).count() >= 0
