@@ -204,6 +204,44 @@ def main() -> int:
           f"header-vs-detail reconciliation drift {drift} cents "
           f"across {sum(r['n_orders'] for r in recon)} orders")
 
+    # -- 15. round-14: maintained retrieval + golden records ------------
+    bm = qs["retrieval_bm25_incremental"](spark, sf_dir).collect()
+    ph = qs["retrieval_phrase_incremental"](spark, sf_dir).count()
+    gold = qs["survivorship_golden_record"](spark, sf_dir)
+    n_gold = gold.count()
+    print(f"15. maintained retrieval + MDM: BM25 top-{len(bm)} and "
+          f"phrase hits in {ph} docs served from the incremental "
+          f"posting store; {n_gold} golden records mastered from the "
+          f"event stream (recency/precedence/vote survivorship)")
+
+    # -- 16. round-14: uncertainty + robust trend + rules ---------------
+    conf = {r["event_type"]: r for r in
+            qs["eval_conformal_coverage"](spark, sf_dir).collect()}
+    cov = min(r["coverage_ppm"] for r in conf.values())
+    ts = qs["orders_theilsen_trend"](spark, sf_dir).collect()[0]
+    kt = qs["orders_kendall_tau"](spark, sf_dir).collect()[0]
+    rules = qs["basket_association_rules"](spark, sf_dir).collect()
+    top = rules[0]
+    print(f"16. uncertainty + trend + rules: conformal q_hat "
+          f"{next(iter(conf.values()))['q_hat_cents']} cents, worst "
+          f"held-out coverage {cov / 10_000:.1f}%; Theil-Sen slope "
+          f"{ts['slope_cents_per_day']} cents/day over {ts['n_days']} "
+          f"days (Kendall tau {kt['tau_a_ppm'] / 10_000:.1f}%); top "
+          f"basket rule {top['ante']}->{top['cons']} lift "
+          f"{top['lift_ppm'] / 10_000:.1f}%")
+
+    # -- 17. round-14: dedup quality + PNG codec + change-point ---------
+    bc = qs["dedup_bcubed_quality"](spark, sf_dir).collect()[0]
+    png = qs["multimodal_png_decode_stats"](spark, sf_dir).collect()[0]
+    cp = qs["events_cusum_changepoint"](spark, sf_dir).collect()[0]
+    print(f"17. dedup quality + codecs: MinHash clustering B-cubed "
+          f"P {bc['bcubed_precision_ppm'] / 10_000:.1f}% / "
+          f"R {bc['bcubed_recall_ppm'] / 10_000:.1f}% vs exact-Jaccard "
+          f"truth; {png['n']} PNGs decoded to "
+          f"{png['sum_raster_bytes']} raster bytes with the stdlib "
+          f"codec; CUSUM flags day {cp['changepoint_day']} as the "
+          f"event-rate change-point")
+
     print("demo: all stages ran")
     return 0
 
