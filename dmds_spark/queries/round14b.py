@@ -349,8 +349,9 @@ def dedup_bcubed_quality(spark, sf_dir):
     (ids-only shuffle); cluster assignment and the three census tables
     are |docs|-row hash aggregates; per-doc ratios are broadcast-safe
     small-side joins on cluster keys; the report is a 1-row rollup."""
+    from dmds_spark.core.engine import materialize
+    from dmds_spark.functions.text import minhash_jaccard_estimate
     from dmds_spark.operators.dedup import (
-        dedup_minhash,
         jaccard_verify_pairs,
         minhash_lsh_candidates,
         minhash_signatures,
@@ -358,15 +359,19 @@ def dedup_bcubed_quality(spark, sf_dir):
     from dmds_spark.queries.llm_dedup import BANDS, K_SHINGLE, NUM_HASHES
 
     docs = _docs(spark, sf_dir)
-    pred_pairs = dedup_minhash(
-        docs, "text", "doc_id", NUM_HASHES, BANDS, 0.5
-    ).select("id_a", "id_b")
+    # ONE candidate generation feeds BOTH pairings (the estimate filter
+    # and the exact-Jaccard verify) — candidate-sized, so the barrier
+    # is cheap and the expensive banded self-join runs once, not twice
     sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
-    cand = minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS).select(
-        "id_a", "id_b"
-    )
+    cand = minhash_lsh_candidates(
+        sigs, "doc_id", NUM_HASHES, BANDS
+    ).transform(materialize)
+    pred_pairs = cand.withColumn(
+        "jaccard_est",
+        minhash_jaccard_estimate(F.col("sig_a"), F.col("sig_b"), NUM_HASHES),
+    ).filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
     truth_pairs = jaccard_verify_pairs(
-        docs, cand, "text", "doc_id", K_SHINGLE, 0.5
+        docs, cand.select("id_a", "id_b"), "text", "doc_id", K_SHINGLE, 0.5
     ).select("id_a", "id_b")
 
     def canon(pairs, name):
