@@ -235,8 +235,15 @@ def eval_conformal_coverage(spark, sf_dir):
     scores = cal.join(F.broadcast(pred), "event_type").select(
         F.abs(F.col("cents") - F.col("pred_c")).alias("s")
     )
-    hist = scores.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
-    tot = scores.agg(F.count(F.lit(1)).alias("n_cal"))
+    from dmds_spark.core.engine import materialize
+
+    # the bounded histogram is the ONLY materialized pass over the
+    # calibration slice; n_cal folds off it (never a second scan) and
+    # the cum window reads it back
+    hist = scores.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n")
+    ).transform(materialize)
+    tot = hist.agg(F.sum("n").alias("n_cal"))
     cum = hist.withColumn("cum_n", F.sum("n").over(W.orderBy("s")))
     k = F.least(
         F.expr(
@@ -388,6 +395,9 @@ def dedup_bcubed_quality(spark, sf_dir):
             F.coalesce("pc", F.col("doc_id")).alias("pred_c"),
             F.coalesce("tc", F.col("doc_id")).alias("truth_c"),
         )
+        # four consumers (three census aggregates + the per-doc join):
+        # without the barrier each re-executes the verify pipeline
+        .transform(materialize)
     )
     npt = pc.groupBy("pred_c", "truth_c").agg(F.count("*").alias("n_pt"))
     np_ = pc.groupBy("pred_c").agg(F.count("*").alias("n_p"))

@@ -67,7 +67,11 @@ def orders_theilsen_trend(spark, sf_dir):
     the only corpus-sized work is the one daily aggregate. The slope
     histogram's cum window is over the distinct-slope grid (bounded by
     the pair count)."""
+    from dmds_spark.core.engine import materialize
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # daily (calendar-bounded) has three consumers (both pair sides +
+    # n_days): ONE corpus aggregate behind the barrier
     daily = o.groupBy(
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
         .alias("d")
@@ -75,7 +79,7 @@ def orders_theilsen_trend(spark, sf_dir):
         F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
         .cast("bigint")
         .alias("rev")
-    )
+    ).transform(materialize)
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     slopes = a.join(b, F.col("db") > F.col("da")).select(
@@ -84,8 +88,12 @@ def orders_theilsen_trend(spark, sf_dir):
             f" - {_TS_SHIFT}"
         ).alias("s")
     )
-    hist = slopes.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
-    tot = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    # the histogram (bounded by the pair count) has two consumers
+    # (n_pairs + the cum window): barrier so the pair join runs once
+    hist = slopes.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n")
+    ).transform(materialize)
+    tot = hist.agg(F.sum("n").alias("n_pairs"))
     n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
     cum = hist.withColumn("cum_n", F.sum("n").over(W.orderBy("s")))
     return (
@@ -149,10 +157,14 @@ def events_cusum_changepoint(spark, sf_dir):
     calendar-bounded grid. The cum window is over that bounded grid."""
     from dmds_spark.sources.registry import load_events
 
+    from dmds_spark.core.engine import materialize
+
     ev = load_events(spark, sf_dir)
+    # two consumers (totals + the cum window) of the calendar-bounded
+    # day grid: ONE corpus aggregate behind the barrier
     daily = ev.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")).transform(materialize)
     tot = daily.agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
     )
@@ -225,7 +237,10 @@ def orders_kendall_tau(spark, sf_dir):
     Shape at scale: the same calendar-bounded day-grid self-join as
     Theil-Sen (one corpus aggregate, then < 700k pairs for a century);
     the statistic is a 1-row rollup — no window at all."""
+    from dmds_spark.core.engine import materialize
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # three consumers (both pair sides + n_days): one corpus aggregate
     daily = o.groupBy(
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
         .alias("d")
@@ -233,7 +248,7 @@ def orders_kendall_tau(spark, sf_dir):
         F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
         .cast("bigint")
         .alias("rev")
-    )
+    ).transform(materialize)
     a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
     pairs = a.join(b, F.col("db") > F.col("da")).agg(

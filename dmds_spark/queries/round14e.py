@@ -150,10 +150,15 @@ def profile_chi2_independence(spark, sf_dir):
     forever; the statistic is a 1-row rollup."""
     from dmds_spark.operators.relational import exact_floordiv
 
+    from dmds_spark.core.engine import materialize
+
+    # the contingency table (|sources| x |langs| rows) has four
+    # consumers (margins, total, the grid join): one corpus aggregate
     o = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("obs"))
+        .transform(materialize)
     )
     r = o.groupBy("source").agg(F.sum("obs").alias("rn"))
     c = o.groupBy("lang").agg(F.sum("obs").alias("cn"))

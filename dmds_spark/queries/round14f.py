@@ -154,18 +154,22 @@ def events_mannwhitney_u(spark, sf_dir):
         F.when(F.col("ts") < F.lit(CUTOFF).cast("timestamp"), 1)
         .otherwise(0).alias("grp1"),
     )
+    from dmds_spark.core.engine import materialize
+
+    # the bounded histogram is the ONLY pass over the event stream:
+    # n1/n2 fold off it, the cum window reads it back
     hist = s.groupBy("v").agg(
         F.sum("grp1").alias("c1"),
         F.sum(F.lit(1) - F.col("grp1")).alias("c2"),
         F.count(F.lit(1)).alias("c"),
-    )
+    ).transform(materialize)
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
     cum = hist.select(
         "c1", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("below")
     )
-    tot = s.agg(
-        F.sum("grp1").alias("n1"),
-        F.sum(F.lit(1) - F.col("grp1")).alias("n2"),
+    tot = hist.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
     )
     r = cum.agg(
         F.sum(
