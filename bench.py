@@ -392,6 +392,9 @@ ADDITIONS = [
     # round-14 batch eight: quantile-forecast scoring + two-sample test
     "forecast_eval_pinball",
     "events_mannwhitney_u",
+    # round-14 batch nine: PQ quantization-error census (the PQ-half
+    # retrain trigger, from the maintained store's codes)
+    "embedding_pq_drift_report",
 ]
 
 

@@ -847,6 +847,75 @@ class IncrementalIVFIndex:
             .orderBy("cluster")
         )
 
+    def pq_drift_report(self) -> DataFrame:
+        """Per-(subspace, code) quantization-error census — decides
+        WHEN to rebuild the PQ codebooks (the PQ half of the retrain
+        policy, mirroring :meth:`drift_report` for the coarse cells):
+        for each codeword, its assigned population and the EXACT i64
+        sum of squared grid distances between the stored vectors'
+        subvectors and the codeword. A code whose mean error grows (or
+        whose population collapses) is a codebook that no longer fits
+        the corpus; since PQ codebooks are frozen (FAISS contract),
+        the remedy is a store rebuild — this report is the evidence.
+
+        One scan of the store (vector + codes columns), a pure
+        projection against the constant-folded codebooks, one
+        bounded-key (M*K) hash aggregate."""
+        st = self._state()
+        if not st["pq_version"]:
+            raise ValueError(
+                "store has no PQ codebooks: call train_pq/set_pq_codebooks"
+            )
+        store = self.assignments()
+        if store is None:
+            raise ValueError("index is empty: ingest before pq_drift_report")
+        if "codes" not in store.columns:
+            raise ValueError(
+                "store has no codes column (built before PQ froze)"
+            )
+        from dmds_spark.operators.pq import PQ_DIM, PQ_M
+
+        books = self._pq_books()
+        sub = (self.dim if self.dim else PQ_DIM) // PQ_M
+        qv = self._grid(self.vec_col)
+
+        def _sub_struct(s: int):
+            sv = F.slice(qv, s * sub + 1, sub)
+            # distance to the ASSIGNED codeword: look the codeword up
+            # by the stored code via a chained CASE over the <= K
+            # constant literals (codes are data; codebooks are not)
+            dist = F.lit(None).cast("long")
+            for c, cw in sorted(books.get(s, {}).items()):
+                dist = F.when(
+                    F.col("codes")[s] == c,
+                    self._sq(
+                        sv,
+                        F.from_json(F.lit(json.dumps(cw)),
+                                    "array<bigint>"),
+                    ),
+                ).otherwise(dist)
+            return F.struct(
+                F.lit(s).alias("sub"),
+                F.col("codes")[s].alias("code"),
+                dist.alias("qerr"),
+            )
+
+        # long format via ONE explode — a union of M per-subspace
+        # selects would re-scan the store M times (store-design rule)
+        rows = store.select(
+            F.explode(
+                F.array(*[_sub_struct(s) for s in range(PQ_M)])
+            ).alias("x")
+        ).select("x.sub", "x.code", "x.qerr")
+        return (
+            rows.groupBy("sub", "code")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.sum("qerr").cast("bigint").alias("sum_sq_err"),
+            )
+            .orderBy("sub", "code")
+        )
+
     def vacuum(self) -> dict:
         """Reclaim directories not referenced by the committed pointer:
         compact()-superseded increments, crashed-ingest orphans, and

@@ -203,3 +203,57 @@ def multimodal_png_decode_stats(spark, sf_dir):
             F.sum("raster_sum").cast("bigint").alias("sum_raster"),
         )
     )
+
+
+@register(
+    "embedding_pq_drift_report",
+    _PQ_CTE + f"""
+    SELECT CAST(k.sub AS BIGINT) AS sub, CAST(k.code AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(list_sum([(v.sv[i] - c.qc[i]) * (v.sv[i] - c.qc[i])
+                              for i in range(1, {PQ_SUB} + 1)]))
+                AS BIGINT) AS sum_sq_err
+    FROM codes k
+    JOIN subs v ON v.vec_id = k.vec_id AND v.sub = k.sub
+    JOIN cb c ON c.sub = k.sub AND c.cid = k.code
+    GROUP BY k.sub, k.code
+    ORDER BY sub, code
+    """,
+)
+def embedding_pq_drift_report(spark, sf_dir):
+    """The PQ retrain trigger proven against the oracle: per
+    (subspace, code), the assigned population and the EXACT i64 sum of
+    squared grid distances from each STORED vector's subvector to its
+    codeword — the quantization-error census that says when the frozen
+    codebooks no longer fit the corpus (the PQ half of the retrain
+    policy; similarity_ivf_drift_report is the coarse-cell half). Runs
+    on the maintained store: codes come from the two-increment
+    IVF+PQ build, and the distances recompute from the stored vector
+    column against the constant-folded codebooks — so the hash also
+    re-certifies that the PERSISTED codes are the argmin assignments
+    (a wrong stored code would shift its error mass to another row of
+    this report).
+
+    Shape at scale: one store scan (vector + codes columns), the
+    M-struct explode, one bounded-key (M*K) hash aggregate."""
+    from dmds_spark.core.scratch import scratch_dir
+    from dmds_spark.operators.incremental_ivf import IncrementalIVFIndex
+
+    root = scratch_dir("pq_drift", sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    anchors = (
+        e.filter(F.col("vec_id") < _IVFADC_CELLS).orderBy("vec_id").collect()
+    )
+    idx = IncrementalIVFIndex(
+        spark, None, f"{root}/store", "vec_id", "embedding"
+    )
+    idx.set_centroids([list(r["embedding"]) for r in anchors])
+    idx.train_pq(e)
+    idx.fold_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.fold_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+    return idx.pq_drift_report().select(
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+        "n_vectors",
+        "sum_sq_err",
+    )

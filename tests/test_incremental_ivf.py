@@ -636,3 +636,45 @@ def test_adc_scan_prunes_vector_column_and_partitions(spark, emb, tmp_path):
         "embedding" not in s for s in store_schemas
     ), store_schemas
     assert any("cluster" in f for f in partition_filters(df))
+
+
+def test_pq_drift_report_zero_error_for_codeword_vectors(spark, emb, tmp_path):
+    """Sanity invariants: population sums to the corpus per subspace;
+    errors are non-negative; and a store whose vectors ARE codeword
+    centroids would report zero — approximated here by checking the
+    report's totals against a driver-side recompute on a sample."""
+    import numpy as np
+
+    from dmds_spark.operators.pq import PQ_M, PQ_OFF, PQ_SCALE
+
+    idx = _pq_idx(spark, emb, tmp_path / "d", halves=False)
+    rep = idx.pq_drift_report().collect()
+    n = emb.count()
+    by_sub = {}
+    for r in rep:
+        by_sub.setdefault(r["sub"], 0)
+        by_sub[r["sub"]] += r["n_vectors"]
+        assert r["sum_sq_err"] >= 0
+    assert all(v == n for v in by_sub.values())
+    # driver-side recompute for one subspace on 20 vectors
+    books = idx._pq_books()
+    sub_w = 64 // PQ_M
+    sample = emb.filter(F.col("vec_id") < 20).collect()
+    stored = {r["vec_id"]: list(r["codes"])
+              for r in idx.assignments().filter(
+                  F.col("vec_id") < 20).collect()}
+    want = {}
+    for r in sample:
+        g = [int(np.floor(float(x) * PQ_SCALE)) + PQ_OFF
+             for x in r["embedding"]]
+        for s in range(PQ_M):
+            sv = g[s * sub_w:(s + 1) * sub_w]
+            cw = books[s][stored[r["vec_id"]][s]]
+            err = sum((a - b) * (a - b) for a, b in zip(sv, cw))
+            want[(s, stored[r["vec_id"]][s])] = (
+                want.get((s, stored[r["vec_id"]][s]), 0) + err
+            )
+    # the sampled errors are a lower bound of each (sub, code) total
+    got = {(r["sub"], r["code"]): r["sum_sq_err"] for r in rep}
+    for k, v in want.items():
+        assert got[k] >= v
