@@ -395,6 +395,9 @@ ADDITIONS = [
     # round-14 batch nine: PQ quantization-error census (the PQ-half
     # retrain trigger, from the maintained store's codes)
     "embedding_pq_drift_report",
+    # round-14 batch ten: effect sizes (Cramer's V^2, Cohen's kappa)
+    "profile_cramers_v2",
+    "dedup_method_kappa",
 ]
 
 

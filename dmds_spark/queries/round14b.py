@@ -418,3 +418,123 @@ def dedup_bcubed_quality(spark, sf_dir):
         F.expr("SUM(rec_ppm) div COUNT(*)").cast("bigint")
         .alias("bcubed_recall_ppm"),
     )
+
+
+def _kappa_sql() -> str:
+    from dmds_spark.queries.llm_dedup import CAND_CTE, EST_SQL
+
+    return (
+        CAND_CTE
+        + f"""
+    , shd AS (
+      SELECT doc_id, list_distinct(shingles) AS shd FROM sh
+    ), j AS (
+      SELECT CASE WHEN {EST_SQL} >= 0.5 THEN 1 ELSE 0 END AS l1,
+             CASE WHEN CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+                  / greatest(len(list_distinct(
+                        list_concat(sa.shd, sb.shd))), 1) >= 0.5
+                  THEN 1 ELSE 0 END AS l2
+      FROM cand
+      JOIN shd sa ON sa.doc_id = id_a
+      JOIN shd sb ON sb.doc_id = id_b
+    ), cm AS (
+      SELECT CAST(SUM(l1 * l2) AS HUGEINT) AS a,
+             CAST(SUM(l1 * (1 - l2)) AS HUGEINT) AS b,
+             CAST(SUM((1 - l1) * l2) AS HUGEINT) AS c,
+             CAST(SUM((1 - l1) * (1 - l2)) AS HUGEINT) AS d,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM j
+    )
+    SELECT CAST(a AS BIGINT) AS n_both,
+           CAST(b AS BIGINT) AS n_est_only,
+           CAST(c AS BIGINT) AS n_exact_only,
+           CAST(d AS BIGINT) AS n_neither,
+           CAST(CASE WHEN n * n = (a + b) * (a + c) + (c + d) * (b + d)
+                THEN 1000000
+                ELSE ((a + d) * n - ((a + b) * (a + c) + (c + d) * (b + d))
+                      + (n * n - ((a + b) * (a + c) + (c + d) * (b + d))))
+                     * 1000000
+                     // (n * n - ((a + b) * (a + c) + (c + d) * (b + d)))
+                     - 1000000
+                END AS BIGINT) AS kappa_ppm
+    FROM cm
+    """
+    )
+
+
+@register("dedup_method_kappa", _kappa_sql())
+def dedup_method_kappa(spark, sf_dir):
+    """Cohen's kappa between the MinHash ESTIMATE labeling and the
+    exact-Jaccard labeling over the SAME LSH candidates — chance-
+    corrected agreement (Cohen 1960), the honest version of the raw
+    agreement rate when one class dominates (most candidate pairs are
+    non-duplicates, so raw agreement flatters any estimator). Exact:
+    kappa = (po - pe)/(1 - pe) cleared of fractions by n^2
+    cross-multiplication; the +DEN shift keeps the floor-division
+    numerator non-negative (kappa >= -1); the degenerate pe = 1 case
+    (both labelings constant) returns 1e6 by the standard convention,
+    stated identically in both engines. HUGEINT/DECIMAL(38): n^2
+    passes 2^63 at ~3e9 candidate pairs.
+
+    Shape at scale: ONE pass over the banded LSH candidates computing
+    both labels (the bcubed pipeline's candidate economics), one
+    4-counter rollup, integer scalar arithmetic."""
+    from dmds_spark.core.engine import materialize
+    from dmds_spark.functions.text import minhash_jaccard_estimate
+    from dmds_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from dmds_spark.operators.relational import exact_floordiv
+    from dmds_spark.queries.llm_dedup import BANDS, K_SHINGLE, NUM_HASHES
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
+    cand = minhash_lsh_candidates(
+        sigs, "doc_id", NUM_HASHES, BANDS
+    ).transform(materialize)
+    est = cand.select(
+        "id_a",
+        "id_b",
+        F.when(
+            minhash_jaccard_estimate(
+                F.col("sig_a"), F.col("sig_b"), NUM_HASHES
+            ) >= 0.5,
+            1,
+        ).otherwise(0).alias("l1"),
+    )
+    exact = jaccard_verify_pairs(
+        docs, cand.select("id_a", "id_b"), "text", "doc_id", K_SHINGLE, 0.0
+    ).select("id_a", "id_b",
+             (F.col("jaccard") >= 0.5).cast("int").alias("l2x"))
+    j = est.join(exact, ["id_a", "id_b"], "left").select(
+        "l1",
+        # pairs with zero shingle intersection drop out of the verify
+        # join: their exact jaccard is 0 -> label 0
+        F.coalesce("l2x", F.lit(0)).alias("l2"),
+    )
+    dec = "decimal(38,0)"
+    cm = j.agg(
+        F.sum(F.col("l1") * F.col("l2")).cast(dec).alias("a"),
+        F.sum(F.col("l1") * (1 - F.col("l2"))).cast(dec).alias("b"),
+        F.sum((1 - F.col("l1")) * F.col("l2")).cast(dec).alias("c"),
+        F.sum((1 - F.col("l1")) * (1 - F.col("l2"))).cast(dec).alias("d"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+    )
+    pe_n2 = F.expr("(a + b) * (a + c) + (c + d) * (b + d)").cast(dec)
+    den = (F.col("n") * F.col("n") - pe_n2).cast(dec)
+    num_shifted = (
+        (F.col("a") + F.col("d")) * F.col("n") - pe_n2 + den
+    ).cast(dec)
+    kappa = F.when(den == 0, F.lit(1_000_000).cast("bigint")).otherwise(
+        (exact_floordiv(num_shifted * F.lit(1_000_000), den)
+         - 1_000_000).cast("bigint")
+    )
+    return cm.select(
+        F.col("a").cast("bigint").alias("n_both"),
+        F.col("b").cast("bigint").alias("n_est_only"),
+        F.col("c").cast("bigint").alias("n_exact_only"),
+        F.col("d").cast("bigint").alias("n_neither"),
+        kappa.alias("kappa_ppm"),
+    )

@@ -193,3 +193,91 @@ def profile_chi2_independence(spark, sf_dir):
             "chi2_ppm",
         )
     )
+
+
+@register(
+    "profile_cramers_v2",
+    """
+    WITH o AS (
+      SELECT source, lang, COUNT(*) AS obs
+      FROM documents GROUP BY source, lang
+    ), r AS (SELECT source, SUM(obs) AS rn FROM o GROUP BY source),
+    c AS (SELECT lang, SUM(obs) AS cn FROM o GROUP BY lang),
+    t AS (SELECT SUM(obs) AS tn FROM o),
+    grid AS (
+      SELECT r.source, c.lang, COALESCE(o.obs, 0) AS obs, r.rn, c.cn, t.tn
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
+    ), cells AS (
+      SELECT (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+             * (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+             * 1000000
+             // (CAST(tn AS HUGEINT) * rn * cn) AS chi2_cell_ppm
+      FROM grid
+    ), chi AS (
+      SELECT SUM(CAST(chi2_cell_ppm AS BIGINT)) AS chi2_ppm FROM cells
+    ), dims AS (
+      SELECT (SELECT COUNT(*) FROM r) AS nr, (SELECT COUNT(*) FROM c) AS nc
+    )
+    SELECT CAST(d.nr AS BIGINT) AS n_rows, CAST(d.nc AS BIGINT) AS n_cols,
+           CAST(x.chi2_ppm AS BIGINT) AS chi2_ppm,
+           CAST(x.chi2_ppm // (t.tn * LEAST(d.nr - 1, d.nc - 1))
+                AS BIGINT) AS cramers_v2_ppm
+    FROM chi x, dims d, t
+    """,
+)
+def profile_cramers_v2(spark, sf_dir):
+    """Cramér's V-squared — the [0,1] effect size that makes chi-square
+    statistics comparable across table shapes and corpus sizes
+    (Cramér 1946): V^2 = chi2 / (T * min(r-1, c-1)). Emitted squared
+    (a sqrt is libm; V^2 orders identically and is the quantity the
+    bias-corrected variants start from), exact by floor-dividing the
+    already-ppm chi2 by the integer denominator. A drift monitor
+    alerts on V^2, not raw chi2 — chi2 grows linearly with T even at
+    constant association.
+
+    Shape at scale: identical to profile_chi2_independence (one corpus
+    aggregate, broadcast-sized grid) plus two integer scalars."""
+    from dmds_spark.core.engine import materialize
+    from dmds_spark.operators.relational import exact_floordiv
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .transform(materialize)
+    )
+    r = o.groupBy("source").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("lang").agg(F.sum("obs").alias("cn"))
+    t = o.agg(F.sum("obs").alias("tn"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(o, ["source", "lang"], "left")
+        .select(
+            "rn", "cn", "tn", F.coalesce("obs", F.lit(0)).alias("obs")
+        )
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    diff = dec("obs") * F.col("tn") - dec("rn") * F.col("cn")
+    cell = exact_floordiv(
+        diff * diff * F.lit(1_000_000),
+        dec("tn") * F.col("rn") * F.col("cn"),
+    ).cast("bigint")
+    chi = grid.select(cell.alias("x")).agg(
+        F.sum("x").cast("bigint").alias("chi2_ppm")
+    )
+    nr = r.agg(F.count(F.lit(1)).alias("nr"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        chi.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("nr").cast("bigint").alias("n_rows"),
+            F.col("nc").cast("bigint").alias("n_cols"),
+            "chi2_ppm",
+            F.expr("chi2_ppm div (tn * LEAST(nr - 1, nc - 1))")
+            .cast("bigint").alias("cramers_v2_ppm"),
+        )
+    )

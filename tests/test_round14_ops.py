@@ -382,3 +382,68 @@ def test_mannwhitney_hand_computed(spark, qs, tmp_path):
     assert row["u1_x2"] == 3  # 2*U1 with the tied pair counted half
     # rb = 2*(3/2)/(2*2) - 1 = -0.25 -> floor-chained ppm
     assert row["rank_biserial_ppm"] == (3 * 1_000_000 // 8) * 2 - 1_000_000
+
+
+def test_cramers_v2_hand_computed(spark, qs, tmp_path):
+    """The chi2 hand fixture [[30,10],[10,30]] has chi2 = 20, T = 80,
+    min(r-1,c-1) = 1 -> V^2 = 20/80 = 0.25 -> 250000 ppm."""
+    import os
+
+    d = str(tmp_path / "cv_sf")
+    rows = []
+    i = 0
+    for src, lang, n in [("s1", "en", 30), ("s1", "de", 10),
+                         ("s2", "en", 10), ("s2", "de", 30)]:
+        for _ in range(n):
+            rows.append((i, "t", lang, src, 1))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    del os
+    row = qs["profile_cramers_v2"](spark, d).collect()[0]
+    assert row["chi2_ppm"] == 20_000_000
+    assert row["cramers_v2_ppm"] == 250_000
+
+
+def test_kappa_hand_computed_on_planted_disagreement(spark, qs, tmp_path):
+    """Five docs: two identical pairs (est == exact == dup) plus a
+    singleton — every blocked candidate gets the same label from both
+    methods. Whatever the candidate set, perfect agreement means
+    kappa = 1e6 (either via the exact formula or the pe=1 degenerate
+    convention when all labels coincide)."""
+    d = str(tmp_path / "kp_sf")
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 8),
+        (2, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 8),
+        (3, "one two three four five six seven eight nine", "en", "s", 9),
+        (4, "one two three four five six seven eight nine", "en", "s", 9),
+        (5, "completely different words nothing shared here at all x",
+         "en", "s", 9),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    row = qs["dedup_method_kappa"](spark, d).collect()[0]
+    assert row["n_est_only"] == 0 and row["n_exact_only"] == 0
+    assert row["kappa_ppm"] == 1_000_000
+
+
+def test_kappa_formula_mixed_case(spark, qs):
+    """On the real corpus the two labelings disagree somewhere
+    (dedup_minhash_precision exists because they do): check the
+    emitted kappa against a driver-side recompute from the emitted
+    confusion counts."""
+    row = qs["dedup_method_kappa"](spark, SF).collect()[0]
+    a, b, c, d = (row["n_both"], row["n_est_only"],
+                  row["n_exact_only"], row["n_neither"])
+    n = a + b + c + d
+    pe_n2 = (a + b) * (a + c) + (c + d) * (b + d)
+    den = n * n - pe_n2
+    if den == 0:
+        assert row["kappa_ppm"] == 1_000_000
+    else:
+        num_shifted = (a + d) * n - pe_n2 + den
+        assert row["kappa_ppm"] == num_shifted * 1_000_000 // den - 1_000_000
