@@ -394,6 +394,34 @@ _CHECKED_R13: frozenset[str] = frozenset({
     "tokens_packing_efficiency_sweep",
 })
 
+# round 14 (CORRECTNESS_r14.json): 50 rows — 48 hash-green, 1
+# no_oracle by design (agg_approx_distinct), 1 real ERR
+# (dmds_world_maintenance, the default-session lock-wipe crash fixed in
+# round 15 — it re-enters via _PRIORITY_RECHECK below). Covered all 20
+# round-14 additions, the 6 priority re-checks, plus rotated evidence.
+_CHECKED_R14: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_rollup", "basket_association_rules", "dedup_bcubed_quality",
+    "dedup_method_agreement", "dedup_method_kappa", "distinct_projection",
+    "dmds_world_maintenance", "embedding_pq_drift_report",
+    "eval_conformal_coverage", "events_attribution_linear",
+    "events_cusum_changepoint", "events_inter_arrival_histogram",
+    "events_mannwhitney_u", "events_weekday_hour_heatmap",
+    "forecast_eval_pinball", "graph_common_neighbors_capped",
+    "graph_khop_reachability", "graph_supplier_jaccard",
+    "lineitem_corr_components", "multimodal_png_decode_stats",
+    "orders_kendall_tau", "orders_theilsen_trend", "parts_price_dispersion",
+    "parts_yoy_revenue", "pivot_conditional", "privacy_l_diversity",
+    "privacy_t_closeness", "profile_chi2_independence", "profile_cramers_v2",
+    "profile_duplicate_rows", "retrieval_bm25_incremental",
+    "retrieval_phrase_incremental", "rollup_incremental_ivfadc",
+    "rollup_incremental_postings", "sample_systematic_every_k",
+    "similarity_lsh_recall_report", "survivorship_golden_record",
+    "text_bm25_topk", "text_repetition_profile", "text_vocab_growth",
+    "tokens_vocab_truncation_loss", "window_ewma_pow2", "window_lag_lead",
+    "window_rank_dense_ntile", "window_row_number", "window_running_sum",
+})
+
 # Oldest evidence first: a query's age is its most recent checked round.
 # Each round's fold-in is ONE new frozenset in this tuple — the aging
 # subtraction (later evidence supersedes earlier) is computed below.
@@ -401,6 +429,7 @@ _ROUND_SETS: tuple[frozenset[str], ...] = (
     _CHECKED_R01, _CHECKED_R02, _CHECKED_R04, _CHECKED_R05,
     _CHECKED_R06, _CHECKED_R07, _CHECKED_R08, _CHECKED_R09,
     _CHECKED_R10, _CHECKED_R11, _CHECKED_R12, _CHECKED_R13,
+    _CHECKED_R14,
 )
 _CHECKED_ROUNDS: tuple[frozenset[str], ...] = tuple(
     rnd - frozenset().union(*_ROUND_SETS[i + 1:])
@@ -416,20 +445,18 @@ _DEFERRED: tuple[str, ...] = ()
 
 # Queries whose oracle status or semantics CHANGED after their last
 # driver check, so their recorded evidence is stale regardless of age:
-# they slot directly behind the never-checked set. Round 14: the three
-# SF-proportional hard-broadcast sites moved to maybe_broadcast (plan
-# reshape, hash-identical — broadcast is a hint; re-prove anyway), and
-# graph_common_neighbors_capped moves rows-only -> full SQL oracle (the
-# per-node degree cap restated as row_number <= cap in DuckDB).
+# they slot directly behind the never-checked set. Round 15: the four
+# World/CDC write-path queries hit (or were latent-broken by) the
+# default-session lock-wipe crash — the r14 window's only ERR. The
+# round-15 fix (writer lock moved OUT of the Spark-owned data dir +
+# per-write dynamic partitionOverwriteMode on the first flush) must be
+# re-proved by the driver's own session, which is exactly the
+# environment that crashed them.
 _PRIORITY_RECHECK: tuple[str, ...] = (
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "parts_yoy_revenue",
-    "parts_price_dispersion",
-    "graph_common_neighbors_capped",
-    # round-14 reshape: BM25 scoring moved to the shared
-    # operators/bm25.py (hash-identical expressions — re-prove anyway)
-    "text_bm25_topk",
+    "dmds_world_maintenance",
+    "dmds_crud_snapshot",
+    "cdc_world_merge",
+    "rollup_incremental_cdc",
 )
 
 

@@ -57,7 +57,14 @@ class WriterLock:
     """Cross-process single-writer token for a world directory: a
     ``_writer.lock`` file created with O_CREAT|O_EXCL (atomic on POSIX
     and on HDFS-compatible stores' create-exclusive), holding the
-    writer's pid/host/session token. The in-process ``threading.Lock``
+    writer's pid/host/session token. The lock file lives in a SIBLING
+    directory (``<path>.lockd/``), never inside the Spark-owned data
+    directory: a static-mode ``INSERT OVERWRITE`` deletes the whole
+    target directory before writing, and round 14 proved a lock stored
+    inside it gets wiped by the engine's own first flush under a
+    default-config session (``partitionOverwriteMode=STATIC``), fencing
+    the writer against its own write. Mutual-exclusion state must not
+    share a directory with data any engine rewrite can clobber. The in-process ``threading.Lock``
     serializes flush-vs-writer within one session (the reference's
     ``lock_w``, src/world.rs:58, guards a single process the same
     way); THIS lock extends the single-writer discipline across
@@ -110,9 +117,19 @@ class WriterLock:
       only the verified manifest flip publishes them)."""
 
     FILENAME = "_writer.lock"
+    LOCK_DIR_SUFFIX = ".lockd"
 
     _BY_DIR: dict[str, "WriterLock"] = {}
     _BY_DIR_GUARD = threading.Lock()
+
+    @classmethod
+    def lock_path(cls, dir_path: str) -> str:
+        """Filesystem path of the lock file guarding ``dir_path`` — in
+        the sibling ``<dir>.lockd/`` directory, OUTSIDE the data dir
+        (see class docstring for why it must not live inside)."""
+        return os.path.join(
+            dir_path.rstrip("/") + cls.LOCK_DIR_SUFFIX, cls.FILENAME
+        )
 
     @classmethod
     def for_dir(cls, dir_path: str) -> "WriterLock":
@@ -131,7 +148,7 @@ class WriterLock:
 
     def __init__(self, dir_path: str):
         self.dir_path = dir_path
-        self.path = os.path.join(dir_path, self.FILENAME)
+        self.path = self.lock_path(dir_path)
         self.token = uuid.uuid4().hex
         # flush-vs-writer serialization, shared across all Worlds on
         # this path via for_dir (the reference's lock_w, src/world.rs:58)
@@ -205,6 +222,7 @@ class WriterLock:
 
     def _acquire_file(self) -> None:
         os.makedirs(self.dir_path, exist_ok=True)
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         now = time.time()
         payload = json.dumps(
             {
@@ -1291,9 +1309,18 @@ class World:
                 self._commit_version_write(out)
             else:
                 self._writer_lock.verify_token()  # fence the overwrite
-                out.write.partitionBy(*self.partition_cols()).mode(
-                    "overwrite"
-                ).parquet(self.path)
+                # per-write dynamic mode, like the dirty-partition path
+                # below and compact(): a session left at Spark's STATIC
+                # default would otherwise delete-and-recreate the whole
+                # directory (correctness must not depend on session
+                # conf — the round-14 driver session proved it doesn't
+                # set this)
+                (
+                    out.write.partitionBy(*self.partition_cols())
+                    .mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(self.path)
+                )
             self._ops = []
             return n_ops
 
@@ -1558,15 +1585,21 @@ class World:
         tokio-fs/src/lib.rs:158-200) plus lock release. Idempotent; a
         World used only for reads never took the lock and this is a
         pure no-op."""
-        if self._ops:
-            self.flush()
-        with self._lock:
-            # mirror of the _append_op acquire: ref handoff under the
-            # same mutex so a close racing a first write cannot drop a
-            # ref the writer thread is still establishing
-            if self._writer_ref:
-                self._writer_ref = False
-                self._writer_lock.release()
+        try:
+            if self._ops:
+                self.flush()
+        finally:
+            # release even when the final flush raises — a failed
+            # flush must not leak the cross-process lock until a
+            # dead-pid break (the ops stay buffered; a caller that
+            # catches and retries re-acquires on the next write)
+            with self._lock:
+                # mirror of the _append_op acquire: ref handoff under
+                # the same mutex so a close racing a first write cannot
+                # drop a ref the writer thread is still establishing
+                if self._writer_ref:
+                    self._writer_ref = False
+                    self._writer_lock.release()
 
     def __enter__(self) -> "World":
         return self
@@ -1583,7 +1616,7 @@ class World:
         single-writer guarantee for its in-flight flush (see
         WriterLock failure modes). Returns True if a lock was
         removed."""
-        p = os.path.join(path, WriterLock.FILENAME)
+        p = WriterLock.lock_path(path)
         try:
             with open(p) as fh:
                 holder = json.load(fh)

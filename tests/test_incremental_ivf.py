@@ -267,14 +267,18 @@ def test_writer_lock_fences_concurrent_stores(spark, emb, tmp_path):
 
     from dmds_spark.core.errors import WorldLockedError
 
+    from dmds_spark.world import WriterLock
+
     store = str(tmp_path / "w")
     idx = IncrementalIVFIndex(spark, None, store, "vec_id", "embedding")
     idx.set_centroids(_anchor_rows(emb))
-    assert not os.path.exists(os.path.join(store, "_writer.lock"))
+    lockfile = WriterLock.lock_path(store)
+    assert not os.path.exists(lockfile)
 
     # plant a live foreign holder (our own pid, foreign token — the
     # refuse-rather-than-adopt case)
-    with open(os.path.join(store, "_writer.lock"), "w") as fh:
+    os.makedirs(os.path.dirname(lockfile), exist_ok=True)
+    with open(lockfile, "w") as fh:
         json.dump(
             {"pid": os.getpid(), "host": __import__("socket").gethostname(),
              "token": "someone-else"},
@@ -282,7 +286,7 @@ def test_writer_lock_fences_concurrent_stores(spark, emb, tmp_path):
         )
     with pytest.raises(WorldLockedError):
         idx.fold_batch(emb, 0)
-    os.unlink(os.path.join(store, "_writer.lock"))
+    os.unlink(lockfile)
     idx.fold_batch(emb, 0)  # lock gone -> proceeds
     assert idx.assignments().count() == emb.count()
 

@@ -20,6 +20,15 @@ from dmds_spark.world import World, WriterLock
 SPEC = WorldSpec(dims=(DimSpec("x", 0, 63, 8), DimSpec("y", 0, 63, 8)))
 
 
+def _lockfile(path: str) -> str:
+    """Lock-file path for a world dir (sibling .lockd dir — see
+    WriterLock.lock_path), with the lock dir created so tests can plant
+    fake holders."""
+    p = WriterLock.lock_path(path)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    return p
+
+
 def _try_acquire_in_subprocess(path: str) -> dict:
     """Run a second OS process that attempts to take the writer lock;
     returns {"acquired": bool, "error": str|None}."""
@@ -56,7 +65,7 @@ def test_second_process_excluded_until_close(spark, tmp_path):
     w.close()  # flush + release
     # data made it down and the lock is gone
     assert os.path.exists(path)
-    assert not os.path.exists(os.path.join(path, WriterLock.FILENAME))
+    assert not os.path.exists(_lockfile(path))
     third = _try_acquire_in_subprocess(path)
     assert third["acquired"] is True
 
@@ -75,7 +84,7 @@ def test_same_process_second_instance_shares_interned_lock(spark, tmp_path):
     assert a._lock is b._lock  # shared flush mutex
     a.close()
     # b still writes: the token must survive a's close
-    assert os.path.exists(os.path.join(path, WriterLock.FILENAME))
+    assert os.path.exists(_lockfile(path))
     b.close()
     got = {
         (r["x"], r["y"], r["v"])
@@ -92,18 +101,18 @@ def test_stale_same_host_lock_is_broken(tmp_path):
     # a pid that cannot be alive: fork-bomb-free sentinel way past
     # pid_max default; if it IS alive on some exotic host, the test
     # env is broken in ways we want to hear about
-    with open(os.path.join(path, WriterLock.FILENAME), "w") as fh:
+    with open(_lockfile(path), "w") as fh:
         json.dump(
             {"pid": 2**22 + 1234567, "host": __import__("socket").gethostname(),
              "token": "dead", "acquired_at": 0}, fh,
         )
     lk = WriterLock(path)
     lk.acquire()  # breaks the stale lock instead of raising
-    assert json.load(open(os.path.join(path, WriterLock.FILENAME)))[
+    assert json.load(open(_lockfile(path)))[
         "token"
     ] == lk.token
     lk.release()
-    assert not os.path.exists(os.path.join(path, WriterLock.FILENAME))
+    assert not os.path.exists(_lockfile(path))
 
 
 def test_foreign_host_lock_raises_and_break_lock_clears(tmp_path):
@@ -111,7 +120,7 @@ def test_foreign_host_lock_raises_and_break_lock_clears(tmp_path):
     and the explicit break_lock escape hatch must clear it."""
     path = str(tmp_path / "w")
     os.makedirs(path)
-    with open(os.path.join(path, WriterLock.FILENAME), "w") as fh:
+    with open(_lockfile(path), "w") as fh:
         json.dump(
             {"pid": 1, "host": "some-other-host.example", "token": "x",
              "acquired_at": 0}, fh,
@@ -146,7 +155,7 @@ def test_stale_break_race_exactly_one_winner(tmp_path):
     must win and its token must be the one on disk at the end."""
     path = str(tmp_path / "w")
     os.makedirs(path)
-    with open(os.path.join(path, WriterLock.FILENAME), "w") as fh:
+    with open(_lockfile(path), "w") as fh:
         json.dump(
             {"pid": 2**22 + 7654321,
              "host": __import__("socket").gethostname(),
@@ -272,7 +281,7 @@ def test_racing_first_writes_take_exactly_one_ref(spark, tmp_path):
     assert w._writer_lock._refs == 1
     w.close()
     assert w._writer_lock._refs == 0
-    assert not os.path.exists(os.path.join(path, WriterLock.FILENAME))
+    assert not os.path.exists(_lockfile(path))
     # the path is genuinely free for the next writer process
     nxt = _try_acquire_in_subprocess(path)
     assert nxt["acquired"] is True
@@ -288,7 +297,7 @@ def test_racing_first_writes_take_exactly_one_ref(spark, tmp_path):
 
 def _foreign_lock(path: str, **extra) -> str:
     os.makedirs(path, exist_ok=True)
-    p = os.path.join(path, WriterLock.FILENAME)
+    p = _lockfile(path)
     with open(p, "w") as fh:
         json.dump(
             {"pid": 1, "host": "remote-host.example", "token": "remote",
@@ -342,7 +351,7 @@ def test_live_same_host_pid_beats_expired_lease(tmp_path):
     is refused, not reclaimed."""
     path = str(tmp_path / "w")
     os.makedirs(path)
-    with open(os.path.join(path, WriterLock.FILENAME), "w") as fh:
+    with open(_lockfile(path), "w") as fh:
         json.dump(
             {"pid": os.getpid(),  # provably alive
              "host": __import__("socket").gethostname(),
@@ -351,7 +360,7 @@ def test_live_same_host_pid_beats_expired_lease(tmp_path):
         )
     with pytest.raises(WorldLockedError):
         WriterLock(path).acquire()
-    os.unlink(os.path.join(path, WriterLock.FILENAME))
+    os.unlink(_lockfile(path))
 
 
 def test_heartbeat_refreshes_lease_and_respects_foreign_token(tmp_path):
@@ -395,7 +404,7 @@ def test_flush_daemon_heartbeats_lease(spark, tmp_path):
         st = {}
         while _t.time() < deadline:
             try:
-                st = json.load(open(os.path.join(path, WriterLock.FILENAME)))
+                st = json.load(open(_lockfile(path)))
             except (OSError, ValueError):
                 st = {}
             if st.get("lease_sec"):
@@ -460,7 +469,7 @@ def test_compact_requires_writer_token(spark, tmp_path):
     w2 = World(spark, SPEC, path, validate="off")
     with pytest.raises(WorldLockedError):
         w2.compact()
-    os.unlink(os.path.join(path, WriterLock.FILENAME))
+    os.unlink(_lockfile(path))
 
 
 def test_ivf_flip_is_fenced(spark, tmp_path):
