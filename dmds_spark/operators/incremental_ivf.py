@@ -265,7 +265,25 @@ class IncrementalIVFIndex:
         """Freeze PQ codebooks: ``rows`` are (sub, cid, qc) codewords
         on the exact integer grid (operators/pq.py PQ_SCALE/PQ_OFF).
         Like set_centroids, refused over existing assignments — codes
-        are a pure function of the frozen codebooks."""
+        are a pure function of the frozen codebooks. Codeword width is
+        validated against this store's ``dim``: _codes_expr/_adc_tbl
+        slice subvectors at dim//PQ_M, and a codebook of a different
+        width would make zip_with pad nulls — NULL distances, garbage
+        codes, no error — downstream."""
+        from dmds_spark.operators.pq import PQ_M
+
+        if self.dim % PQ_M != 0:
+            raise ValueError(
+                f"store dim={self.dim} not divisible by PQ_M={PQ_M}"
+            )
+        sub_w = self.dim // PQ_M
+        bad = {len(qc) for _s, _c, qc in rows if len(qc) != sub_w}
+        if bad:
+            raise ValueError(
+                f"codeword width(s) {sorted(bad)} != dim//PQ_M={sub_w} "
+                f"for store dim={self.dim}: train with train_pq (which "
+                "threads this store's dim) or rebuild with matching dim"
+            )
         with self._writer():
             st = self._state()
             if st["versions"]:
@@ -292,7 +310,9 @@ class IncrementalIVFIndex:
         from dmds_spark.operators.pq import pq_codebooks, quantized
 
         cb = (
-            pq_codebooks(quantized(df, self.id_col, self.vec_col))
+            pq_codebooks(
+                quantized(df, self.id_col, self.vec_col), dim=self.dim
+            )
             .orderBy("sub", "cid")
             .collect()
         )  # M*K rows — bounded

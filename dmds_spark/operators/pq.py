@@ -62,9 +62,14 @@ def quantized(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
-def subvectors(q: DataFrame) -> DataFrame:
+def subvectors(q: DataFrame, dim: int = PQ_DIM) -> DataFrame:
     """(vec_id, sub, sv): M rows per vector, sv = the sub'th D/M-wide
-    slice. A per-row explode — no shuffle."""
+    slice. A per-row explode — no shuffle. ``dim`` must be the actual
+    vector width (codebook width and code/ADC slice width must agree —
+    a mismatch makes zip_with pad nulls and every distance NULL)."""
+    if dim % PQ_M != 0:
+        raise ValueError(f"dim={dim} not divisible by PQ_M={PQ_M}")
+    sub_w = dim // PQ_M
     return q.select(
         "vec_id",
         F.explode(
@@ -72,7 +77,7 @@ def subvectors(q: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(s).alias("sub"),
-                        F.slice("qv", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                        F.slice("qv", s * sub_w + 1, sub_w).alias("sv"),
                     )
                     for s in range(PQ_M)
                 ]
@@ -94,11 +99,12 @@ def _sqdist(a: str = "sv", b: str = "qc"):
     )
 
 
-def pq_codebooks(q: DataFrame) -> DataFrame:
+def pq_codebooks(q: DataFrame, dim: int = PQ_DIM) -> DataFrame:
     """(sub, cid, qc): per-subspace codebooks — md5-ordered seed
     slices refined by ONE integer-exact Lloyd round. The seed draw is
     TakeOrderedAndProject (per-partition top-K heap); the only window
-    renumbers the <= K surviving seed rows."""
+    renumbers the <= K surviving seed rows. ``dim`` is the vector
+    width (threads through to the subvector slicing)."""
     seeds = (
         q.select(
             "vec_id", "qv",
@@ -112,10 +118,10 @@ def pq_codebooks(q: DataFrame) -> DataFrame:
         "qv",
     )
     sseeds = subvectors(
-        seed_rows.select(F.col("cid").alias("vec_id"), "qv")
+        seed_rows.select(F.col("cid").alias("vec_id"), "qv"), dim=dim
     ).select(F.col("vec_id").alias("cid"), "sub", F.col("sv").alias("qc"))
 
-    subs = subvectors(q)
+    subs = subvectors(q, dim=dim)
     d1 = subs.join(F.broadcast(sseeds), "sub").select(
         "vec_id", "sub", "sv", "cid", _sqdist().alias("dist")
     )
@@ -146,10 +152,12 @@ def pq_codebooks(q: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(q: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    q: DataFrame, codebooks: DataFrame, dim: int = PQ_DIM
+) -> DataFrame:
     """(vec_id, sub, code): nearest refined codeword per subspace —
     one broadcast join + one argmin aggregate."""
-    d2 = subvectors(q).join(F.broadcast(codebooks), "sub").select(
+    d2 = subvectors(q, dim=dim).join(F.broadcast(codebooks), "sub").select(
         "vec_id", "sub", "cid", _sqdist().alias("dist")
     )
     return d2.groupBy("vec_id", "sub").agg(
@@ -163,14 +171,15 @@ def pq_adc_topk(
     codes: DataFrame,
     query_vec_id: int,
     topk: int = 20,
+    dim: int = PQ_DIM,
 ) -> DataFrame:
     """ADC top-k for one query vector already in the corpus: build the
     M*K lookup table of (query subvector, codeword) distances, attach
     it to the codes by broadcast, sum per vector, TakeOrdered top-k
     by (adc_dist, vec_id)."""
-    qsub = subvectors(q.filter(F.col("vec_id") == query_vec_id)).select(
-        "sub", F.col("sv").alias("qsv")
-    )
+    qsub = subvectors(
+        q.filter(F.col("vec_id") == query_vec_id), dim=dim
+    ).select("sub", F.col("sv").alias("qsv"))
     t = codebooks.join(F.broadcast(qsub), "sub").select(
         "sub",
         F.col("cid").alias("code"),

@@ -198,13 +198,25 @@ def forced_broadcast_base_scans(df: DataFrame) -> list[str]:
     otherwise broadcast every small table and drown the signal."""
     offenders: list[str] = []
 
+    def hinted_broadcast(opt_hint_info) -> bool:
+        # typed JVM accessors (JoinHint.leftHint/rightHint:
+        # Option[HintInfo]; HintInfo.strategy: Option[JoinStrategyHint])
+        # instead of parsing hint().toString(): a toString format change
+        # across Spark versions would make the string path silently
+        # return no offenders — the lint would go dark, not loud
+        if not opt_hint_info.isDefined():
+            return False
+        strategy = opt_hint_info.get().strategy()
+        return strategy.isDefined() and (
+            "broadcast" in strategy.get().toString().lower()
+        )
+
     def walk(node) -> None:
         if node.nodeName() == "Join":
-            hint = node.hint().toString()
+            hint = node.hint()
             kids = _jchildren(node)
-            for side, key in ((0, "leftHint="), (1, "rightHint=")):
-                seg = hint.split(key, 1)
-                if len(seg) == 2 and "strategy=broadcast" in seg[1].split(")", 1)[0]:
+            for side, opt in ((0, hint.leftHint()), (1, hint.rightHint())):
+                if hinted_broadcast(opt):
                     raw = _unreduced_sf_scans(kids[side])
                     if raw:
                         offenders.append(",".join(sorted(raw)))

@@ -457,6 +457,11 @@ _PRIORITY_RECHECK: tuple[str, ...] = (
     "dmds_crud_snapshot",
     "cdc_world_merge",
     "rollup_incremental_cdc",
+    # round-15 overflow hardening (ADVICE): confidence/lift and the
+    # Mann-Whitney rank sum moved to decimal(38,0)/HUGEINT exact
+    # arithmetic — values identical at test scales, re-prove anyway
+    "basket_association_rules",
+    "events_mannwhitney_u",
 )
 
 

@@ -229,6 +229,10 @@ def eval_conformal_coverage(spark, sf_dir):
     cal = ev.filter(F.col("ts") < F.lit(CUTOFF).cast("timestamp")).select(
         "event_type", cents.alias("cents")
     )
+    # pred_c is safe for NEGATIVE sums too: Spark `div` and DuckDB `//`
+    # both truncate toward zero on integer operands (-7 div 2 == -3 ==
+    # -7 // 2, pinned in tests/test_oracle.py) — it is Python/numpy
+    # `//` that floors, and neither engine is Python here
     pred = cal.groupBy("event_type").agg(
         F.expr("SUM(cents) div COUNT(*)").cast("bigint").alias("pred_c")
     )

@@ -28,9 +28,13 @@ _AR_TOPK = 20
       FROM b a JOIN b c ON c.o = a.o AND c.item <> a.item
       GROUP BY a.item, c.item
     ), rules AS (
+      -- HUGEINT before the products: n_ab * n_baskets * 1e6 passes
+      -- 2^63 at ~3e6 baskets (BIGINT would raise here and silently
+      -- wrap on the Spark side); 128-bit integral // stays exact
       SELECT p.ante, p.cons, p.n_ab,
-             p.n_ab * 1000000 // na.n AS confidence_ppm,
-             p.n_ab * t.n_baskets * 1000000 // (na.n * nc.n) AS lift_ppm
+             CAST(p.n_ab AS HUGEINT) * 1000000 // na.n AS confidence_ppm,
+             CAST(p.n_ab AS HUGEINT) * t.n_baskets * 1000000
+               // (CAST(na.n AS HUGEINT) * nc.n) AS lift_ppm
       FROM pairs p
       JOIN n1 na ON na.item = p.ante
       JOIN n1 nc ON nc.item = p.cons
@@ -58,8 +62,11 @@ def basket_association_rules(spark, sf_dir):
     per order by its basket size squared (baskets are small by
     construction — the same bounded-fanout argument as wedge_pairs);
     everything after lives on the bounded item-pair grid. Top-k is
-    TakeOrdered."""
+    TakeOrdered. Confidence/lift ride decimal(38,0) exact_floordiv
+    (n_ab * n_baskets * 1e6 wraps a long past ~3e6 baskets; DuckDB
+    twin uses HUGEINT — counts are non-negative so floor == trunc)."""
     from dmds_spark.core.engine import maybe_broadcast
+    from dmds_spark.operators.relational import exact_floordiv
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
@@ -91,10 +98,15 @@ def basket_association_rules(spark, sf_dir):
             "ante",
             "cons",
             F.col("n_ab").cast("bigint").alias("n_ab"),
-            F.expr("n_ab * 1000000 div n_a").cast("bigint")
-            .alias("confidence_ppm"),
-            F.expr("n_ab * n_baskets * 1000000 div (n_a * n_c)")
-            .cast("bigint").alias("lift_ppm"),
+            exact_floordiv(
+                F.col("n_ab").cast("decimal(38,0)") * F.lit(1_000_000),
+                F.col("n_a"),
+            ).cast("bigint").alias("confidence_ppm"),
+            exact_floordiv(
+                F.col("n_ab").cast("decimal(38,0)")
+                * F.col("n_baskets") * F.lit(1_000_000),
+                F.col("n_a").cast("decimal(38,0)") * F.col("n_c"),
+            ).cast("bigint").alias("lift_ppm"),
         )
     )
     return rules.orderBy(

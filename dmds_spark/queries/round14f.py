@@ -123,12 +123,18 @@ def forecast_eval_pinball(spark, sf_dir):
     ), tot AS (
       SELECT SUM(grp1) AS n1, SUM(1 - grp1) AS n2 FROM s
     ), r AS (
-      SELECT SUM(c1 * (2 * below + c + 1)) AS r1_x2 FROM cum
+      -- HUGEINT before the product: c1*(2*below+c+1) is ~2*N^2 per
+      -- bin and the BIGINT sum would raise (DuckDB) / wrap (a long
+      -- Spark sum) past ~2e9 events
+      SELECT SUM(CAST(c1 AS HUGEINT) * (2 * below + c + 1)) AS r1_x2
+      FROM cum
     )
     SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
-           CAST(r.r1_x2 - t.n1 * (t.n1 + 1) AS BIGINT) AS u1_x2,
-           CAST((r.r1_x2 - t.n1 * (t.n1 + 1)) * 1000000
-                // (2 * t.n1 * t.n2) * 2 - 1000000 AS BIGINT)
+           CAST(r.r1_x2 - CAST(t.n1 AS HUGEINT) * (t.n1 + 1) AS BIGINT)
+             AS u1_x2,
+           CAST((r.r1_x2 - CAST(t.n1 AS HUGEINT) * (t.n1 + 1)) * 1000000
+                // (2 * CAST(t.n1 AS HUGEINT) * t.n2) * 2 - 1000000
+                AS BIGINT)
              AS rank_biserial_ppm
     FROM r, tot t
     """,
@@ -171,17 +177,29 @@ def events_mannwhitney_u(spark, sf_dir):
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
     )
+    # decimal(38,0) before the product and the sum: c1*(2*below+c+1)
+    # is ~2*N^2 per bin and a LongType sum silently wraps past ~2e9
+    # events (DuckDB's BIGINT SUM promotes to HUGEINT — a quiet engine
+    # divergence otherwise); same for n1*(n1+1) below
     r = cum.agg(
         F.sum(
-            F.col("c1") * (2 * F.col("below") + F.col("c") + 1)
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("c") + 1)
         ).alias("r1_x2")
+    )
+    from dmds_spark.operators.relational import exact_floordiv
+
+    u1_x2 = F.col("r1_x2") - F.col("n1").cast("decimal(38,0)") * (
+        F.col("n1") + 1
     )
     return r.crossJoin(F.broadcast(tot)).select(
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
-        F.expr("r1_x2 - n1 * (n1 + 1)").cast("bigint").alias("u1_x2"),
-        F.expr(
-            "(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2) * 2"
-            " - 1000000"
+        u1_x2.cast("bigint").alias("u1_x2"),
+        (
+            exact_floordiv(
+                u1_x2 * F.lit(1_000_000),
+                F.lit(2) * F.col("n1").cast("decimal(38,0)") * F.col("n2"),
+            ) * 2 - F.lit(1_000_000)
         ).cast("bigint").alias("rank_biserial_ppm"),
     )

@@ -682,3 +682,46 @@ def test_pq_drift_report_zero_error_for_codeword_vectors(spark, emb, tmp_path):
     got = {(r["sub"], r["code"]): r["sum_sq_err"] for r in rep}
     for k, v in want.items():
         assert got[k] >= v
+
+
+def test_pq_nondefault_dim_end_to_end_and_width_guard(spark, emb, tmp_path):
+    """A store built with dim != PQ_DIM (a supported constructor
+    parameter) must train/encode/search with MATCHING codebook and
+    slice widths: before round 15, pq_codebooks hardcoded PQ_DIM=64
+    while _codes_expr/_adc_tbl sliced at dim//PQ_M, so zip_with padded
+    nulls and every ADC distance went NULL with no error. Also pins
+    the width guard: freezing wrong-width codebooks is refused."""
+    dim = 32
+    emb32 = emb.select("vec_id", F.slice("embedding", 1, dim).alias("embedding"))
+    anchors = [a[:dim] for a in _anchor_rows(emb)]
+
+    idx = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "d32"), "vec_id", "embedding", dim=dim
+    )
+    idx.set_centroids(anchors)
+    idx.train_pq(emb32)
+    # codebook rows carry dim//PQ_M-wide codewords, not PQ_SUB=16-wide
+    widths = {len(r["qc"]) for r in idx.pq_codebooks_df().collect()}
+    assert widths == {dim // 4}
+    idx.fold_batch(emb32, 0)
+    codes = idx.assignments().select("vec_id", "codes").collect()
+    assert all(
+        r["codes"] is not None and all(c is not None for c in r["codes"])
+        for r in codes
+    )
+    queries = emb32.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = idx.search_batch_adc(queries, topk=5, nprobe=8).collect()
+    assert len(got) == 10
+    # the pre-fix failure mode was NULL distances (zip_with padding)
+    assert all(r["adc_dist"] is not None for r in got)
+
+    # width guard: 16-wide codewords refused on a dim=32 store
+    bad = IncrementalIVFIndex(
+        spark, None, str(tmp_path / "bad"), "vec_id", "embedding", dim=dim
+    )
+    with pytest.raises(ValueError, match="codeword width"):
+        bad.set_pq_codebooks(
+            [(s, c, [0] * 16) for s in range(4) for c in range(8)]
+        )

@@ -58,3 +58,30 @@ def test_rows_only_queries_run(spark):
         assert df.columns, name
         assert not scalar_schema_violations(df), name
         assert df.count() >= 0, name
+
+
+def test_integer_division_negatives_both_engines_truncate(spark):
+    """Adjudicates the round-14 ADVICE claim that DuckDB `//` FLOORS
+    (making Spark's truncating `div` diverge on negative sums, e.g.
+    eval_conformal_coverage's pred_c): measured on the installed
+    binaries, BOTH engines truncate toward zero on integer operands,
+    so signed integral division agrees engine-to-engine with no shift.
+    It is Python/numpy `//` that floors — the rule of the round-13
+    +shift trick applies when an oracle is restated from PYTHON math,
+    not between these two engines."""
+    import duckdb
+
+    cases = [(-7, 2), (7, -2), (-7, -2), (7, 2), (-1, 3), (1, -3)]
+    duck = [
+        duckdb.sql(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT) AS q"
+        ).fetchone()[0]
+        for a, b in cases
+    ]
+    got = spark.sql(
+        "SELECT "
+        + ", ".join(f"{a} div {b} AS q{i}" for i, (a, b) in enumerate(cases))
+    ).collect()[0]
+    assert duck == [got[f"q{i}"] for i in range(len(cases))]
+    # and both equal C-style truncation, NOT Python floor
+    assert duck == [int(a / b) for a, b in cases]
