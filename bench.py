@@ -398,6 +398,9 @@ ADDITIONS = [
     # round-14 batch ten: effect sizes (Cramer's V^2, Cohen's kappa)
     "profile_cramers_v2",
     "dedup_method_kappa",
+    # round-15: postings-store analyzer migration (two increments +
+    # staged stem3 re-materialization + post-flip increment per pass)
+    "rollup_postings_retokenize",
 ]
 
 

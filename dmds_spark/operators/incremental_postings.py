@@ -29,6 +29,17 @@ the dirty-chunk incremental flush, tokio-fs/src/lib.rs:207-235):
 * ``_current.json`` — committed versions + replay marks, flipped
   atomically; a crashed increment leaves orphan dirs that are never
   read and vacuum() reclaims.
+
+Analyzer migration (round 15, mirroring the IVF store's staged
+quantizer retrain): the tokenizer is STORE state, frozen at first
+ingest and recorded in the pointer. ``retokenize(analyzer)``
+re-materializes every committed increment from its recorded source
+files under ``batch-v{N}@av{A}`` directories — same version numbers
+(replay marks preserved), new token stream — while the old analyzer
+generation keeps serving, then retargets readers with ONE atomic
+pointer flip. A crash mid-migration leaves unreferenced ``@av{A}``
+orphans; vacuum() reclaims them and, post-flip, the superseded old
+generation.
 """
 
 from __future__ import annotations
@@ -41,6 +52,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TERM_BUCKETS = 64
+
+# Analyzers must be expressible in BOTH engines (the acceptance oracle
+# states the retokenized end state declaratively in DuckDB):
+#   ws    — whitespace split (== string_split, trailing empty included)
+#   stem3 — whitespace split, each token truncated to its first 3
+#           chars (== substr(term, 1, 3)): a crude stemmer that merges
+#           vocabulary, the canonical "analyzer changed, the whole
+#           index must re-materialize" scenario. Array length (and so
+#           the positional grain's positions) is unchanged.
+ANALYZERS = ("ws", "stem3")
 
 
 class IncrementalPostingsIndex:
@@ -62,6 +83,7 @@ class IncrementalPostingsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         positions: bool = False,
+        analyzer: str = "ws",
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -74,6 +96,13 @@ class IncrementalPostingsIndex:
         # the PQ codebooks, the choice freezes at the first ingest
         # (grains must cover the same increments).
         self.positions = positions
+        # the analyzer is store state too — but unlike the grain
+        # choice it CAN change post-ingest, through the staged
+        # retokenize() migration (never by re-opening with a different
+        # flag, which is refused the same way)
+        if analyzer not in ANALYZERS:
+            raise ValueError(f"unknown analyzer {analyzer!r}: {ANALYZERS}")
+        self.analyzer = analyzer
         os.makedirs(store_dir, exist_ok=True)
 
     # -- writer fencing / pointer (the incremental_ivf discipline) --------
@@ -89,9 +118,21 @@ class IncrementalPostingsIndex:
     def _state(self) -> dict:
         if not os.path.exists(self._pointer):
             return {"versions": [], "seen_files": [], "last_batch_id": -1,
-                    "positions": self.positions}
+                    "positions": self.positions,
+                    "analyzer": self.analyzer, "analyzer_version": 1,
+                    "files_by_version": {}}
         with open(self._pointer) as fh:
             st = json.load(fh)
+        st.setdefault("analyzer", "ws")        # legacy pointers: ws
+        st.setdefault("analyzer_version", 1)
+        st.setdefault("files_by_version", {})
+        if st["analyzer"] != self.analyzer:
+            raise ValueError(
+                f"store at {self.store_dir} is tokenized with analyzer="
+                f"{st['analyzer']!r}; opened with {self.analyzer!r} — "
+                "changing the analyzer is a staged migration: open with "
+                "the store's analyzer and call retokenize()"
+            )
         # the grain choice is STORE state, not instance state: every
         # committed pointer records it, and an instance opened with the
         # other flag is refused BEFORE it can write an increment that
@@ -119,20 +160,45 @@ class IncrementalPostingsIndex:
         WriterLock.for_dir(self.store_dir).verify_token()
         _atomic_flip(self._pointer, state)
 
-    def _grain_paths(self, grain: str, versions: list[int]) -> list[str]:
+    def _gen_paths(
+        self, grain: str, versions: list[int], av: int
+    ) -> list[str]:
+        """Directory per (version, analyzer generation): the first
+        generation keeps the bare ``batch-v{N}`` layout (pre-migration
+        stores stay readable); retokenized generations live in
+        ``batch-v{N}@av{A}`` — same version identity, new token
+        stream (the IVF store's ``@cv{N}`` convention)."""
+        suffix = "" if av <= 1 else f"@av{av}"
         return [
-            os.path.join(self.store_dir, grain, f"batch-v{v}")
+            os.path.join(self.store_dir, grain, f"batch-v{v}{suffix}")
             for v in versions
         ]
 
+    def _grain_paths(self, grain: str, versions: list[int],
+                     st: dict | None = None) -> list[str]:
+        av = (st or {}).get("analyzer_version", 1)
+        return self._gen_paths(grain, versions, av)
+
     # -- ingest ------------------------------------------------------------
-    def _derive(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """One tokenize scan -> (postings, doclens) for a batch. The
-        whitespace split is the registry's oracle-parity tokenization
-        (== DuckDB string_split, trailing empty token included)."""
+    def _tokens(self, analyzer: str):
+        """Token-array expression for ``analyzer`` — every analyzer is
+        restatable in DuckDB (the acceptance oracles depend on it).
+        ws: split(text, ' ') == string_split (trailing empty token
+        included). stem3: each token truncated to substr(1, 3)."""
+        toks = F.split(F.col(self.text_col), " ")
+        if analyzer == "ws":
+            return toks
+        if analyzer == "stem3":
+            return F.transform(toks, lambda t: F.substring(t, 1, 3))
+        raise ValueError(f"unknown analyzer {analyzer!r}: {ANALYZERS}")
+
+    def _derive(
+        self, docs: DataFrame, analyzer: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """One tokenize scan -> (postings, doclens) for a batch."""
         tok = docs.select(
             F.col(self.id_col).alias("doc_id"),
-            F.explode(F.split(F.col(self.text_col), " ")).alias("term"),
+            F.explode(self._tokens(analyzer)).alias("term"),
         )
         postings = (
             tok.groupBy("term", "doc_id")
@@ -145,13 +211,14 @@ class IncrementalPostingsIndex:
         doclens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
         return postings, doclens
 
-    def _positional_rows(self, docs: DataFrame) -> DataFrame:
+    def _positional_rows(self, docs: DataFrame, analyzer: str) -> DataFrame:
         """(term, doc_id, pos, tb): 1-based positions (the DuckDB
-        generate_subscripts convention, queries/round12c.py)."""
+        generate_subscripts convention, queries/round12c.py). Every
+        analyzer preserves array length, so positions stay aligned
+        across a retokenize."""
         return docs.select(
             F.col(self.id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(self.text_col), " "))
-            .alias("pos0", "term"),
+            F.posexplode(self._tokens(analyzer)).alias("pos0", "term"),
         ).select(
             "term",
             "doc_id",
@@ -164,17 +231,17 @@ class IncrementalPostingsIndex:
         """Write one increment of each maintained grain; None for an
         empty batch (rolled back, never committed — the IVF
         empty-batch rule)."""
-        postings, doclens = self._derive(docs)
+        postings, doclens = self._derive(docs, st["analyzer"])
         v = (max(st["versions"]) + 1) if st["versions"] else 1
-        ppath = self._grain_paths("postings", [v])[0]
-        dpath = self._grain_paths("doclen", [v])[0]
+        ppath = self._grain_paths("postings", [v], st)[0]
+        dpath = self._grain_paths("doclen", [v], st)[0]
         postings.write.mode("overwrite").partitionBy("tb").parquet(ppath)
         doclens.write.mode("overwrite").parquet(dpath)
         if self.positions:
-            self._positional_rows(docs).write.mode(
+            self._positional_rows(docs, st["analyzer"]).write.mode(
                 "overwrite"
             ).partitionBy("tb").parquet(
-                self._grain_paths("positional", [v])[0]
+                self._grain_paths("positional", [v], st)[0]
             )
         # emptiness is checked on the PARTITIONED grain: an empty
         # partitioned write leaves no parquet files (the IVF rule),
@@ -189,7 +256,7 @@ class IncrementalPostingsIndex:
             shutil.rmtree(ppath, ignore_errors=True)
             shutil.rmtree(dpath, ignore_errors=True)
             if self.positions:
-                shutil.rmtree(self._grain_paths("positional", [v])[0],
+                shutil.rmtree(self._grain_paths("positional", [v], st)[0],
                               ignore_errors=True)
             return None
         return v
@@ -225,6 +292,14 @@ class IncrementalPostingsIndex:
                         **{f: current[f] for f in new_files},
                     },
                     "size_src": "fs",
+                    # per-increment provenance: which source files fed
+                    # version v — what retokenize() re-reads to
+                    # re-materialize the increment under a new analyzer
+                    "files_by_version": {
+                        **st["files_by_version"],
+                        **({str(v): sorted(new_files)}
+                           if v is not None else {}),
+                    },
                 }
             )
             return {"new_files": len(new_files),
@@ -268,7 +343,7 @@ class IncrementalPostingsIndex:
             return None
         parts = [
             self.spark.read.parquet(p)
-            for p in self._grain_paths(grain, st["versions"])
+            for p in self._grain_paths(grain, st["versions"], st)
         ]
         out = parts[0]
         for p in parts[1:]:
@@ -388,30 +463,115 @@ class IncrementalPostingsIndex:
             self.postings().coalesce(
                 max(1, len(st["versions"]) // 8)
             ).write.mode("overwrite").partitionBy("tb").parquet(
-                self._grain_paths("postings", [v])[0]
+                self._grain_paths("postings", [v], st)[0]
             )
             self.doclens().coalesce(1).write.mode("overwrite").parquet(
-                self._grain_paths("doclen", [v])[0]
+                self._grain_paths("doclen", [v], st)[0]
             )
             if self.positions:
                 self.positional().coalesce(
                     max(1, len(st["versions"]) // 8)
                 ).write.mode("overwrite").partitionBy("tb").parquet(
-                    self._grain_paths("positional", [v])[0]
+                    self._grain_paths("positional", [v], st)[0]
                 )
-            self._flip({**st, "versions": [v]})
+            # the compacted version's provenance is the union of the
+            # consumed versions' source files — kept only when ALL of
+            # them had provenance (else the store is stream-fed and
+            # retokenize() will refuse, as documented there)
+            fbv = {}
+            if all(str(vv) in st["files_by_version"]
+                   for vv in st["versions"]):
+                fbv = {str(v): sorted({
+                    f for vv in st["versions"]
+                    for f in st["files_by_version"][str(vv)]
+                })}
+            self._flip({**st, "versions": [v], "files_by_version": fbv})
             return {"compacted": True, "versions": 1}
+
+    def retokenize(self, analyzer: str) -> dict:
+        """Staged analyzer migration — the text-side twin of the IVF
+        store's ``retrain()``: freeze a NEW tokenizer and
+        re-materialize every committed increment under it from its
+        recorded source files while the old generation keeps serving,
+        then flip.
+
+        1. re-derive each committed ``batch-v{N}`` from the source
+           files ``refresh()`` recorded for it, writing every grain to
+           ``batch-v{N}@av{A+1}`` — same version numbers, so replay
+           marks and increment identity are preserved; only the token
+           stream changes;
+        2. ONE atomic pointer flip of ``analyzer``/``analyzer_version``
+           retargets ``postings()``/``search_*()`` to the new
+           generation.
+
+        A reader holding a pre-flip DataFrame keeps reading the old
+        directories (left on disk until :meth:`vacuum`). A crash
+        mid-migration leaves unreferenced ``@av{A}`` orphans that are
+        never read and vacuum() reclaims. Re-tokenization is the same
+        O(store) cost as a fresh-store rebuild — the point is zero
+        downtime and replay-mark continuity, not less compute.
+
+        Requires per-increment source provenance (``refresh()``-fed
+        stores record it; ``fold_batch()`` micro-batches have no
+        re-readable source, so stream-fed stores rebuild instead —
+        stated loudly here rather than silently re-tokenizing only
+        part of the corpus)."""
+        if analyzer not in ANALYZERS:
+            raise ValueError(f"unknown analyzer {analyzer!r}: {ANALYZERS}")
+        with self._writer():
+            st = self._state()
+            if analyzer == st["analyzer"]:
+                raise ValueError(
+                    f"store already tokenized with {analyzer!r}"
+                )
+            missing = [v for v in st["versions"]
+                       if str(v) not in st["files_by_version"]]
+            if missing:
+                raise ValueError(
+                    f"versions {missing} have no source provenance "
+                    "(stream-fed fold_batch increments): retokenize "
+                    "needs refresh()-recorded source files — rebuild "
+                    "the store for stream-fed corpora"
+                )
+            av2 = st["analyzer_version"] + 1
+            for v in st["versions"]:
+                docs = self.spark.read.parquet(
+                    *st["files_by_version"][str(v)]
+                )
+                postings, doclens = self._derive(docs, analyzer)
+                postings.write.mode("overwrite").partitionBy(
+                    "tb"
+                ).parquet(self._gen_paths("postings", [v], av2)[0])
+                doclens.write.mode("overwrite").parquet(
+                    self._gen_paths("doclen", [v], av2)[0]
+                )
+                if self.positions:
+                    self._positional_rows(docs, analyzer).write.mode(
+                        "overwrite"
+                    ).partitionBy("tb").parquet(
+                        self._gen_paths("positional", [v], av2)[0]
+                    )
+            self._flip(
+                {**st, "analyzer": analyzer, "analyzer_version": av2}
+            )
+            self.analyzer = analyzer  # this instance follows the flip
+            return {
+                "analyzer": analyzer,
+                "analyzer_version": av2,
+                "migrated_versions": len(st["versions"]),
+            }
 
     def vacuum(self) -> dict:
         """Reclaim directories not referenced by the committed pointer
-        (compact()-superseded increments, crashed-ingest orphans)."""
+        (compact()-superseded increments, crashed-ingest orphans, and
+        post-retokenize superseded analyzer generations)."""
         with self._writer():
             st = self._state()
             removed: list[str] = []
             for grain in ("postings", "doclen", "positional"):
                 keep = {
                     os.path.basename(p)
-                    for p in self._grain_paths(grain, st["versions"])
+                    for p in self._grain_paths(grain, st["versions"], st)
                 }
                 gdir = os.path.join(self.store_dir, grain)
                 if not os.path.isdir(gdir):

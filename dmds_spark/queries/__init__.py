@@ -592,5 +592,9 @@ def _load():
     from dmds_spark.queries import round14d  # noqa: F401
     from dmds_spark.queries import round14e  # noqa: F401
     from dmds_spark.queries import round14f  # noqa: F401
+    # round-15 additions: every pre-existing query has driver evidence
+    # (375/375 after r14), so these lead the round-15 window with the
+    # four lock-fix priority rechecks right behind them
+    from dmds_spark.queries import round15  # noqa: F401
 
     _LOADED = True

@@ -189,3 +189,113 @@ def test_positions_flag_is_store_state(spark, docs, tmp_path):
     # the correctly-flagged instance still serves
     again = IncrementalPostingsIndex(spark, None, path, positions=True)
     assert again.search_phrase(("hash", "join")).count() >= 0
+
+
+# -- analyzer migration (round 15) ----------------------------------------
+
+
+def test_retokenize_equals_fresh_rebuild_and_new_increments_follow(
+    spark, docs, tmp_path
+):
+    """The acceptance shape: two ws increments, retokenize to stem3,
+    one more increment — the accumulated directory must equal a fresh
+    single-batch stem3 store; replay marks survive the migration."""
+    import os
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "s")
+    idx = IncrementalPostingsIndex(spark, src, store)
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(src)
+    idx.refresh()
+    docs.filter(F.col("doc_id") % 3 == 1).write.mode("append").parquet(src)
+    idx.refresh()
+    out = idx.retokenize("stem3")
+    assert out == {"analyzer": "stem3", "analyzer_version": 2,
+                   "migrated_versions": 2}
+    docs.filter(F.col("doc_id") % 3 == 2).write.mode("append").parquet(src)
+    idx.refresh()  # post-flip increment tokenizes with stem3
+    fresh = IncrementalPostingsIndex(
+        spark, None, str(tmp_path / "fresh"), analyzer="stem3"
+    )
+    fresh.fold_batch(docs, 0)
+    assert _dir_rows(idx) == _dir_rows(fresh)
+    # version identity preserved: v1/v2 migrated in place, v3 new-gen
+    st = idx._state()
+    assert st["versions"] == [1, 2, 3]
+    assert os.path.isdir(os.path.join(store, "postings", "batch-v1@av2"))
+    # the superseded ws generation stays on disk for lazy readers...
+    assert os.path.isdir(os.path.join(store, "postings", "batch-v1"))
+    removed = idx.vacuum()["removed"]
+    # ...until vacuum reclaims exactly the old generation
+    assert "postings/batch-v1" in removed
+    assert not os.path.isdir(os.path.join(store, "postings", "batch-v1"))
+    assert _dir_rows(idx) == _dir_rows(fresh)  # still serves post-vacuum
+
+
+def test_retokenize_reader_across_flip(spark, docs, tmp_path):
+    """A reader materialized BEFORE the flip keeps answering from the
+    old analyzer generation; a post-flip reader sees the new one."""
+    src = str(tmp_path / "src")
+    idx = IncrementalPostingsIndex(spark, src, str(tmp_path / "s"))
+    docs.write.parquet(src)
+    idx.refresh()
+    pre = idx.term_directory()
+    pre_rows = sorted(r["term"] for r in pre.collect())
+    idx.retokenize("stem3")
+    # the pre-flip plan still resolves (old dirs intact until vacuum)
+    assert sorted(r["term"] for r in pre.collect()) == pre_rows
+    post_rows = sorted(r["term"] for r in idx.term_directory().collect())
+    assert post_rows != pre_rows
+    assert all(len(t) <= 3 for t in post_rows)
+
+
+def test_analyzer_is_store_state_and_guards(spark, docs, tmp_path):
+    """Analyzer mismatches are refused at open (the positions-flag
+    discipline); retokenize refuses same-analyzer, unknown analyzers,
+    and stores with stream-fed (provenance-less) increments."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "a")
+    idx = IncrementalPostingsIndex(spark, src, path)
+    docs.write.parquet(src)
+    idx.refresh()
+    wrong = IncrementalPostingsIndex(spark, src, path, analyzer="stem3")
+    with pytest.raises(ValueError, match="staged migration"):
+        wrong.refresh()
+    with pytest.raises(ValueError, match="already tokenized"):
+        idx.retokenize("ws")
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        idx.retokenize("porter")
+    # stream-fed increments carry no source provenance
+    streamed = IncrementalPostingsIndex(spark, None, str(tmp_path / "st"))
+    streamed.fold_batch(docs, 0)
+    with pytest.raises(ValueError, match="provenance"):
+        streamed.retokenize("stem3")
+    # post-migration open with the OLD analyzer is refused too
+    idx.retokenize("stem3")
+    old = IncrementalPostingsIndex(spark, src, path)  # default ws
+    with pytest.raises(ValueError, match="staged migration"):
+        old.vacuum()
+
+
+def test_retokenize_positional_store_serves_phrases(spark, docs, tmp_path):
+    """The positional grain migrates too: post-flip phrase search runs
+    on stem3 terms at unchanged positions (every analyzer is
+    length-preserving)."""
+    src = str(tmp_path / "src")
+    idx = IncrementalPostingsIndex(
+        spark, src, str(tmp_path / "p"), positions=True
+    )
+    docs.write.parquet(src)
+    idx.refresh()
+    before = sorted(
+        (r["doc_id"], r["n_hits"], r["first_pos"], r["last_pos"])
+        for r in idx.search_phrase(("hash", "join")).collect()
+    )
+    idx.retokenize("stem3")
+    after = sorted(
+        (r["doc_id"], r["n_hits"], r["first_pos"], r["last_pos"])
+        for r in idx.search_phrase(("has", "joi")).collect()
+    )
+    # 'hash'->'has', 'join'->'joi' are injective on this vocab and
+    # positions are preserved, so the hit sets must be identical
+    assert after == before and before
