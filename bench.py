@@ -401,6 +401,9 @@ ADDITIONS = [
     # round-15: postings-store analyzer migration (two increments +
     # staged stem3 re-materialization + post-flip increment per pass)
     "rollup_postings_retokenize",
+    # round-15: maintained golden-record store (two CDC-ordered
+    # increments + replay + serve per pass)
+    "rollup_incremental_survivorship",
 ]
 
 

@@ -15,6 +15,47 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _survivorship_obs(spark, sf_dir):
+    """The survivorship_golden_record observation projection — shared
+    with the incremental store so the maintained path folds EXACTLY
+    the batch query's inputs."""
+    from dmds_spark.queries.round14b import _events, _prec_col
+
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        _prec_col().alias("prec"),
+    )
+
+
+def _survivorship_store(spark, store_dir):
+    from dmds_spark.operators.survivorship import IncrementalSurvivorship
+    from dmds_spark.queries.round14b import _prec_col, _ts_key
+
+    return IncrementalSurvivorship(
+        spark,
+        store_dir,
+        entity_col="user_id",
+        recency_rules={
+            "last_k": ("k", _ts_key),
+            "best_value_cents": (
+                "cents",
+                lambda: F.concat(
+                    F.lpad(_prec_col().cast("string"), 1, "0"), _ts_key()
+                ),
+            ),
+        },
+        min_cols={"first_seen_us": "tus"},
+        max_cols={"last_seen_us": "tus"},
+        count_col="n_records",
+        modal=("modal_type", "event_type"),
+    )
+
+
 @register(
     "rollup_postings_retokenize",
     """
@@ -72,3 +113,76 @@ def rollup_postings_retokenize(spark, sf_dir):
     d.filter(F.col("doc_id") % 3 == 2).write.mode("append").parquet(src)
     idx.refresh()  # post-flip increment: must use the NEW analyzer
     return idx.term_directory()
+
+
+def _survivorship_oracle() -> str:
+    from dmds_spark.queries.round14b import _PREC_SQL, _TS_KEY
+
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             {_PREC_SQL} AS prec
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             max_by(k, {_TS_KEY}) AS last_k,
+             max_by(cents,
+                    lpad(CAST(prec AS VARCHAR), 1, '0') || {_TS_KEY})
+               AS best_value_cents,
+             MIN(tus) AS first_seen_us,
+             MAX(tus) AS last_seen_us,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM e GROUP BY user_id
+    ), modal AS (
+      SELECT user_id,
+             min_by(event_type,
+                    lpad(CAST(1000000000 - cnt AS VARCHAR), 12, '0')
+                    || event_type) AS modal_type
+      FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM e GROUP BY user_id, event_type) g
+      GROUP BY user_id
+    )
+    SELECT a.user_id, a.last_k, a.best_value_cents, m.modal_type,
+           a.first_seen_us, a.last_seen_us, a.n_records
+    FROM agg a JOIN modal m ON m.user_id = a.user_id
+    """
+
+
+@register("rollup_incremental_survivorship", _survivorship_oracle())
+def rollup_incremental_survivorship(spark, sf_dir):
+    """Golden records MAINTAINED incrementally (operators/
+    survivorship.py): the observation stream arrives as two
+    micro-batches split at the median event timestamp (a CDC-shaped
+    split — later data arrives later) plus a REPLAY of the second
+    batch (at-least-once delivery folds exactly once), each folded
+    into the persisted per-entity state by one O(new) hash aggregate
+    and an |entities|-row mergeable-state merge. The oracle is the
+    same declarative fold survivorship_golden_record hash-matches, so
+    the driver certifies increment-union == batch fold for every rule
+    family: most-recent-wins and precedence-wins merge via persisted
+    winning keys (max_by over a total order is associative), modal
+    vote via the summed per-(entity, category) count grain, extrema
+    and counts via plain decomposable partials.
+
+    Shape at scale: per batch, ONE hash aggregate over new
+    observations (max_by ships one candidate per entity per map task
+    — no window over the stream) + a state-table merge bounded by
+    |entities|; history is never re-scanned. Versioned state dirs
+    behind an atomic pointer flip, writer-fenced, replay-safe."""
+    from dmds_spark.core.scratch import scratch_dir
+
+    root = scratch_dir("surv_store", sf_dir)
+    obs = _survivorship_obs(spark, sf_dir)
+    # CDC-shaped split: everything before the median day, then the rest
+    mid = obs.agg(F.expr("percentile_approx(tus, 0.5)")).collect()[0][0]
+    store = _survivorship_store(spark, f"{root}/store")
+    store.fold_batch(obs.filter(F.col("tus") <= mid), 0)
+    store.fold_batch(obs.filter(F.col("tus") > mid), 1)
+    store.fold_batch(obs.filter(F.col("tus") > mid), 1)  # replay: no-op
+    g = store.golden()
+    return g.select(
+        "user_id", "last_k", "best_value_cents", "modal_type",
+        "first_seen_us", "last_seen_us", "n_records",
+    )
