@@ -462,6 +462,10 @@ _PRIORITY_RECHECK: tuple[str, ...] = (
     # arithmetic — values identical at test scales, re-prove anyway
     "basket_association_rules",
     "events_mannwhitney_u",
+    # round-15: moved rows-only -> full SQL oracle (grid-exact k-means
+    # CTE + threshold-compare cosine prune) — r13 evidence is
+    # no_oracle-vintage, re-prove under the hash gate
+    "dedup_semdedup_prune",
 )
 
 

@@ -266,9 +266,11 @@ _KM_OFF = 4_194_304     # +2^22 shifts every grid value positive, so
 #                         `//` floors); distances are shift-invariant
 
 
-@register(
-    "embedding_kmeans_assign",
-    f"""
+# the full grid-exact 2-round k-means assignment SQL — shared verbatim
+# by embedding_kmeans_assign and (as a nested-WITH CTE) by
+# dedup_semdedup_prune's oracle (queries/llm_extra9.py), so the two
+# queries cannot drift apart
+KM_ASSIGN_SQL = f"""
     WITH q AS (
       SELECT vec_id,
              [CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}.0) AS BIGINT)
@@ -315,8 +317,10 @@ _KM_OFF = 4_194_304     # +2^22 shifts every grid value positive, so
                        || lpad(CAST(cid AS VARCHAR), 4, '0')) AS BIGINT)
              AS cluster
     FROM d2 GROUP BY vec_id
-    """,
-)
+    """
+
+
+@register("embedding_kmeans_assign", KM_ASSIGN_SQL)
 def embedding_kmeans_assign(spark, sf_dir):
     """Deterministic distributed k-means assignment, EXACT end to end
     (moved from rows-only to oracle-checked in round 11): quantize

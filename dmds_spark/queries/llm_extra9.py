@@ -205,24 +205,87 @@ def graph_common_neighbors_capped(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_semdedup_prune", None)
+def _semdedup_oracle() -> str:
+    from dmds_spark.queries.llm_extra import KM_ASSIGN_SQL
+
+    # the whole iterative k-means rides in as ONE nested-WITH CTE —
+    # byte-identical to embedding_kmeans_assign's oracle, so the two
+    # queries certify the same assignment
+    return f"""
+    WITH asg AS ({KM_ASSIGN_SQL}
+    ), doomed AS (
+      SELECT b.vec_id
+      FROM asg a JOIN asg b
+        ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+    )
+    SELECT vec_id, cluster FROM asg
+    WHERE vec_id NOT IN (SELECT vec_id FROM doomed)
+    """
+
+
+@register("dedup_semdedup_prune", _semdedup_oracle())
 def dedup_semdedup_prune(spark, sf_dir):
     """SemDeDup composite (cluster -> within-cluster cosine prune ->
-    keep-first canonical) over the embeddings table: deterministic
-    k-means blocks the corpus, pairwise cosine runs ONLY inside a
-    block, and every vector matching a lower-id cluster-mate at
-    cosine >= 0.35 is dropped (operators/similarity.py
-    semdedup_prune — scale account and the Abbas et al. 2023 citation
-    there). Rows-only: k-means is iterative (no single SQL oracle);
-    the within-cluster prune is pinned equal to an independent numpy
-    brute-force in tests/test_similarity_ops.py. The 0.35 threshold
-    sits in the bulk of this synthetic corpus's similarity range (max
-    pairwise cosine 0.51 — the generator plants no true semantic
-    dups), chosen so the driver row exercises a non-trivial prune
-    (~425/500 survivors) deterministically."""
-    from dmds_spark.operators.similarity import semdedup_prune
+    keep-first canonical) over the embeddings table (Abbas et al.
+    2023, arXiv:2303.09540): deterministic k-means blocks the corpus,
+    pairwise cosine runs ONLY inside a block, and every vector
+    matching a lower-id cluster-mate at cosine >= 0.35 is dropped.
+
+    Moved rows-only -> FULL oracle in round 15: the blocking stage is
+    the grid-exact two-round k-means embedding_kmeans_assign already
+    hash-certifies (its SQL rides into this oracle verbatim as a
+    nested-WITH CTE), and the prune restates the
+    dedup_embedding_neardup trick — the double cosine only ever feeds
+    a THRESHOLD COMPARE (list_cosine_similarity vs the same
+    dot/sqrt doubles in Spark), never an output value, and the
+    nearest within-cluster pair sits 7.1e-5 (sf0.01) / 1.2e-6 (sf0.1)
+    from 0.35, many orders above double-ulp disagreement. The float
+    kmeans_assign-based engine path stays available as
+    operators/similarity.semdedup_prune (numpy-pinned in
+    tests/test_similarity_ops.py); this registered form trades its
+    double M-step for the grid floor-means so the WHOLE composite is
+    hash-checkable.
+
+    Shape at scale: assignment is two broadcast-k scans + one
+    (cluster, dim) hash aggregate (scale account on
+    embedding_kmeans_assign); the pairwise stage shuffles on the
+    cluster key so each block compares co-located, sum-of-size^2
+    bounded (raise k so blocks stay ~1e3-1e4 vectors, SemDeDup's
+    published setting). The 0.35 threshold sits in the bulk of this
+    synthetic corpus's similarity range (the generator plants no true
+    semantic dups), so the prune is non-trivial (82 doomed pairs at
+    sf0.01) and deterministic."""
+    from dmds_spark.core.engine import materialize
+    from dmds_spark.operators.similarity import cosine
+    from dmds_spark.queries.llm_extra import embedding_kmeans_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semdedup_prune(
-        emb, "vec_id", "embedding", k=8, iters=2, threshold=0.35
+    asg = embedding_kmeans_assign(spark, sf_dir)
+    vecs = (
+        emb.select("vec_id", "embedding")
+        .join(asg, "vec_id")
+        .transform(materialize)  # consumed by both pair sides + anti
+    )
+    a = vecs.select(
+        "cluster",
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+    )
+    b = vecs.select(
+        "cluster",
+        F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__vb"),
+    )
+    doomed = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= 0.35)
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+    )
+    return vecs.join(doomed, "vec_id", "left_anti").select(
+        "vec_id", "cluster"
     )
