@@ -404,6 +404,9 @@ ADDITIONS = [
     # round-15: maintained golden-record store (two CDC-ordered
     # increments + replay + serve per pass)
     "rollup_incremental_survivorship",
+    # round-15: baseline JPEG codec (encode + full Huffman/IDCT decode
+    # of one real JFIF per document per pass)
+    "multimodal_jpeg_decode_stats",
 ]
 
 

@@ -1,0 +1,626 @@
+"""Baseline JPEG codec in stdlib + numpy — no imaging library.
+
+Round 15 closes the round-14 verdict's last codec gate: PNG decode
+went stdlib in round 14; this module does the same for baseline
+sequential JPEG (ITU-T T.81): marker/segment parsing, canonical
+Huffman coding (Annex C), zigzag + quantization, the 8x8 DCT-II pair
+as numpy matrix products, byte stuffing and restart markers. The
+encoder produces real JFIF files (grayscale, 4:4:4 color, and 4:2:0
+with box-mean chroma downsample); the decoder handles any baseline
+sampling-factor layout (generic interleaved MCU walk), 1- or
+3-component scans, and DRI/RSTn restart intervals. Progressive
+(SOF2), arithmetic coding, 12-bit precision and hierarchical modes
+stay gated behind Pillow in ``operators/multimodal.py`` — the gate
+NARROWS, it never widens.
+
+Exactness story for the oracle (``multimodal_jpeg_decode_stats``):
+JPEG is lossy in general, but an image whose 8x8 blocks are each a
+single constant value is a FIXED POINT of the codec under an all-ones
+quantization table — the DCT of a constant block is DC-only and
+integral (8*(v-128)), so quantize/round is exact, and the IDCT of a
+DC-only block is exactly constant again (the float error is ~1e-13,
+orders below the 0.5 rounding margin). The acceptance query encodes
+block-constant rasters, decodes them with THIS decoder, and DuckDB
+states the block-value formula in closed form — certifying the whole
+marker/Huffman/zigzag/dequant/IDCT pipeline byte for byte. The
+general (non-constant) path is pinned in tests/test_jpeg.py by
+hand-assembled bitstreams and round-trip error bounds.
+
+All constant tables below are the public interchange defaults from
+ITU-T T.81 Annex K (typical Huffman tables) and Figure A.6 (zigzag).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# spec constants
+# ---------------------------------------------------------------------------
+
+# zigzag scan: generated, not transcribed (T.81 Figure A.6) — diagonal
+# s runs row-descending when even, row-ascending when odd
+ZIGZAG: tuple[int, ...] = tuple(
+    r * 8 + (s - r)
+    for s in range(15)
+    for r in (
+        range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2 == 0
+        else range(max(0, s - 7), min(s, 7) + 1)
+    )
+)
+assert len(ZIGZAG) == 64 and ZIGZAG[:6] == (0, 1, 8, 16, 9, 2)
+
+# Annex K.3 typical Huffman tables as (BITS[1..16], HUFFVAL)
+DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+# T.81 Table K.1 luminance quantization (row-major); the acceptance
+# oracle uses the all-ones table instead (lossless for block-constant
+# rasters); this one exists so tests cover REAL quantization too
+STD_QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix D: F = D f D^T, f = D^T F D."""
+    import numpy as np
+
+    k = np.arange(8.0)
+    d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    d[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return d
+
+
+def _canonical_codes(bits, vals):
+    """{symbol: (code, length)} per T.81 Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        """Pad the current partial byte with 1-bits (byte alignment
+        before a restart marker, B.2.1.2)."""
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)
+
+    def raw_marker(self, second: int) -> None:
+        """Append a marker (0xFF <second>) UNstuffed — markers are the
+        one place a scan legally carries 0xFF."""
+        self.pad()
+        self.buf.append(0xFF)
+        self.buf.append(second)
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC value (F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_block(w: _BitWriter, zz: list[int], pred: int,
+                  dc_codes, ac_codes) -> int:
+    diff = zz[0] - pred
+    s, extra = _magnitude(diff)
+    code, ln = dc_codes[s]
+    w.put(code, ln)
+    w.put(extra, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s, extra = _magnitude(zz[k])
+        code, ln = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(extra, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return zz[0]
+
+
+def _component_blocks(plane, quant):
+    """Quantized zigzag blocks of an (h, w) int plane (h, w % 8 == 0):
+    one vectorized DCT over every block, one rounding, one zigzag
+    gather."""
+    import numpy as np
+
+    h, w = plane.shape
+    d = _dct_matrix()
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8).astype(np.float64) - 128.0
+    )
+    coef = np.einsum("ij,njk,lk->nil", d, blocks, d)
+    q = np.floor(coef / np.asarray(quant, dtype=np.float64)
+                 .reshape(8, 8) + 0.5).astype(np.int64)
+    return q.reshape(-1, 64)[:, list(ZIGZAG)]
+
+
+def jpeg_encode(pixels, quant=None, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 raster as a
+    baseline JFIF JPEG. ``quant`` is a 64-entry row-major table
+    (default all ones — the exactness table; pass STD_QUANT_LUMA for
+    realistic lossy output). Dimensions must be multiples of 8 (16 for
+    4:2:0) — padding policy is the caller's business, not hidden here.
+    RGB converts to YCbCr (JFIF round-to-nearest); ``subsample="420"``
+    box-averages each 2x2 chroma tile (exact for tile-constant chroma,
+    the acceptance-fixture shape). ``restart_interval`` > 0 emits a
+    DRI segment and an RSTn marker (with DC-predictor reset) every
+    that many MCUs — the resync feature real encoders use so one
+    corrupt bit cannot take down a whole 100 TB scan partition."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    quant = tuple(int(x) for x in (quant or (1,) * 64))
+    if any(q < 1 or q > 255 for q in quant):
+        raise ValueError("quant entries must be 1..255")
+    h, w = px.shape[:2]
+    mult = 16 if (not gray and subsample == "420") else 8
+    if h % mult or w % mult:
+        raise ValueError(f"dimensions must be multiples of {mult}")
+    if gray:
+        planes = [px.astype(np.int64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        to_i = lambda a: np.clip(  # noqa: E731
+            np.floor(a + 0.5), 0, 255
+        ).astype(np.int64)
+        if subsample == "420":
+            down = lambda a: (  # noqa: E731 — box mean over 2x2 tiles
+                a.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            )
+            planes = [to_i(y), to_i(down(cb)), to_i(down(cr))]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "444":
+            planes = [to_i(y), to_i(cb), to_i(cr)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsample must be '444' or '420'")
+
+    ncomp = len(planes)
+    zz_per_comp = [_component_blocks(p, quant) for p in planes]
+    dc_tbls = [DC_LUMA] + [DC_CHROMA] * (ncomp - 1)
+    ac_tbls = [AC_LUMA] + [AC_CHROMA] * (ncomp - 1)
+    dc_codes = [_canonical_codes(*t) for t in dc_tbls]
+    ac_codes = [_canonical_codes(*t) for t in ac_tbls]
+
+    # interleaved MCU walk, matching the decoder's (generic B.2.3)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcus_x = w // (8 * hmax)
+    mcus_y = h // (8 * vmax)
+    bpr = [planes[c].shape[1] // 8 for c in range(ncomp)]  # blocks/row
+    mcu_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.raw_marker(0xD0 + (mcu_n // restart_interval - 1) % 8)
+                preds = [0] * ncomp
+            mcu_n += 1
+            for c in range(ncomp):
+                ch, cv = samp[c]
+                for v in range(cv):
+                    for u in range(ch):
+                        bi = (my * cv + v) * bpr[c] + (mx * ch + u)
+                        preds[c] = _encode_block(
+                            bw, zz_per_comp[c][bi].tolist(), preds[c],
+                            dc_codes[c], ac_codes[c],
+                        )
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_quant = bytes(quant[i] for i in ZIGZAG)  # DQT stores zigzag order
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += struct.pack(
+            ">BBB", c + 1, (samp[c][0] << 4) | samp[c][1], 0
+        )
+    out += seg(0xFFC0, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for tc, tbls in ((0, dc_tbls), (1, ac_tbls)):
+        for ti, (bits, vals) in enumerate(dict.fromkeys(tbls)):
+            out += seg(
+                0xFFC4,
+                bytes([(tc << 4) | ti]) + bytes(bits) + bytes(vals),
+            )
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        ti = 0 if c == 0 else 1
+        sos += bytes([c + 1, (ti << 4) | ti])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg(width: int, height: int, seed: int) -> bytes:
+    """House-style deterministic fixture: a grayscale baseline JPEG
+    whose 8x8 block b (row-major) is the constant value
+    ``(seed*31 + b*7) % 256``, quantized by the all-ones table — the
+    lossless fixed-point shape the oracle's closed form relies on
+    (module docstring). Width/height must be multiples of 8."""
+    import numpy as np
+
+    wb, hb = width // 8, height // 8
+    vals = (seed * 31 + np.arange(hb * wb, dtype=np.int64) * 7) % 256
+    raster = np.repeat(
+        np.repeat(vals.reshape(hb, wb), 8, axis=0), 8, axis=1
+    ).astype(np.uint8)
+    return jpeg_encode(raster)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data: unstuffs 0xFF00,
+    surfaces RSTn markers, refuses anything else (a stray marker
+    mid-scan means a corrupt or unsupported stream)."""
+
+    def __init__(self, raw: bytes, pos: int):
+        self.raw = raw
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.raw[self.pos]
+        if b == 0xFF:
+            nxt = self.raw[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                raise ValueError("bit reader ran into a marker")
+            else:
+                raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (B.2.1.2)."""
+        self.nbits = 0
+        if not (self.raw[self.pos] == 0xFF
+                and 0xD0 <= self.raw[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _decode_tables(bits, vals):
+    """{(length, code): symbol} for the bit-at-a-time canonical walk."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if (s == 0 or v >= (1 << (s - 1))) else v - (1 << s) + 1
+
+
+def jpeg_pixels(raw: bytes) -> "object":
+    """Full baseline JPEG decode -> (height, width, channels) uint8
+    (channels 1 or 3, RGB). Raises ValueError on progressive (SOF2)
+    and the other non-baseline frame types so callers can fall back to
+    the Pillow gate — mis-decoding is never an option."""
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if raw[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no scan data")
+        (ln,) = struct.unpack_from(">H", raw, pos)
+        payload = raw[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(payload[p + 1 : p + 65])
+                tbl = [0] * 64
+                for i, z in enumerate(ZIGZAG):
+                    tbl[z] = zz[i]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = tuple(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _decode_tables(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, s, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": s >> 4, "v": s & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG unsupported by the stdlib decoder "
+                "(falls back to the Pillow gate)"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG frame type unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan = {}
+            for i in range(ns):
+                cid, t = payload[1 + 2 * i : 3 + 2 * i]
+                scan[cid] = (t >> 4, t & 0xF)
+            pos += ln
+            break
+        # APPn / COM / others: skip
+        pos += ln
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    d = _dct_matrix()
+    planes = []
+    coefs = []
+    for c in comps:
+        bw_, bh_ = mcus_x * c["h"], mcus_y * c["v"]
+        coefs.append(np.zeros((bh_ * bw_, 64), dtype=np.int64))
+        planes.append((bh_, bw_))
+    br = _BitReader(raw, pos)
+    preds = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = huff[(0, scan[c["id"]][0])]
+                ac_t = huff[(1, scan[c["id"]][1])]
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        zz = [0] * 64
+                        s = _read_symbol(br, dc_t)
+                        diff = _extend(br.bits(s), s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        bi = ((my * c["v"] + v) * (mcus_x * c["h"])
+                              + mx * c["h"] + u)
+                        coefs[ci][bi, list(ZIGZAG)] = zz
+            mcu_n += 1
+
+    out_planes = []
+    for ci, c in enumerate(comps):
+        bh_, bw_ = planes[ci]
+        q = np.asarray(quant[c["tq"]], dtype=np.float64)
+        blocks = (coefs[ci] * q).reshape(-1, 8, 8)
+        spat = np.einsum("ji,njk,kl->nil", d, blocks, d) + 128.0
+        spat = np.clip(np.floor(spat + 0.5), 0, 255)
+        plane = (
+            spat.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)
+        )
+        # nearest (sample-and-hold) chroma upsample, then crop
+        plane = plane.repeat(hmax // c["h"], axis=1).repeat(
+            vmax // c["v"], axis=0
+        )
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)[..., None].copy()
+    if len(out_planes) != 3:
+        raise ValueError("only 1- or 3-component scans supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def jpeg_header(raw: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the SOF0/SOF1 segment — the
+    metadata-only parse (no entropy decode)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", raw, pos)
+        if marker in (0xC0, 0xC1):
+            _prec, h, w, nc = struct.unpack_from(">BHHB", raw, pos + 2)
+            return w, h, nc
+        if marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        if marker == 0xDA:
+            break
+        pos += ln
+    raise ValueError("JPEG missing SOF")

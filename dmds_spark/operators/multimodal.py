@@ -3,10 +3,13 @@ image/audio/video as opaque ``binary`` columns with typed metadata,
 processed through Arrow-batched ``mapInPandas`` stages.
 
 Image decode/resize is REAL with no environment dependency for P6 PPM
-and BI_RGB BMP (numpy) AND — since round 14 — for 8-bit non-interlaced
-PNG (stdlib zlib inflate + numpy row unfilters; encoders included, so
-tests and oracles synthesize real containers with arithmetic rasters).
-Only JPEG/other compressed codecs (and the audio/video demuxers)
+and BI_RGB BMP (numpy), for 8-bit non-interlaced PNG (round 14:
+stdlib zlib inflate + numpy row unfilters) AND — since round 15 — for
+baseline sequential JPEG (operators/jpeg.py: marker parse, canonical
+Huffman, zigzag/dequant, numpy DCT pair, restart markers; encoders
+included, so tests and oracles synthesize real containers with
+arithmetic rasters). Only progressive/arithmetic/12-bit JPEG, the
+exotic PNG shapes (palette/16-bit/Adam7) and the audio/video demuxers
 depend on libraries absent from this container — those routes go
 through the optional Pillow import and raise ``NotImplementedError``
 without it, while ``fake=True`` selects the deterministic DMDS header
@@ -423,12 +426,24 @@ def decode_image(content: bytes, fake: bool | None = None) -> dict:
             # unsupported PNG shape (palette / 16-bit / Adam7): fall
             # through to Pillow where installed — the stdlib codec
             # NARROWS the environment gate, it must never widen it
+    if content[:2] == b"\xff\xd8":
+        from dmds_spark.operators.jpeg import jpeg_header
+
+        try:
+            width, height, channels = jpeg_header(content)
+            return {"width": width, "height": height,
+                    "channels": channels}
+        except ValueError:
+            if _pil() is None:
+                raise
+            # progressive / non-baseline JPEG: Pillow where installed
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "decoding JPEG/other compressed formats requires Pillow, "
-            "which is not installed; PPM/BMP/PNG decode without it, and "
-            "fake=True selects the deterministic header parser"
+            "decoding compressed formats beyond PNG and baseline JPEG "
+            "requires Pillow, which is not installed; PPM/BMP/PNG/"
+            "baseline-JPEG decode without it, and fake=True selects "
+            "the deterministic header parser"
         )
     import io
 
@@ -586,6 +601,53 @@ def png_media_table_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def jpeg_media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """One real baseline JPEG per document: grayscale, 8x8-block-
+    constant raster — block b (row-major) is ``(doc_id*31 + b*7) %
+    256`` over a ``(16..40) x (16..40)`` geometry from n_chars, under
+    the all-ones quantization table. Block-constant + q=1 makes the
+    lossy codec a FIXED POINT (operators/jpeg.py module docstring), so
+    the decoded raster sum has a closed form the DuckDB oracle can
+    state — round 15's un-gating of the LAST compressed image codec
+    family."""
+    from dmds_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], "kind": [], "content": [], "meta": []}
+                )
+                continue
+            doc_ids = pdf["doc_id"].astype("int64")
+            n_chars = pdf["n_chars"].astype("int64")
+            width = (8 * (2 + n_chars % 4)).to_numpy()
+            height = (8 * (2 + (n_chars // 7) % 4)).to_numpy()
+            contents = [
+                encode_jpeg(int(w), int(h), int(d))
+                for w, h, d in zip(width, height, doc_ids)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": doc_ids.to_numpy(),
+                    "kind": ["image"] * n,
+                    "content": contents,
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(h),
+                            "channels": 1,
+                            "n_bytes": len(c),
+                        }
+                        for w, h, c in zip(width, height, contents)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 RASTER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -598,8 +660,9 @@ RASTER_STATS_SCHEMA = T.StructType(
 
 
 def raster_stats(media: DataFrame) -> DataFrame:
-    """FULL pixel decode (PPM/BMP/PNG — no environment gate) per
-    image: geometry plus the exact i64 sum of every raster byte. The
+    """FULL pixel decode (PPM/BMP/PNG/baseline-JPEG — no environment
+    gate) per image: geometry plus the exact i64 sum of every raster
+    byte. The
     sum certifies the whole decompress+unfilter path end to end — a
     header parse cannot fake it. Same Arrow/mapInPandas shape as
     decode_images; bytes never leave the executors."""
@@ -623,9 +686,13 @@ def raster_stats(media: DataFrame) -> DataFrame:
                     px = bmp_pixels(raw)
                 elif raw[:8] == _PNG_MAGIC:
                     px = png_pixels(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    from dmds_spark.operators.jpeg import jpeg_pixels
+
+                    px = jpeg_pixels(raw)
                 else:
                     raise ValueError(
-                        "raster_stats decodes PPM/BMP/PNG containers"
+                        "raster_stats decodes PPM/BMP/PNG/JPEG containers"
                     )
                 h, w, c = px.shape
                 out.append(

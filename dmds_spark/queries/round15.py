@@ -186,3 +186,75 @@ def rollup_incremental_survivorship(spark, sf_dir):
         "user_id", "last_k", "best_value_cents", "modal_type",
         "first_seen_us", "last_seen_us", "n_records",
     )
+
+
+@register(
+    "multimodal_jpeg_decode_stats",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             8 * (2 + n_chars % 4) AS w,
+             8 * (2 + (n_chars // 7) % 4) AS h
+      FROM documents
+    ), r AS (
+      -- 8x8 block b of doc d is the constant (d*31 + 7*b) % 256; at
+      -- most 5x5 = 25 blocks per image, so the per-doc block sum
+      -- enumerates a constant 25-row grid
+      SELECT g.doc_id,
+             SUM(CASE WHEN k.k < (g.w // 8) * (g.h // 8)
+                      THEN (g.doc_id * 31 + 7 * k.k) % 256
+                      ELSE 0 END) AS bsum
+      FROM g CROSS JOIN UNNEST(range(25)) AS k(k)
+      GROUP BY g.doc_id
+    )
+    SELECT CAST(1 AS INT) AS channels,
+           COUNT(*) AS n,
+           CAST(SUM(g.w) AS BIGINT) AS sum_width,
+           CAST(SUM(g.h) AS BIGINT) AS sum_height,
+           CAST(SUM(g.w * g.h) AS BIGINT) AS sum_raster_bytes,
+           CAST(SUM(64 * r.bsum) AS BIGINT) AS sum_raster
+    FROM g JOIN r ON r.doc_id = g.doc_id
+    """,
+)
+def multimodal_jpeg_decode_stats(spark, sf_dir):
+    """The LAST compressed image codec family un-gated, proven against
+    the oracle with no imaging library anywhere: synthesize one real
+    baseline JFIF JPEG per document (markers, canonical Annex-K
+    Huffman entropy coding, zigzag, quantization, numpy DCT —
+    operators/jpeg.py), fully decode it back (Huffman decode, DC
+    prediction, dequant, IDCT), and aggregate geometry plus the EXACT
+    decoded-raster sum. JPEG is lossy in general, but the fixture
+    rasters are 8x8-block-constant under the all-ones quantization
+    table — a measured FIXED POINT of the codec (DC-only blocks,
+    integral coefficients; jpeg.py module docstring) — so DuckDB can
+    state the decoded sum in closed form and the hash certifies the
+    whole marker/Huffman/zigzag/dequant/IDCT pipeline, raster byte
+    for raster byte. The general lossy path (real quant tables, color,
+    4:2:0, restart markers) is pinned in tests/test_jpeg.py.
+
+    Shape at scale: one mapInPandas encode scan + one full-decode
+    scan, no shuffle until the 1-row aggregate; binary bytes never
+    leave the executors (the multimodal_png_decode_stats shape with
+    the codec family completed)."""
+    from dmds_spark.operators.multimodal import (
+        jpeg_media_table_from_documents,
+        raster_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = jpeg_media_table_from_documents(
+        docs.select("doc_id", "n_chars")
+    )
+    return (
+        raster_stats(media)
+        .groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("width").cast("bigint")).alias("sum_width"),
+            F.sum(F.col("height").cast("bigint")).alias("sum_height"),
+            F.sum(
+                (F.col("width") * F.col("height")).cast("bigint")
+            ).alias("sum_raster_bytes"),
+            F.sum("raster_sum").cast("bigint").alias("sum_raster"),
+        )
+    )

@@ -58,16 +58,21 @@ def test_decode_auto_sniffs_fake_bytes():
 
 
 def test_decode_real_image_roundtrip():
-    # PNG decodes with or without Pillow (stdlib codec since round 14);
-    # JPEG magic without Pillow degrades to a clear NotImplementedError
+    # PNG (round 14) and baseline JPEG (round 15) decode with or
+    # without Pillow — both codecs are stdlib+numpy now
+    from dmds_spark.operators.jpeg import encode_jpeg
     from dmds_spark.operators.multimodal import _pil, encode_png
 
     got = decode_image(encode_png(33, 21, 9))
     assert got == {"width": 33, "height": 21, "channels": 3}
+    got = decode_image(encode_jpeg(40, 24, 9))
+    assert got == {"width": 40, "height": 24, "channels": 1}
+    # malformed JPEG bytes are CORRUPT (ValueError), not an
+    # environment gate — mis-decoding is never an option
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     Image = _pil()
     if Image is None:
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         return
     import io
 
@@ -218,17 +223,19 @@ def test_resize_images_real_codec(spark):
 
 
 def test_compressed_without_pil_raises():
-    """The remaining environment gate (JPEG and friends — PNG decodes
-    stdlib-side since round 14): compressed containers beyond PNG need
-    Pillow; the error must be clear, and uncompressed must not hit
-    it."""
+    """The remaining environment gate (progressive/non-baseline JPEG —
+    PNG and baseline JPEG decode stdlib-side since rounds 14/15): a
+    VALID progressive stream without Pillow surfaces the decoder's
+    clear refusal, never a mis-decode."""
+    from dmds_spark.operators.jpeg import encode_jpeg
     from dmds_spark.operators.multimodal import _pil, decode_image
 
     if _pil() is not None:
         pytest.skip("Pillow installed: compressed path active")
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(jpeg_magic, fake=False)
+    raw = bytearray(encode_jpeg(16, 16, 1))
+    raw[raw.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_image(bytes(raw), fake=False)
 
 
 # --------------------------------------------------------------------------
