@@ -407,6 +407,13 @@ ADDITIONS = [
     # round-15: baseline JPEG codec (encode + full Huffman/IDCT decode
     # of one real JFIF per document per pass)
     "multimodal_jpeg_decode_stats",
+    # round-15 batch two: rank/effect-size statistics + hybrid fusion
+    "orders_spearman_daily",
+    "events_kruskal_wallis",
+    "eval_cohens_d2",
+    "events_runs_test",
+    "events_acf_daily",
+    "retrieval_rrf_fusion",
 ]
 
 

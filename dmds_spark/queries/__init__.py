@@ -600,5 +600,6 @@ def _load():
     # (375/375 after r14), so these lead the round-15 window with the
     # four lock-fix priority rechecks right behind them
     from dmds_spark.queries import round15  # noqa: F401
+    from dmds_spark.queries import round15b  # noqa: F401
 
     _LOADED = True

@@ -1579,6 +1579,7 @@ FORCED_BROADCAST_OK = {
         "query batch is vec_id < 3 (3 rows) + its <=nprobe cells/tables"
     ),
     "embedding_truncation_recall": "20-query sample: fixed isin id set",
+    "retrieval_rrf_fusion": "vector-list query side is vec_id = 0 (1 row)",
     # k-seed selection by key filter: vec_id < K rows exactly
     "embedding_kmeans_lloyd_step": "centroid side is vec_id < K (K=8 rows)",
     # documented deliberate broadcast with the 100 TB alternative stated
