@@ -414,6 +414,12 @@ ADDITIONS = [
     "events_runs_test",
     "events_acf_daily",
     "retrieval_rrf_fusion",
+    # round-15 batch three: paired/change-point tests, communities,
+    # the k-anonymity generalization ladder
+    "events_wilcoxon_signed_rank",
+    "events_pettitt_changepoint",
+    "graph_label_propagation",
+    "privacy_k_anonymity_ladder",
 ]
 
 

@@ -601,5 +601,6 @@ def _load():
     # four lock-fix priority rechecks right behind them
     from dmds_spark.queries import round15  # noqa: F401
     from dmds_spark.queries import round15b  # noqa: F401
+    from dmds_spark.queries import round15c  # noqa: F401
 
     _LOADED = True

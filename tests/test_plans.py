@@ -1523,6 +1523,21 @@ UNPARTITIONED_WINDOW_OK = {
         "cum counts over the distinct-cents histogram (bounded by the "
         "value range)"
     ),
+    "events_kruskal_wallis": (
+        "cum counts over the distinct-cents histogram (bounded by the "
+        "value range)"
+    ),
+    "orders_spearman_daily": (
+        "two rank histograms over the calendar day grid (~2.4k rows)"
+    ),
+    "events_wilcoxon_signed_rank": (
+        "cum counts over the distinct-|diff| histogram (bounded by "
+        "the day-pair count, ~90 rows)"
+    ),
+    "events_runs_test": "lag window over the calendar day grid",
+    "retrieval_rrf_fusion": (
+        "rank windows over the two TakeOrdered top-100 lists"
+    ),
     # distinct-seconds histogram: <= attribution-horizon seconds rows
     "events_time_to_convert": "cum counts over the distinct-seconds grid",
     # size-gated dispatch: plain window only below ONE scan shard

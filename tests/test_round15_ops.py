@@ -206,3 +206,92 @@ def test_cohens_d2_zero_when_means_equal(spark, qs, tmp_path):
     ])
     row = qs["eval_cohens_d2"](spark, d).collect()[0]
     assert row["d2_ppm"] == 0 and row["d_sign"] == 0
+
+
+# -- batch three: paired/change-point tests, label prop, k-anon ladder ----
+
+
+def test_wilcoxon_hand_computed(spark, qs, tmp_path):
+    """Days 0,1,28,29,56 with cents 100,200,300,200,300: the 28-day
+    pairing gives diffs {+200, 0, 0} — zeros drop, the single
+    positive diff takes doubled rank 2 -> W+x2 = 2, W-x2 = 0,
+    effect = +1e6."""
+    d = str(tmp_path / "wsr_sf")
+    base = dt.datetime(2024, 1, 1)
+    vals = {0: 1.00, 1: 2.00, 28: 3.00, 29: 2.00, 56: 3.00}
+    _write_events(spark, d, [
+        (i + 1, base + dt.timedelta(days=day), 1, "view", v, "{}")
+        for i, (day, v) in enumerate(sorted(vals.items()))
+    ])
+    row = qs["events_wilcoxon_signed_rank"](spark, d).collect()[0]
+    assert (row["n_pairs"], row["n_nonzero"]) == (3, 1)
+    assert (row["w_plus_x2"], row["w_minus_x2"]) == (2, 0)
+    assert row["effect_ppm"] == 1_000_000
+
+
+def test_pettitt_hand_computed(spark, qs, tmp_path):
+    """Cents [100, 100, 300, 300] over four days: U = [2, 4, 2] ->
+    change point after day 2 (epoch day of 2024-01-02), K = 4."""
+    d = str(tmp_path / "pt_sf")
+    base = dt.datetime(2024, 1, 1)
+    _write_events(spark, d, [
+        (i + 1, base + dt.timedelta(days=i), 1, "view", v, "{}")
+        for i, v in enumerate([1.00, 1.00, 3.00, 3.00])
+    ])
+    row = qs["events_pettitt_changepoint"](spark, d).collect()[0]
+    assert (row["n_days"], row["k_stat"]) == (4, 4)
+    assert row["change_day"] == (dt.date(2024, 1, 2)
+                                 - dt.date(1970, 1, 1)).days
+
+
+def test_label_propagation_hand_computed(spark, qs, tmp_path):
+    """Suppliers 10, 20 (nation 1) share part 5 -> one community
+    labeled 10; supplier 30 shares the part but sits in nation 2 (no
+    edge); supplier 40 is isolated."""
+    d = str(tmp_path / "lp_sf")
+    spark.createDataFrame(
+        [(5, 10), (5, 20), (5, 30), (6, 40)],
+        "l_partkey long, l_suppkey long",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(10, 1), (20, 1), (30, 2), (40, 1)],
+        "s_suppkey long, s_nationkey long",
+    ).coalesce(1).write.parquet(f"{d}/supplier.parquet")
+    rows = sorted(
+        (r["label"], r["n_members"], r["min_member"], r["max_member"])
+        for r in qs["graph_label_propagation"](spark, d).collect()
+    )
+    assert rows == [(10, 2, 10, 20), (30, 1, 30, 30), (40, 1, 40, 40)]
+
+
+def test_k_anonymity_ladder_hand_computed(spark, qs, tmp_path):
+    """Four customers at $150 and one at $1050, same nation/segment:
+    $100 and $1000 buckets both split them (all 5 rows exposed at
+    k=5); dropping the balance merges to one k=5 class -> fully
+    anonymous."""
+    d = str(tmp_path / "ka_sf")
+    rows = [(i + 1, 1, "A", 150.0) for i in range(4)]
+    rows.append((5, 1, "A", 1050.0))
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, "
+              "c_acctbal double"
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    out = {r["level"]: r
+           for r in qs["privacy_k_anonymity_ladder"](spark, d).collect()}
+    assert (out[0]["n_groups"], out[0]["k_min"],
+            out[0]["n_exposed_rows"], out[0]["anon_ppm"]) == (2, 1, 5, 0)
+    assert (out[1]["n_groups"], out[1]["n_exposed_rows"]) == (2, 5)
+    assert (out[2]["n_groups"], out[2]["k_min"],
+            out[2]["n_exposed_rows"], out[2]["anon_ppm"]) == (
+        1, 5, 0, 1_000_000)
+
+
+def test_batch3_plan_shapes(spark, qs):
+    """No data-sized nested-loop products; the Pettitt straddling
+    joins live on the bounded day grid only (non-equi, so nested-loop
+    there is by design and bounded)."""
+    for name in ("events_wilcoxon_signed_rank",
+                 "graph_label_propagation",
+                 "privacy_k_anonymity_ladder"):
+        plan = physical_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
