@@ -891,10 +891,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: binary in -> binary out with the target geometry.
     DMDS fake media re-encodes deterministically at the target size;
-    uncompressed real containers (P6 PPM, BI_RGB BMP) resample with a
-    pure-numpy nearest-neighbor (no environment dependency; BMP
-    re-encodes as PPM — the pipeline-internal raw container);
-    compressed images resample through Pillow when installed and raise
+    real containers decodable without an imaging library (P6 PPM,
+    BI_RGB BMP, 8-bit PNG, baseline JPEG) resample with a pure-numpy
+    nearest-neighbor and re-encode as PPM — the pipeline-internal raw
+    container; the remaining compressed shapes (progressive JPEG,
+    exotic PNG) resample through Pillow when installed and raise
     NotImplementedError per task when not. The Spark-side shape is the
     production one in every branch: Arrow-batched binary columns
     through mapInPandas, output partitioning inherited from the input
@@ -939,13 +940,26 @@ def resize_images(
                         target_width, target_height, src["channels"], int(media_id)
                     )
                     channels = src["channels"]
-                elif raw[:2] in (b"P6", b"BM") or raw[:8] == _PNG_MAGIC:
+                elif (raw[:2] in (b"P6", b"BM", b"\xff\xd8")
+                      or raw[:8] == _PNG_MAGIC):
                     import numpy as np
 
                     if raw[:2] == b"P6":
                         px = ppm_pixels(raw)
                     elif raw[:2] == b"BM":
                         px = bmp_pixels(raw)[:, :, :3]
+                    elif raw[:2] == b"\xff\xd8":
+                        from dmds_spark.operators.jpeg import jpeg_pixels
+
+                        try:
+                            px = jpeg_pixels(raw)
+                        except ValueError:
+                            if _pil() is None:
+                                raise
+                            # progressive / non-baseline: Pillow where
+                            # installed — the stdlib codec narrows the
+                            # gate, never widens it
+                            px = None
                     else:
                         try:
                             px = png_pixels(raw)

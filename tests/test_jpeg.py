@@ -155,3 +155,33 @@ def test_decode_image_integration():
 
     meta = decode_image(encode_jpeg(40, 24, 5))
     assert meta == {"width": 40, "height": 24, "channels": 1}
+
+
+def test_resize_jpeg_without_pillow(spark):
+    """resize_images resamples baseline JPEG through the stdlib
+    decoder (nearest-neighbor, PPM re-encode) — no Pillow gate for
+    this family anymore."""
+    import pandas as pd
+
+    from dmds_spark.operators.multimodal import (
+        ppm_pixels,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2],
+             "content": [encode_jpeg(40, 24, 1), encode_jpeg(16, 16, 9)]}
+        )
+    )
+    out = {r["media_id"]: r
+           for r in resize_images(media, 8, 8).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["width"], r["height"], r["channels"]) == (8, 8, 3)
+        px = ppm_pixels(bytes(r["content"]))
+        assert px.shape == (8, 8, 3)
+    # nearest-neighbor of a block-constant image picks block values:
+    # gray replicates across RGB
+    px1 = ppm_pixels(bytes(out[1]["content"]))
+    assert (px1[..., 0] == px1[..., 1]).all()
