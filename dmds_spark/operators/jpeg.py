@@ -406,7 +406,12 @@ class _BitReader:
         if not self.nbits:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # drop consumed bits: without this mask the accumulator grows
+        # with the whole entropy stream and every shift goes quadratic
+        # (measured 10x time per 4x pixels before the fix)
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0
@@ -417,6 +422,7 @@ class _BitReader:
     def restart(self) -> None:
         """Byte-align and consume one RSTn marker (B.2.1.2)."""
         self.nbits = 0
+        self.acc = 0
         if not (self.raw[self.pos] == 0xFF
                 and 0xD0 <= self.raw[self.pos + 1] <= 0xD7):
             raise ValueError("expected restart marker")
@@ -447,9 +453,18 @@ def _extend(v: int, s: int) -> int:
 
 def jpeg_pixels(raw: bytes) -> "object":
     """Full baseline JPEG decode -> (height, width, channels) uint8
-    (channels 1 or 3, RGB). Raises ValueError on progressive (SOF2)
-    and the other non-baseline frame types so callers can fall back to
-    the Pillow gate — mis-decoding is never an option."""
+    (channels 1 or 3, RGB). Raises ValueError on progressive (SOF2),
+    the other non-baseline frame types, AND on truncated/corrupt bytes
+    — every failure is typed ValueError so callers can route to the
+    Pillow gate or a clean per-row error; mis-decoding (or an untyped
+    IndexError killing a whole Spark task) is never an option."""
+    try:
+        return _jpeg_pixels(raw)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _jpeg_pixels(raw: bytes) -> "object":
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":
@@ -462,6 +477,9 @@ def jpeg_pixels(raw: bytes) -> "object":
     while True:
         if raw[pos] != 0xFF:
             raise ValueError("marker expected")
+        # fill bytes: any number of 0xFF may pad before a marker (B.1.1.2)
+        while raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -517,6 +535,15 @@ def jpeg_pixels(raw: bytes) -> "object":
             for i in range(ns):
                 cid, t = payload[1 + 2 * i : 3 + 2 * i]
                 scan[cid] = (t >> 4, t & 0xF)
+            if set(scan) != {c["id"] for c in frame["comps"]}:
+                # spec-legal baseline may split components across
+                # SEVERAL scans; this decoder does the single
+                # interleaved scan only — typed refusal, not a
+                # KeyError mid-MCU (falls back to the Pillow gate)
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG "
+                    "unsupported by the stdlib decoder"
+                )
             pos += ln
             break
         # APPn / COM / others: skip
@@ -603,24 +630,32 @@ def jpeg_pixels(raw: bytes) -> "object":
 
 def jpeg_header(raw: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from the SOF0/SOF1 segment — the
-    metadata-only parse (no entropy decode)."""
+    metadata-only parse (no entropy decode). Truncated/corrupt bytes
+    raise ValueError (same typed contract as :func:`jpeg_pixels`)."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
-    pos = 2
-    while pos + 4 <= len(raw):
-        if raw[pos] != 0xFF:
-            raise ValueError("marker expected")
-        marker = raw[pos + 1]
-        pos += 2
-        if marker == 0xD9:
-            break
-        (ln,) = struct.unpack_from(">H", raw, pos)
-        if marker in (0xC0, 0xC1):
-            _prec, h, w, nc = struct.unpack_from(">BHHB", raw, pos + 2)
-            return w, h, nc
-        if marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
-        if marker == 0xDA:
-            break
-        pos += ln
+    try:
+        pos = 2
+        while pos + 4 <= len(raw):
+            if raw[pos] != 0xFF:
+                raise ValueError("marker expected")
+            while raw[pos + 1] == 0xFF:  # fill bytes (B.1.1.2)
+                pos += 1
+            marker = raw[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            (ln,) = struct.unpack_from(">H", raw, pos)
+            if marker in (0xC0, 0xC1):
+                _prec, h, w, nc = struct.unpack_from(
+                    ">BHHB", raw, pos + 2
+                )
+                return w, h, nc
+            if marker == 0xC2:
+                raise ValueError("progressive JPEG unsupported")
+            if marker == 0xDA:
+                break
+            pos += ln
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
     raise ValueError("JPEG missing SOF")

@@ -397,11 +397,12 @@ def decode_image(content: bytes, fake: bool | None = None) -> dict:
 
     ``fake=True`` forces the deterministic DMDS header parser;
     ``fake=False`` forces a real container parse; ``fake=None`` (auto)
-    sniffs the magic. Real containers: P6 PPM and uncompressed BMP
-    decode with numpy alone (no environment dependency); anything else
-    (PNG/JPEG/...) goes through Pillow when installed and raises
-    NotImplementedError when not — compression is the ONLY remaining
-    environment gate."""
+    sniffs the magic. Real containers: P6 PPM, uncompressed BMP, 8-bit
+    non-interlaced PNG, and baseline-sequential JPEG all parse with
+    stdlib+numpy alone (no environment dependency); only the remaining
+    compressed shapes (progressive/non-baseline JPEG, palette/16-bit/
+    Adam7 PNG, other formats) go through Pillow when installed and
+    raise NotImplementedError when not."""
     content = bytes(content)
     is_fake_bytes = content[:4] == MEDIA_MAGIC
     if fake is True or (fake is None and is_fake_bytes):

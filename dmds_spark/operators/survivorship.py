@@ -175,8 +175,16 @@ class IncrementalSurvivorship:
             st = self._state()
             if batch_id is not None and batch_id <= st["last_batch_id"]:
                 return {"skipped": True, "version": st["version"]}
-            fresh = self._partial_state(obs)
             v = st["version"]
+            if obs.limit(1).count() == 0:
+                # empty micro-batch (idle triggers are routine on a
+                # long-running stream): advance the replay mark only —
+                # never pay the O(|entities|) state rewrite or mint a
+                # version (the postings/IVF empty-batch rule)
+                if batch_id is not None:
+                    self._flip({**st, "last_batch_id": batch_id})
+                return {"skipped": False, "version": v, "empty": True}
+            fresh = self._partial_state(obs)
             if v:
                 merged = self._merge_state(
                     self.spark.read.parquet(self._path("state", v)), fresh

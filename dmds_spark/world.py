@@ -388,6 +388,19 @@ class WriterLock:
                     os.unlink(self.path)
                 except FileNotFoundError:
                     pass
+            # best-effort sibling-dir cleanup: rmdir succeeds only when
+            # empty. The ``.break`` sidecar is deliberately NOT
+            # unlinked — a concurrent breaker may hold its flock, and
+            # replacing a flocked inode would give two breakers two
+            # different sidecars (no serialization). A store that ever
+            # heartbeated or broke a stale lock therefore keeps its
+            # ``<dir>.lockd/`` with that one file — bounded, documented
+            # litter; callers deleting a store should rmtree the
+            # sibling too.
+            try:
+                os.rmdir(os.path.dirname(self.path))
+            except OSError:
+                pass
 
 
 class World:

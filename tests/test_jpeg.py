@@ -185,3 +185,67 @@ def test_resize_jpeg_without_pillow(spark):
     # gray replicates across RGB
     px1 = ppm_pixels(bytes(out[1]["content"]))
     assert (px1[..., 0] == px1[..., 1]).all()
+
+
+def test_truncated_and_corrupt_bytes_raise_valueerror():
+    """The typed-error contract (round-15 review): truncation at ANY
+    byte raises ValueError, never IndexError/struct.error — an untyped
+    error would kill a whole Spark task instead of routing to the
+    Pillow gate or a clean per-row error."""
+    raw = encode_jpeg(16, 16, 1)
+    for cut in (4, 20, len(raw) // 2):
+        with pytest.raises(ValueError):
+            jpeg_pixels(raw[:cut])
+    # dropping only the EOI tail byte leaves the entropy data intact:
+    # decode still succeeds (and must equal the full decode)
+    assert np.array_equal(jpeg_pixels(raw[:-1]), jpeg_pixels(raw))
+    with pytest.raises(ValueError):
+        jpeg_header(raw[:4])
+    # a zero-length APP segment cannot loop forever either
+    with pytest.raises(ValueError):
+        jpeg_header(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """B.1.1.2: any number of 0xFF fill bytes may pad before a marker;
+    both parsers must skip them instead of misreading the length."""
+    raw = encode_jpeg(16, 16, 2)
+    sof = raw.index(b"\xff\xc0")
+    padded = raw[:sof] + b"\xff\xff\xff" + raw[sof:]
+    assert jpeg_header(padded) == (16, 16, 1)
+    assert np.array_equal(jpeg_pixels(padded), jpeg_pixels(raw))
+
+
+def test_noninterleaved_multiscan_refused_typed():
+    """A spec-legal baseline JPEG whose SOS lists fewer components
+    than the SOF must refuse with ValueError (Pillow-gate routable),
+    not die with KeyError mid-MCU."""
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    raw = bytearray(jpeg_encode(rgb))
+    sos = raw.index(b"\xff\xda")
+    # rewrite the SOS to a single-component scan: ns=1, comp 1, tables
+    # 0/0, spectral 0..63
+    new_sos = (b"\xff\xda" + b"\x00\x08" + bytes([1, 1, 0x00])
+               + b"\x00\x3f\x00")
+    old_len = int.from_bytes(raw[sos + 2 : sos + 4], "big")
+    raw = bytes(raw[:sos]) + new_sos + bytes(raw[sos + 2 + old_len:])
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg_pixels(raw)
+
+
+def test_decode_cost_scales_linearly_not_quadratically():
+    """The round-15 review's accumulator fix, pinned structurally: the
+    bit reader's accumulator stays byte-sized however long the stream
+    (before the fix it grew with the WHOLE entropy stream and shifts
+    went quadratic — minutes for one megapixel image)."""
+    from dmds_spark.operators.jpeg import _BitReader
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    raw = jpeg_encode(img)
+    sos_end = raw.index(b"\xff\xda") + 2
+    (sos_len,) = struct.unpack_from(">H", raw, sos_end)
+    br = _BitReader(raw, sos_end + sos_len)
+    for _ in range(5000):
+        br.bit()
+    assert br.acc < (1 << 8)  # bounded, not stream-sized

@@ -90,3 +90,19 @@ def test_state_is_entity_sized_not_history_sized(spark, obs, tmp_path):
     counts = spark.read.parquet(st._path("counts", 1))
     n_types = obs.select("event_type").distinct().count()
     assert counts.count() <= n_entities * n_types
+
+
+def test_empty_batch_advances_replay_mark_without_version(
+    spark, obs, batch_rows, tmp_path
+):
+    """Idle triggers are routine on a long stream: an empty micro-batch
+    must advance the batch-id high-water mark WITHOUT rewriting the
+    entity-sized state or minting a version (the postings/IVF
+    empty-batch rule, review-confirmed round 15)."""
+    st = _store(spark, tmp_path / "e")
+    st.fold_batch(obs.filter(F.col("event_id") % 2 == 0), 0)
+    out = st.fold_batch(obs.filter(F.col("event_id") < 0), 1)  # empty
+    assert out == {"skipped": False, "version": 1, "empty": True}
+    assert st._state() == {"version": 1, "last_batch_id": 1}
+    st.fold_batch(obs.filter(F.col("event_id") % 2 == 1), 2)
+    assert _golden_rows(st.golden()) == batch_rows
