@@ -420,6 +420,11 @@ ADDITIONS = [
     "events_pettitt_changepoint",
     "graph_label_propagation",
     "privacy_k_anonymity_ladder",
+    # round-15 batch four: scorer-evaluation completions + dedup audit
+    "eval_brier_score",
+    "eval_ece",
+    "eval_lift_gains",
+    "dedup_selection_bias_report",
 ]
 
 

@@ -602,5 +602,6 @@ def _load():
     from dmds_spark.queries import round15  # noqa: F401
     from dmds_spark.queries import round15b  # noqa: F401
     from dmds_spark.queries import round15c  # noqa: F401
+    from dmds_spark.queries import round15d  # noqa: F401
 
     _LOADED = True

@@ -1510,6 +1510,7 @@ UNPARTITIONED_WINDOW_OK = {
     # ppm score grids: distinct scores <= 1e6+1 by construction
     "eval_auc_rank_sum": "rank-sum over the distinct-ppm score grid",
     "eval_pr_curve": "cum TP/FP over the distinct-ppm score grid",
+    "eval_lift_gains": "cum counts over the distinct-ppm score grid",
     "eval_conformal_coverage": (
         "cum counts over the distinct-|residual| cents grid (bounded "
         "by the value range, ~50k rows at any corpus size)"

@@ -295,3 +295,81 @@ def test_batch3_plan_shapes(spark, qs):
                  "privacy_k_anonymity_ladder"):
         plan = physical_plan(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+# -- batch four: scorer-evaluation completions + dedup audit --------------
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+
+def test_brier_and_ece_hand_computed(spark, qs, tmp_path):
+    """Two docs: 'a a dup b' -> score 750000 label 1 (e = 250000^2);
+    'a b c d' -> score 1e6 label 0 (e = 1e12). Brier = 1.0625e12 /
+    2e6 = 531250 ppm; conditional 62500 / 1000000. ECE bins 6 and 7:
+    gaps 250000 and 1e6 -> ECE 625000, MCE 1000000."""
+    d = str(tmp_path / "be_sf")
+    _write_docs(spark, d, [(1, "a a dup b", 9), (2, "a b c d", 7)])
+    b = qs["eval_brier_score"](spark, d).collect()[0]
+    assert b["n"] == 2
+    assert b["brier_ppm"] == 531_250
+    assert (b["brier_pos_ppm"], b["brier_neg_ppm"]) == (62_500, 1_000_000)
+    e = qs["eval_ece"](spark, d).collect()[0]
+    assert (e["n"], e["n_bins"]) == (2, 2)
+    assert (e["ece_ppm"], e["mce_ppm"]) == (625_000, 1_000_000)
+
+
+def test_lift_gains_hand_computed(spark, qs, tmp_path):
+    """Scores 1e6(0), 750k(1), 500k(1), 250k(0): deciles pick the
+    first grid row reaching ceil(k*4/10) rows; full-depth decile 10
+    must recover gain = lift = 1e6 exactly."""
+    d = str(tmp_path / "lg_sf")
+    _write_docs(spark, d, [
+        (1, "a b c d", 7),      # 1e6, label 0
+        (2, "a a dup b", 9),    # 750000, label 1
+        (3, "dup dup a a", 11), # 500000, label 1
+        (4, "a a a a", 7),      # 250000, label 0
+    ])
+    rows = {r["decile"]: r for r in qs["eval_lift_gains"](spark, d).collect()}
+    assert len(rows) == 10
+    assert (rows[1]["n_captured"], rows[1]["pos_captured"],
+            rows[1]["gain_ppm"]) == (1, 0, 0)
+    assert (rows[3]["n_captured"], rows[3]["pos_captured"],
+            rows[3]["gain_ppm"], rows[3]["lift_ppm"]) == (
+        2, 1, 500_000, 1_000_000)
+    assert (rows[6]["n_captured"], rows[6]["pos_captured"],
+            rows[6]["lift_ppm"]) == (3, 2, 1_333_333)
+    assert (rows[10]["n_captured"], rows[10]["gain_ppm"],
+            rows[10]["lift_ppm"]) == (4, 1_000_000, 1_000_000)
+    # gains are monotone non-decreasing in depth
+    gains = [rows[k]["gain_ppm"] for k in range(1, 11)]
+    assert gains == sorted(gains)
+
+
+def test_selection_bias_hand_computed(spark, qs, tmp_path):
+    """Three copies of one text (bucket 0), a unique text (bucket 1),
+    two copies of another (bucket 9): survive_ppm = 333333 / 1e6 /
+    500000 — the skew the audit exists to surface."""
+    d = str(tmp_path / "sb_sf")
+    _write_docs(spark, d, [
+        (1, "t one", 50), (2, "t one", 50), (3, "t one", 50),
+        (4, "t two", 150),
+        (5, "t three", 950), (6, "t three", 950),
+    ])
+    rows = {r["len_bucket"]: r
+            for r in qs["dedup_selection_bias_report"](spark, d).collect()}
+    assert (rows[0]["n_docs"], rows[0]["n_survivors"],
+            rows[0]["survive_ppm"]) == (3, 1, 333_333)
+    assert (rows[1]["n_docs"], rows[1]["survive_ppm"]) == (1, 1_000_000)
+    assert (rows[9]["n_docs"], rows[9]["n_dropped"],
+            rows[9]["survive_ppm"]) == (2, 1, 500_000)
+
+
+def test_batch4_plan_shapes(spark, qs):
+    for name in ("eval_brier_score", "eval_ece", "eval_lift_gains",
+                 "dedup_selection_bias_report"):
+        plan = physical_plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
