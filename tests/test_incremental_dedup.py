@@ -165,26 +165,44 @@ def test_writer_lock_race_exactly_one_winner(tmp_path):
     path = str(tmp_path / "w")
     os.makedirs(path)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # start barrier: racers spin on a "go" file the parent creates only
+    # after every process is up, then all attempt acquire within the
+    # same few ms. A fixed sleep instead makes the test load-sensitive:
+    # on a busy box interpreter startup staggers past the hold window
+    # and late racers win legitimately-but-sequentially.
+    go = str(tmp_path / "go")
+    ready_dir = str(tmp_path / "ready")
+    os.makedirs(ready_dir)
     code = (
-        "import json, sys, time\n"
+        "import json, os, sys, time\n"
         "sys.path.insert(0, %r)\n"
         "from dmds_spark.world import WriterLock\n"
         "from dmds_spark.core.errors import WorldLockedError\n"
-        "time.sleep(0.05)  # let all racers start\n"
+        "open(os.path.join(%r, str(os.getpid())), 'w').close()\n"
+        "while not os.path.exists(%r):\n"
+        "    time.sleep(0.005)\n"
         "lk = WriterLock(%r)\n"
         "try:\n"
         "    lk.acquire()\n"
-        "    time.sleep(0.3)  # hold while the others fail\n"
+        "    time.sleep(1.0)  # hold while the others fail\n"
         "    lk.release()\n"
         "    print('WIN')\n"
         "except WorldLockedError:\n"
         "    print('LOSE')\n"
-    ) % (repo, path)
+    ) % (repo, ready_dir, go, path)
     procs = [
         subprocess.Popen([sys.executable, "-c", code],
                          stdout=subprocess.PIPE, text=True)
         for _ in range(6)
     ]
+    import time as _time
+
+    deadline = _time.time() + 55
+    while len(os.listdir(ready_dir)) < len(procs):
+        assert _time.time() < deadline, "racers failed to start"
+        _time.sleep(0.01)
+    with open(go, "w") as fh:
+        fh.write("go")
     outs = [p.communicate(timeout=60)[0].strip() for p in procs]
     assert sorted(outs).count("WIN") == 1, outs
     assert all(o in ("WIN", "LOSE") for o in outs)
