@@ -414,6 +414,15 @@ def fuzzy_pairs_blocked(d, fp_expr):
             & (F.abs(F.col("la") - F.col("lb")) <= _FUZZY_MAX_DIST)
         )
         .select("id_a", "id_b")
+        # Parallelism floor for the verify stage (guide §2.6). The
+        # candidate set is born with the BLOCKING side's partitioning —
+        # at test scale the doc table is one row group, so one task
+        # would run every thresholded-Levenshtein DP on one core while
+        # 31 idle (measured at sf0.1: 15.5 s -> 1.2 s end to end from
+        # this one exchange). The exchange carries two bigint ids per
+        # candidate — metadata-sized at any scale, negligible next to
+        # the O(len * threshold) DP each candidate pays downstream.
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     ta = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
     tb = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
