@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dmds_spark.core.engine import fan_out
+
 # our deterministic fake media header: magic(4) | width(4) | height(4)
 # | channels(4) | payload...
 MEDIA_MAGIC = b"DMDS"
@@ -509,7 +511,9 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
 
 
 def ppm_media_table_from_documents(docs: DataFrame) -> DataFrame:
@@ -553,7 +557,9 @@ def ppm_media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
 
 
 def png_media_table_from_documents(docs: DataFrame) -> DataFrame:
@@ -599,7 +605,9 @@ def png_media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
 
 
 def jpeg_media_table_from_documents(docs: DataFrame) -> DataFrame:
@@ -646,7 +654,9 @@ def jpeg_media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_SCHEMA)
+    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
 
 
 RASTER_STATS_SCHEMA = T.StructType(
