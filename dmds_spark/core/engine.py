@@ -76,37 +76,6 @@ def maybe_broadcast(
     return df
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Parallelism floor for a compute-heavy narrow stage (guide §2.6:
-    stragglers and idle capacity).
-
-    A parquet scan's task count comes from file/row-group layout: a
-    table small enough to fit one row group yields ONE task, and every
-    narrow operation downstream (expression-heavy projections,
-    Arrow-batch decoders, thresholded edit-distance verifies) inherits
-    that single partition — the stage runs on one core while the rest
-    of the cluster idles. The 128 MB ``maxPartitionBytes`` default
-    cannot split a single row group, so the floor must be explicit.
-
-    Scale behavior: the floor is ``defaultParallelism`` (total cores),
-    so at real scale — where scans already produce hundreds of
-    partitions — the repartition is a no-op and NO exchange is added.
-    Only when the input is narrower than the cluster does one
-    round-robin exchange of the input rows buy full-width execution of
-    everything downstream. Callers should hand this the *narrow* form
-    of the data (ids + keys, not payloads) whenever the fan-out target
-    is a join product, so the exchange stays metadata-sized.
-
-    ``df.rdd.getNumPartitions()`` compiles the physical plan; call
-    this on scan-level inputs or cheap subplans (it may materialize
-    broadcast stages under AQE on complex ones)."""
-    sc = df.sparkSession.sparkContext
-    floor = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= floor:
-        return df
-    return df.repartition(floor)
-
-
 # Materialization barrier modes, in increasing durability / cost:
 #   local    — df.localCheckpoint(eager): executor-local blocks, lineage
 #              cut. Fastest; blocks die with an executor. The default.

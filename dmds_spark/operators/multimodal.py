@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dmds_spark.core.engine import fan_out
+from dmds_spark.operators.parallel import ensure_parallelism
 
 # our deterministic fake media header: magic(4) | width(4) | height(4)
 # | channels(4) | payload...
@@ -511,7 +511,7 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+    return ensure_parallelism(docs.select("doc_id", "n_chars")).mapInPandas(
         gen, MEDIA_SCHEMA
     )
 
@@ -557,7 +557,7 @@ def ppm_media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+    return ensure_parallelism(docs.select("doc_id", "n_chars")).mapInPandas(
         gen, MEDIA_SCHEMA
     )
 
@@ -605,7 +605,7 @@ def png_media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+    return ensure_parallelism(docs.select("doc_id", "n_chars")).mapInPandas(
         gen, MEDIA_SCHEMA
     )
 
@@ -654,7 +654,7 @@ def jpeg_media_table_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return fan_out(docs.select("doc_id", "n_chars")).mapInPandas(
+    return ensure_parallelism(docs.select("doc_id", "n_chars")).mapInPandas(
         gen, MEDIA_SCHEMA
     )
 
