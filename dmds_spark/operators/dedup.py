@@ -151,6 +151,11 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # parallelism floor for the signature re-attach + jaccard
+        # verify above: AQE coalesces the candidate shuffle by bytes,
+        # while each pair pays an O(num_hashes) array compare — the
+        # ids-only exchange keeps the verify cluster-wide (guide §2.6)
+        .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))

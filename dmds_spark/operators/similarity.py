@@ -233,6 +233,13 @@ def lsh_blocked_pairs(
     so the self-join sides and both re-attach joins read computed
     results (the MinHash signatures barrier; a written intermediate in
     production)."""
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    # the bucketing fold (~tables*planes*dim multiply-adds per row) and
+    # the norm projection inherit the scan's partitioning — one row
+    # group at test scale means one core runs the whole stage without
+    # this floor (guide §2.6); a no-op on well-split sources
+    df = ensure_parallelism(df)
     if arrow:
         b = lsh_bucket_rows_arrow(df, id_col, vec_col, tables, planes, dim)
     else:
@@ -253,6 +260,11 @@ def lsh_blocked_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # parallelism floor for the verify stage above: AQE coalesces
+        # this candidate-scale shuffle by BYTES, but every candidate
+        # pays an O(dim) exact-cosine downstream — an ids-only exchange
+        # (16 bytes/row) buys full-width verify at any scale
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     va = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),

@@ -280,6 +280,8 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = _BPE_MERGES):
     (greedy, non-overlapping: a token formed this round never
     re-merges this round). localCheckpoint per round cuts the lineage
     so round r+1 does not replay rounds 1..r."""
+    from dmds_spark.operators.parallel import ensure_parallelism
+
     spark = docs.sparkSession
     vocab = (
         docs.select(F.explode(F.split(text_col, " ")).alias("w"))
@@ -287,6 +289,11 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = _BPE_MERGES):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(F.expr("split(w, '')").alias("toks"), "freq")
+        # AQE coalesces the vocabulary-sized shuffle to ~1 partition by
+        # bytes, but each round below runs an interpreted aggregate()
+        # fold per word — floor the parallelism so the rounds use the
+        # cluster (guide §2.6), not one core
+        .transform(ensure_parallelism)
         .transform(materialize)
     )
     merges = []
@@ -390,8 +397,12 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
             yield out
 
+    from dmds_spark.operators.parallel import ensure_parallelism
+
     schema = f"{id_col} {id_type}, raw_len long, comp_len long"
-    out = docs.select(id_col, text_col).mapInPandas(comp, schema)
+    out = ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        comp, schema
+    )
     return out.select(
         id_col,
         "raw_len",

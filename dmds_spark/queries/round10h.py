@@ -105,7 +105,12 @@ def bpe_apply_merges(docs, merges, text_col: str = "text"):
     def esc(t: str) -> str:
         return t.replace("\\", "\\\\").replace("'", "\\'")
 
-    words = docs.select(
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    # the merge folds below are interpreted array-HOF work per WORD;
+    # inherit-from-scan parallelism (one partition at test scale)
+    # would run them all on one core (guide §2.6)
+    words = ensure_parallelism(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(F.split(text_col, " ")).alias("w")
     ).filter(F.col("w") != "")
     sym = words.select("doc_id", F.expr("split(w, '')").alias("toks"))
