@@ -58,7 +58,17 @@ def profile_column_stats(spark, sf_dir):
 def _profile_stats(df, cols, approx: bool = False):
     """Single-scan per-column profile over ``cols``. ``approx=True`` is
     the 100 TB path: HyperLogLog++ distinct counts (no Expand, one
-    two-phase aggregate)."""
+    two-phase aggregate).
+
+    Parallelism floor (guide §2.5 input skew): the exact path's
+    multi-distinct expands every row 1+#cols ways and the string
+    min/max buffers force SortAggregate — an expensive per-row stage
+    that would otherwise run on the scan's partition count (ONE task
+    for a test-scale single-file table). The floor is a no-op for
+    well-split 100 TB sources."""
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     def str_col(c):
         # match DuckDB CAST(ts AS VARCHAR) for timestamps
