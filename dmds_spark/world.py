@@ -1043,12 +1043,21 @@ class World:
         for p in aligned[1:]:
             log = log.unionByName(p)
         w = W.partitionBy(id_col).orderBy(F.col("__seq").desc())
+        # materialize the collapsed log ONCE: its consumers (live for
+        # the merge/new-partition sides, touched for the dirty/anti
+        # joins) would otherwise each re-run every pending op's source
+        # plan — a CDC merge buffers the whole net-changes pipeline
+        # here, and flush consumed it four times (guide §2.4). The
+        # barrier is micro-batch-sized (the pending buffer), never
+        # table-sized.
         latest = (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-        )
-        touched = log.select(id_col).distinct()
+        ).transform(materialize)
+        # every touched id has exactly one rn=1 row, so the touched set
+        # reads off the collapsed log — no second pass over the raw ops
+        touched = latest.select(id_col)
         live = latest.filter(~F.col("__del")).drop("__seq", "__del")
         # delete-only op logs leave live empty AND missing dim columns —
         # give it the full dim schema so downstream plans resolve
@@ -1352,13 +1361,17 @@ class World:
             .select(*self.partition_cols())
             .distinct()
         )
-        dirty_df = (
-            old_parts.unionByName(new_parts).distinct().transform(materialize)
-        )
-        dirty = [tuple(r) for r in dirty_df.collect()]
+        # ONE action: collect the dirty set and rebuild the filter
+        # relation locally — the former materialize-then-collect pair
+        # paid a checkpoint job just to read back rows the driver needs
+        # anyway (the set is partition keys only, bounded by chunk
+        # count, and both consumers see the identical collected rows)
+        dirty_rows = old_parts.unionByName(new_parts).distinct().collect()
+        dirty = [tuple(r) for r in dirty_rows]
         if not dirty:
             self._ops = []
             return n_ops
+        dirty_df = self.spark.createDataFrame(dirty_rows, old_parts.schema)
 
         base_part = base.join(
             F.broadcast(dirty_df), on=self.partition_cols(), how="left_semi"
