@@ -152,9 +152,21 @@ def test_stale_break_race_exactly_one_winner(tmp_path):
     TOCTOU hazard is two breakers both unlinking (the second unlink
     removing the first winner's NEW lock), leaving two live writers.
     With the flock-serialized rename-verify break, exactly one racer
-    must win and its token must be the one on disk at the end."""
+    must win and its token must be the one on disk at the end.
+
+    Scheduling-robust by protocol, not by sleeps: every racer reports
+    ready and spins on a go file, so no attempt starts before ALL
+    racers exist (on a loaded box a fixed startup sleep let a
+    late-spawned racer acquire AFTER the winner released — two
+    winners at disjoint times, which is not a mutual-exclusion
+    violation at all); the winner then HOLDS until all 5 losers have
+    written their done markers, so no loser can retry into a released
+    lock. A real double-acquire still fails the assertion (both
+    "winners" time out waiting for 5 markers and report)."""
     path = str(tmp_path / "w")
     os.makedirs(path)
+    rdir = str(tmp_path / "rendezvous")
+    os.makedirs(rdir)
     with open(_lockfile(path), "w") as fh:
         json.dump(
             {"pid": 2**22 + 7654321,
@@ -162,31 +174,51 @@ def test_stale_break_race_exactly_one_winner(tmp_path):
              "token": "stale", "acquired_at": 0}, fh,
         )
     code = (
-        "import json, sys, time\n"
+        "import glob, json, os, sys, time\n"
         "sys.path.insert(0, %r)\n"
         "from dmds_spark.world import WriterLock\n"
         "from dmds_spark.core.errors import WorldLockedError\n"
-        "time.sleep(0.05)  # let all racers start\n"
+        "rdir = %r\n"
+        "open(os.path.join(rdir, 'ready.%%d' %% os.getpid()), 'w').close()\n"
+        "stop = time.time() + 30\n"
+        "while not os.path.exists(os.path.join(rdir, 'go')):\n"
+        "    if time.time() > stop:\n"
+        "        sys.exit(3)  # barrier never opened\n"
+        "    time.sleep(0.002)\n"
         "lk = WriterLock(%r)\n"
         "try:\n"
         "    lk.acquire()\n"
-        "    time.sleep(0.3)  # HOLD while the losers finish: a losing\n"
-        "    # breaker that wrongly unlinks would now hit OUR live lock\n"
+        "    stop = time.time() + 30\n"
+        "    while (len(glob.glob(os.path.join(rdir, 'done.*'))) < 5\n"
+        "           and time.time() < stop):\n"
+        "        time.sleep(0.005)  # HOLD until every loser failed\n"
         "    ondisk = json.load(open(lk.path))\n"
         "    lk.release()\n"
         "    print(json.dumps({'acquired': True,\n"
         "                      'saw_own_token': ondisk['token'] == lk.token}))\n"
         "except WorldLockedError:\n"
+        "    open(os.path.join(rdir, 'done.%%d' %% os.getpid()), 'w').close()\n"
         "    print(json.dumps({'acquired': False, 'saw_own_token': None}))\n"
-    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), path)
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         rdir, path)
     procs = [
         subprocess.Popen([sys.executable, "-c", code],
                          stdout=subprocess.PIPE, text=True)
         for _ in range(6)
     ]
+    import glob as _glob
+    import time as _time
+
+    stop = _time.time() + 30
+    while (len(_glob.glob(os.path.join(rdir, "ready.*"))) < 6
+           and _time.time() < stop):
+        _time.sleep(0.01)
+    assert len(_glob.glob(os.path.join(rdir, "ready.*"))) == 6, \
+        "racers failed to start"
+    open(os.path.join(rdir, "go"), "w").close()
     results = []
     for p in procs:
-        out, _ = p.communicate(timeout=60)
+        out, _ = p.communicate(timeout=90)
         assert p.returncode == 0
         results.append(json.loads(out.strip().splitlines()[-1]))
     winners = [r for r in results if r["acquired"]]
