@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dmds_spark.core.engine import materialize as _materialize
 from dmds_spark.functions.text import (
@@ -460,20 +461,35 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 20,
+    small_graph_rows: int = 200_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     label(v) starts as v; each round takes the min label over v and its
     neighbors; converges in O(component diameter) rounds. Returns
     (id_col, cluster_id) where cluster_id = min vertex id reachable.
 
-    Execution shape per round: one shuffle join (labels onto the edge
+    Small-graph fast path (optimization round, guide §5 "the driver
+    should do almost no data work" — EXCEPT when the data is provably
+    tiny): near-dup pair sets are usually orders of magnitude smaller
+    than the corpus, so after the one edge materialization the edge
+    list is probed with a bounded ``limit(small_graph_rows + 1)``
+    collect; when it fits, components resolve in a driver-side
+    union-find (same min-label result, bit for bit) and the
+    corpus-sized ``vertices`` attach by ONE broadcast join instead of
+    O(diameter) rounds of vertex-table shuffle joins + checkpoints.
+    Graphs past the bound take the distributed loop below unchanged —
+    the 100 TB path. ``small_graph_rows=0`` disables the fast path
+    (how the non-convergence contract stays testable).
+
+    Distributed shape per round: one shuffle join (labels onto the edge
     list) + one groupBy(min). Lineage is cut with an eager
     localCheckpoint each round — without it the plan doubles per
     iteration and the driver dies planning round ~8. Near-dup clusters
     have tiny diameters (chains of pairwise-similar docs), so 3-4
     rounds is typical; the max_iter guard turns a pathological chain
-    into an explicit error, never a hang. At 1000-executor scale the
-    same loop runs with edges hash-partitioned on src — the classic
+    into an explicit error, never a hang (the fast path has no
+    convergence loop, so it never raises it). At 1000-executor scale
+    the same loop runs with edges hash-partitioned on src — the classic
     large-star/small-star refinement only pays off past billions of
     edges (it halves round count but doubles per-round shuffles).
 
@@ -488,6 +504,12 @@ def connected_components(
     else:
         verts = und.select("__u").distinct()
     und = und.transform(_materialize)
+    if small_graph_rows:
+        head = und.limit(small_graph_rows + 1).collect()
+        if len(head) <= small_graph_rows:
+            return _cc_union_find(
+                head, und, verts, vertices is not None, id_col
+            )
     labels = verts.withColumn("__label", F.col("__u")).transform(_materialize)
     for _ in range(max_iter):
         # min over self-label and every neighbor's label
@@ -520,3 +542,62 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("__u").alias(id_col), F.col("__label").alias("cluster_id"))
+
+
+def _cc_union_find(
+    und_rows: list,
+    und: DataFrame,
+    verts: DataFrame,
+    has_vertices: bool,
+    id_col: str,
+) -> DataFrame:
+    """Driver-side resolution of a BOUNDED component graph (see
+    connected_components): union-find with path compression over the
+    collected (already doubled) edge rows, labels = min id per
+    component — exactly the min-label fixpoint the distributed loop
+    converges to. The endpoint->label map is component-graph-sized
+    (bounded by the collect that admitted us here); corpus-sized
+    ``vertices`` are NEVER collected — they attach by one broadcast
+    left join, isolated ids labelling themselves."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in und_rows:
+        u, v = r["__u"], r["__v"]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    nodes = {r["__u"] for r in und_rows} | {r["__v"] for r in und_rows}
+    for x in nodes:
+        rx = find(x)
+        m = comp_min.get(rx)
+        if m is None or x < m:
+            comp_min[rx] = x
+    spark = und.sparkSession
+    id_type = und.schema["__u"].dataType
+    lab_schema = T.StructType(
+        [
+            T.StructField("__u", id_type),
+            T.StructField("__lab", id_type),
+        ]
+    )
+    lab = spark.createDataFrame(
+        [(x, comp_min[find(x)]) for x in sorted(nodes)], lab_schema
+    )
+    if not has_vertices:
+        # node set == edge endpoints: the local map IS the answer
+        return lab.select(
+            F.col("__u").alias(id_col), F.col("__lab").alias("cluster_id")
+        )
+    return verts.join(F.broadcast(lab), "__u", "left").select(
+        F.col("__u").alias(id_col),
+        F.coalesce("__lab", F.col("__u")).alias("cluster_id"),
+    )

@@ -74,6 +74,16 @@ class IncrementalIVFIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self.dim = dim
+        # per-instance memos of FROZEN quantizer state, keyed by the
+        # pointer's version fields: centroids/v{N} and pq/v{N} are
+        # immutable once written (set_centroids/retrain/set_pq_codebooks
+        # always mint a NEW version), so re-reading them per ingest /
+        # search within one handle is pure overhead — a build query
+        # pays 2 small parquet reads per refresh otherwise. NOT result
+        # caching: this is the store's own bounded metadata (k
+        # centroids, M*K codewords), scoped to this handle's lifetime.
+        self._cent_memo: tuple[int, list[list[float]]] | None = None
+        self._books_memo: tuple[int, dict] | None = None
         os.makedirs(store_dir, exist_ok=True)
 
     # -- writer fencing ----------------------------------------------------
@@ -213,8 +223,13 @@ class IncrementalIVFIndex:
         )
 
     def _centroid_rows(self) -> list[list[float]]:
+        cv = self._state()["centroid_version"]
+        if self._cent_memo is not None and self._cent_memo[0] == cv:
+            return self._cent_memo[1]
         rows = self.centroids().orderBy("cluster").collect()
-        return [list(r["centroid"]) for r in rows]  # k rows — bounded
+        vals = [list(r["centroid"]) for r in rows]  # k rows — bounded
+        self._cent_memo = (cv, vals)
+        return vals
 
     def _cell_rank(
         self, centroid_rows: list[list[float]], vec_col: str
@@ -330,9 +345,13 @@ class IncrementalIVFIndex:
 
     def _pq_books(self) -> dict[int, dict[int, list[int]]]:
         """{sub: {cid: codeword}} — M*K rows, driver-side bounded."""
+        pv = self._state()["pq_version"]
+        if self._books_memo is not None and self._books_memo[0] == pv:
+            return self._books_memo[1]
         books: dict[int, dict[int, list[int]]] = {}
         for r in self.pq_codebooks_df().collect():
             books.setdefault(int(r["sub"]), {})[int(r["cid"])] = list(r["qc"])
+        self._books_memo = (pv, books)
         return books
 
     @staticmethod
@@ -345,46 +364,45 @@ class IncrementalIVFIndex:
             lambda acc, v: acc + v,
         )
 
-    def _grid(self, vec_col: str) -> Column:
-        """The floor(x*1e6)+2^22 integer grid of operators/pq.py
-        quantized() — byte-identical so stored codes hash-match a
-        declarative pq_encode restatement."""
+    @staticmethod
+    def _grid_sql(vec_col: str) -> str:
+        """SQL text of the floor(x*1e6)+2^22 integer grid of
+        operators/pq.py quantized() — byte-identical so stored codes
+        hash-match a declarative pq_encode restatement."""
         from dmds_spark.operators.pq import PQ_OFF, PQ_SCALE
 
-        return F.expr(
+        return (
             f"transform({vec_col}, x -> CAST(floor("
             f"CAST(x AS DOUBLE) * {PQ_SCALE}.0) AS BIGINT) + {PQ_OFF})"
         )
+
+    def _grid(self, vec_col: str) -> Column:
+        return F.expr(self._grid_sql(vec_col))
 
     def _codes_expr(
         self, books: dict[int, dict[int, list[int]]], vec_col: str
     ) -> Column:
         """array<int> of M per-subspace nearest-codeword ids for one
         vector column — a PURE PROJECTION against constant-folded
-        codeword literals (no join, no shuffle at ingest). The argmin
-        tie-break is lexicographic (dist, cid) over structs — equal to
-        pq_encode's zero-padded min_by key (distances are non-negative
-        i64)."""
-        from dmds_spark.operators.pq import PQ_DIM, PQ_M
+        codeword matrices (no join, no shuffle at ingest). Shares
+        operators/pq.py ``_nearest_code`` (one from_json matrix + one
+        transform per subspace — the `_hyperplane_matrix` pattern;
+        per-codeword Literal nodes made plan construction itself cost
+        seconds), whose argmin tie-break is least-by-(dist, cid) —
+        equal to pq_encode's zero-padded min_by key (distances are
+        non-negative i64)."""
+        from dmds_spark.operators.pq import PQ_DIM, PQ_M, nearest_code_sql
 
         sub = (self.dim if self.dim else PQ_DIM) // PQ_M
-        qv = self._grid(vec_col)
-        outs = []
-        for s in range(PQ_M):
-            sv = F.slice(qv, s * sub + 1, sub)
-            cand = F.array(*[
-                F.struct(
-                    self._sq(
-                        sv,
-                        F.from_json(F.lit(json.dumps(cw)),
-                                    "array<bigint>"),
-                    ).alias("d"),
-                    F.lit(int(c)).cast("int").alias("c"),
+        gsql = self._grid_sql(vec_col)
+        return F.expr(
+            "array(" + ", ".join(
+                nearest_code_sql(
+                    books, s, f"slice({gsql}, {s * sub + 1}, {sub})"
                 )
-                for c, cw in sorted(books.get(s, {}).items())
-            ])
-            outs.append(F.array_min(cand)["c"])
-        return F.array(*outs)
+                for s in range(PQ_M)
+            ) + ")"
+        )
 
     def _adc_tbl(
         self, books: dict[int, dict[int, list[int]]], vec_col: str
@@ -393,28 +411,36 @@ class IncrementalIVFIndex:
         column: tbl[s][c] = i64 squared distance between the query's
         s-th subvector and codeword c — codes index it positionally,
         so cids absent from a subspace's codebook (a Lloyd round can
-        empty a seed) fill with 0L, which no stored code references."""
-        from dmds_spark.operators.pq import PQ_DIM, PQ_K, PQ_M
+        empty a seed) fill with 0L, which no stored code references.
+
+        Built from ONE from_json K-slot codeword matrix + one distance
+        transform per subspace (absent slots carry a zero placeholder
+        row and a constant mask pins their distance to 0L without
+        evaluating the fold) — the `_hyperplane_matrix` pattern,
+        emitted as SQL TEXT parsed in one shot: the old K x M per-slot
+        Literal folds made plan construction itself cost seconds per
+        query batch (see operators/pq.py nearest_code_sql)."""
+        from dmds_spark.operators.pq import PQ_DIM, PQ_K, PQ_M, _sq_sql
 
         sub = (self.dim if self.dim else PQ_DIM) // PQ_M
-        qv = self._grid(vec_col)
+        gsql = self._grid_sql(vec_col)
         arrs = []
         for s in range(PQ_M):
-            sv = F.slice(qv, s * sub + 1, sub)
-            slots = []
-            for c in range(PQ_K):
-                cw = books.get(s, {}).get(c)
-                slots.append(
-                    self._sq(
-                        sv,
-                        F.from_json(F.lit(json.dumps(cw)),
-                                    "array<bigint>"),
-                    )
-                    if cw is not None
-                    else F.lit(0).cast("long")
-                )
-            arrs.append(F.array(*slots))
-        return F.array(*arrs)
+            sv_sql = f"slice({gsql}, {s * sub + 1}, {sub})"
+            present = books.get(s, {})
+            full = json.dumps(
+                [present.get(c, [0] * sub) for c in range(PQ_K)]
+            )
+            mask = json.dumps(
+                [1 if c in present else 0 for c in range(PQ_K)]
+            )
+            arrs.append(
+                f"transform(from_json('{full}', 'array<array<bigint>>'), "
+                f"(cw, i) -> IF(element_at(from_json('{mask}', "
+                f"'array<int>'), i + 1) = 1, "
+                f"{_sq_sql(sv_sql, 'cw')}, 0L))"
+            )
+        return F.expr("array(" + ", ".join(arrs) + ")")
 
     # -- ingest ------------------------------------------------------------
     def _ingest(self, vecs: DataFrame, st: dict) -> int | None:
@@ -811,7 +837,8 @@ class IncrementalIVFIndex:
             rows = [[float(x) for x in vec] for vec in vectors]
             nearest = self._nearest(rows)
             base = self._base_cv(st)
-            for v in st["versions"]:
+
+            def _migrate(v: int) -> None:
                 old = self.spark.read.parquet(
                     self._current_assign_paths([v], st)[0]
                 )
@@ -826,6 +853,19 @@ class IncrementalIVFIndex:
                 ).write.mode("overwrite").partitionBy("cluster").parquet(
                     self._assign_paths([v], cv2, base)[0]
                 )
+
+            # per-version re-materializations are independent (each
+            # reads batch-v{N}, writes batch-v{N}@cv{M}): overlap a few
+            # so one version's write-commit tail backfills with the
+            # next version's scan (guide §2.6) — nothing is published
+            # until the single pointer flip below, so concurrency never
+            # changes what readers can observe
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, max(1, len(st["versions"])))
+            ) as pool:
+                list(pool.map(_migrate, st["versions"]))
             # pin base_cv explicitly: after a retrain the CURRENT
             # generation is no longer the bare-layout one, so the
             # pre-round-12 fallback (base == current) would misread
@@ -893,38 +933,44 @@ class IncrementalIVFIndex:
             raise ValueError(
                 "store has no codes column (built before PQ froze)"
             )
-        from dmds_spark.operators.pq import PQ_DIM, PQ_M
+        from dmds_spark.operators.pq import PQ_DIM, PQ_K, PQ_M, _sq_sql
 
         books = self._pq_books()
         sub = (self.dim if self.dim else PQ_DIM) // PQ_M
-        qv = self._grid(self.vec_col)
+        gsql = self._grid_sql(self.vec_col)
 
-        def _sub_struct(s: int):
-            sv = F.slice(qv, s * sub + 1, sub)
+        def _sub_struct_sql(s: int) -> str:
             # distance to the ASSIGNED codeword: look the codeword up
-            # by the stored code via a chained CASE over the <= K
-            # constant literals (codes are data; codebooks are not)
-            dist = F.lit(None).cast("long")
-            for c, cw in sorted(books.get(s, {}).items()):
-                dist = F.when(
-                    F.col("codes")[s] == c,
-                    self._sq(
-                        sv,
-                        F.from_json(F.lit(json.dumps(cw)),
-                                    "array<bigint>"),
-                    ),
-                ).otherwise(dist)
-            return F.struct(
-                F.lit(s).alias("sub"),
-                F.col("codes")[s].alias("code"),
-                dist.alias("qerr"),
+            # by the stored code through ONE from_json codeword matrix
+            # + a constant cid->index array (0 = absent -> NULL, the
+            # old chained-CASE default) — the `_hyperplane_matrix`
+            # pattern as SQL TEXT; the chained CASE over K codeword
+            # literals made plan construction itself cost seconds
+            sv_sql = f"slice({gsql}, {s * sub + 1}, {sub})"
+            items = sorted(books.get(s, {}).items())
+            mat = json.dumps([cw for _c, cw in items])
+            pos = {c: i + 1 for i, (c, _cw) in enumerate(items)}
+            idx = json.dumps([pos.get(c, 0) for c in range(PQ_K)])
+            ix = (
+                f"element_at(from_json('{idx}', 'array<int>'), "
+                f"codes[{s}] + 1)"
+            )
+            cw = f"element_at(from_json('{mat}', 'array<array<bigint>>'), {ix})"
+            dist = (
+                f"CASE WHEN {ix} > 0 THEN {_sq_sql(sv_sql, cw)} "
+                f"ELSE CAST(NULL AS BIGINT) END"
+            )
+            return (
+                f"struct({s} AS sub, codes[{s}] AS code, {dist} AS qerr)"
             )
 
         # long format via ONE explode — a union of M per-subspace
         # selects would re-scan the store M times (store-design rule)
         rows = store.select(
-            F.explode(
-                F.array(*[_sub_struct(s) for s in range(PQ_M)])
+            F.expr(
+                "explode(array("
+                + ", ".join(_sub_struct_sql(s) for s in range(PQ_M))
+                + "))"
             ).alias("x")
         ).select("x.sub", "x.code", "x.qerr")
         return (

@@ -534,23 +534,37 @@ class IncrementalPostingsIndex:
                     "the store for stream-fed corpora"
                 )
             av2 = st["analyzer_version"] + 1
+            # per-(version, grain) re-materializations are independent
+            # writes to distinct unreferenced @av{N} dirs — overlap a
+            # few so one write's commit tail backfills with the next
+            # one's tokenize scan (guide §2.6); nothing is readable
+            # until the single pointer flip below
+            writes = []
             for v in st["versions"]:
                 docs = self.spark.read.parquet(
                     *st["files_by_version"][str(v)]
                 )
                 postings, doclens = self._derive(docs, analyzer)
-                postings.write.mode("overwrite").partitionBy(
-                    "tb"
-                ).parquet(self._gen_paths("postings", [v], av2)[0])
-                doclens.write.mode("overwrite").parquet(
-                    self._gen_paths("doclen", [v], av2)[0]
+                writes.append(
+                    lambda p=postings, v=v: p.write.mode("overwrite")
+                    .partitionBy("tb")
+                    .parquet(self._gen_paths("postings", [v], av2)[0])
+                )
+                writes.append(
+                    lambda d=doclens, v=v: d.write.mode("overwrite")
+                    .parquet(self._gen_paths("doclen", [v], av2)[0])
                 )
                 if self.positions:
-                    self._positional_rows(docs, analyzer).write.mode(
-                        "overwrite"
-                    ).partitionBy("tb").parquet(
-                        self._gen_paths("positional", [v], av2)[0]
+                    pos = self._positional_rows(docs, analyzer)
+                    writes.append(
+                        lambda p=pos, v=v: p.write.mode("overwrite")
+                        .partitionBy("tb")
+                        .parquet(self._gen_paths("positional", [v], av2)[0])
                     )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(lambda w: w(), writes))
             self._flip(
                 {**st, "analyzer": analyzer, "analyzer_version": av2}
             )

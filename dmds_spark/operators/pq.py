@@ -28,7 +28,9 @@ aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+import json
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PQ_SCALE = 1_000_000
@@ -99,70 +101,162 @@ def _sqdist(a: str = "sv", b: str = "qc"):
     )
 
 
+def _sq_sql(a: str, b: str) -> str:
+    """SQL text of the exact i64 squared distance between two grid
+    arrays — the string twin of ``_sqdist`` (one exactness contract,
+    emitted as text so expressions embedding it per codebook parse in
+    ONE py4j call; see ``nearest_code_sql``)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+
+
+def nearest_code_sql(
+    books: dict[int, dict[int, list[int]]], s: int, sv_sql: str
+) -> str:
+    """SQL text of the argmin codeword id for one subvector expression
+    against the CONSTANT-FOLDED codewords of subspace ``s``: array_min
+    over (dist, index) structs built from ONE ``from_json`` K x sub_w
+    matrix literal + ONE ``transform`` — the `_hyperplane_matrix`
+    pattern ``kmeans_assign`` documents, taken one step further: the
+    whole expression is emitted as SQL TEXT and parsed in one shot,
+    because building it through the Column lambda API costs ~0.5 s of
+    py4j round trips PER CONSUMER (measured; the per-codeword Literal
+    form was worse still — seconds of plan construction). The matrix
+    rows follow ascending cid, so least-by-(dist, index) ==
+    least-by-(dist, cid) — the same total order as min_by over
+    ``_argmin_key`` (distances are non-negative i64) — and a second
+    constant array maps the winning index back to its cid (cids can
+    be non-contiguous: a Lloyd round drops emptied seeds). Same
+    zip_with/left-fold arithmetic as ``_sqdist``."""
+    items = sorted(books.get(s, {}).items())
+    mat = json.dumps([cw for _c, cw in items])
+    cids = json.dumps([int(c) for c, _cw in items])
+    return (
+        f"element_at(from_json('{cids}', 'array<int>'), "
+        f"array_min(transform(from_json('{mat}', 'array<array<bigint>>'), "
+        f"(cw, i) -> struct({_sq_sql(sv_sql, 'cw')} AS d, "
+        f"CAST(i AS INT) AS i))).i + 1)"
+    )
+
+
+def _codebook_dict(codebooks: DataFrame) -> dict[int, dict[int, list[int]]]:
+    """{sub: {cid: codeword}} — M*K rows, driver-side bounded by the
+    codebook geometry, never data size. A codebook DataFrame minted by
+    :func:`pq_codebooks` carries its rows along (``_dmds_pq_rows``), so
+    consumers skip the re-collect job; any other codebook DF (tests,
+    the store's persisted pq/v{N}) collects its bounded rows."""
+    carried = getattr(codebooks, "_dmds_pq_books", None)
+    if carried is not None:
+        return carried
+    books: dict[int, dict[int, list[int]]] = {}
+    for r in codebooks.collect():
+        books.setdefault(int(r["sub"]), {})[int(r["cid"])] = [
+            int(x) for x in r["qc"]
+        ]
+    return books
+
+
 def pq_codebooks(q: DataFrame, dim: int = PQ_DIM) -> DataFrame:
     """(sub, cid, qc): per-subspace codebooks — md5-ordered seed
-    slices refined by ONE integer-exact Lloyd round. The seed draw is
-    TakeOrderedAndProject (per-partition top-K heap); the only window
-    renumbers the <= K surviving seed rows. ``dim`` is the vector
-    width (threads through to the subvector slicing)."""
+    slices refined by ONE integer-exact Lloyd round. ``dim`` is the
+    vector width (threads through to the subvector slicing).
+
+    Execution shape (optimization round, guide §2.4/§8): the seed draw
+    is a TakeOrdered top-K COLLECT (K rows — bounded, the same bounded
+    seed collect ``kmeans_assign`` uses); assignment of every
+    subvector to its nearest seed is then a pure projection against
+    the constant-folded seed codewords — no broadcast join, and no
+    groupBy(vec_id, sub) argmin shuffle of the exploded corpus, which
+    at 100 TB moved M rows per vector across the cluster; the M-step
+    is ONE bounded-key (<= M*K*sub_w = 512 keys) hash aggregate with
+    map-side partials whose result is collected (bounded) and
+    re-emitted as a LOCAL codebook table. Downstream consumers
+    (encode, the ADC table) fold the local rows into their own
+    projections, so nothing ever re-runs the training subtree — the
+    old localCheckpoint pin has nothing left to pin."""
+    if dim % PQ_M != 0:
+        raise ValueError(f"dim={dim} not divisible by PQ_M={PQ_M}")
+    spark = q.sparkSession
+    sub_w = dim // PQ_M
+    schema = "sub int, cid int, qc array<bigint>"
     seeds = (
         q.select(
-            "vec_id", "qv",
-            F.md5(F.col("vec_id").cast("string")).alias("__mk"),
+            "qv", F.md5(F.col("vec_id").cast("string")).alias("__mk"),
+            "vec_id",
         )
         .orderBy("__mk", "vec_id")
         .limit(PQ_K)
+        .collect()
     )
-    seed_rows = seeds.select(
-        (F.row_number().over(W.orderBy("__mk", "vec_id")) - 1).alias("cid"),
-        "qv",
-    )
-    sseeds = subvectors(
-        seed_rows.select(F.col("cid").alias("vec_id"), "qv"), dim=dim
-    ).select(F.col("vec_id").alias("cid"), "sub", F.col("sv").alias("qc"))
-
-    subs = subvectors(q, dim=dim)
-    d1 = subs.join(F.broadcast(sseeds), "sub").select(
-        "vec_id", "sub", "sv", "cid", _sqdist().alias("dist")
-    )
-    a1 = d1.groupBy("vec_id", "sub").agg(
-        F.min_by("cid", _argmin_key()).alias("cid"),
-        F.first("sv").alias("sv"),
+    if not seeds:
+        return spark.createDataFrame([], schema)
+    books: dict[int, dict[int, list[int]]] = {}
+    for cid, row in enumerate(seeds):
+        qv = [int(x) for x in row["qv"]]
+        for s in range(PQ_M):
+            books.setdefault(s, {})[cid] = qv[s * sub_w:(s + 1) * sub_w]
+    entries = ", ".join(
+        f"struct({s} AS sub, "
+        f"{nearest_code_sql(books, s, f'slice(qv, {s * sub_w + 1}, {sub_w})')}"
+        f" AS cid, slice(qv, {s * sub_w + 1}, {sub_w}) AS sv)"
+        for s in range(PQ_M)
     )
     m = (
-        a1.select("sub", "cid", F.posexplode("sv").alias("dim", "qx"))
+        q.select(F.expr(f"explode(array({entries}))").alias("x"))
+        .select("x.sub", "x.cid", F.posexplode("x.sv").alias("dim", "qx"))
         .groupBy("sub", "cid", "dim")
         .agg(F.expr("sum(qx) div count(1)").alias("c2"))
-    )
-    from dmds_spark.core.engine import materialize
-
-    return (
-        m.groupBy("sub", "cid")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "c2"))).alias("__p")
-        )
-        .select(
-            "sub",
-            "cid",
-            F.transform(F.col("__p"), lambda p: p["c2"]).alias("qc"),
-        )
-        # M*K rows, consumed by encode AND the ADC table: pin them so
-        # neither consumer re-runs the seed+Lloyd subtree
-        .transform(materialize)
-    )
+        .collect()
+    )  # <= M*K*sub_w rows — bounded by the codebook geometry
+    byc: dict[tuple[int, int], dict[int, int]] = {}
+    for r in m:
+        byc.setdefault((int(r["sub"]), int(r["cid"])), {})[
+            int(r["dim"])
+        ] = int(r["c2"])
+    rows = [
+        (s, c, [dims[d] for d in range(sub_w)])
+        for (s, c), dims in sorted(byc.items())
+    ]
+    out = spark.createDataFrame(rows, schema)
+    # carry the bounded codebook dict on the DF so consumers (encode,
+    # ADC tables) skip the re-collect job — see _codebook_dict
+    books_out: dict[int, dict[int, list[int]]] = {}
+    for s, c, qc in rows:
+        books_out.setdefault(s, {})[c] = list(qc)
+    out._dmds_pq_books = books_out
+    return out
 
 
 def pq_encode(
     q: DataFrame, codebooks: DataFrame, dim: int = PQ_DIM
 ) -> DataFrame:
-    """(vec_id, sub, code): nearest refined codeword per subspace —
-    one broadcast join + one argmin aggregate."""
-    d2 = subvectors(q, dim=dim).join(F.broadcast(codebooks), "sub").select(
-        "vec_id", "sub", "cid", _sqdist().alias("dist")
+    """(vec_id, sub, code): nearest refined codeword per subspace — a
+    pure projection against the constant-folded codebooks (M*K rows,
+    bounded collect), exploded to the long grain. No broadcast join
+    and no (vec_id, sub) argmin shuffle: encoding is scan work only,
+    the same shape the incremental IVF store uses at ingest
+    (``_codes_expr``)."""
+    if dim % PQ_M != 0:
+        raise ValueError(f"dim={dim} not divisible by PQ_M={PQ_M}")
+    sub_w = dim // PQ_M
+    books = _codebook_dict(codebooks)
+    entries = ", ".join(
+        f"struct({s} AS sub, "
+        f"{nearest_code_sql(books, s, f'slice(qv, {s * sub_w + 1}, {sub_w})')}"
+        f" AS code)"
+        for s in range(PQ_M)
+        if books.get(s)  # inner-join semantics: codebook-less subspaces
+        #                  contribute no rows, same as the old join
     )
-    return d2.groupBy("vec_id", "sub").agg(
-        F.min_by("cid", _argmin_key()).alias("code")
-    )
+    if not entries:
+        return q.select(
+            "vec_id", F.lit(0).alias("sub"), F.lit(0).alias("code")
+        ).limit(0)
+    return q.select(
+        "vec_id", F.expr(f"explode(array({entries}))").alias("x")
+    ).select("vec_id", "x.sub", "x.code")
 
 
 def pq_adc_topk(
@@ -173,17 +267,32 @@ def pq_adc_topk(
     topk: int = 20,
     dim: int = PQ_DIM,
 ) -> DataFrame:
-    """ADC top-k for one query vector already in the corpus: build the
-    M*K lookup table of (query subvector, codeword) distances, attach
-    it to the codes by broadcast, sum per vector, TakeOrdered top-k
-    by (adc_dist, vec_id)."""
-    qsub = subvectors(
-        q.filter(F.col("vec_id") == query_vec_id), dim=dim
-    ).select("sub", F.col("sv").alias("qsv"))
-    t = codebooks.join(F.broadcast(qsub), "sub").select(
-        "sub",
-        F.col("cid").alias("code"),
-        _sqdist("qsv", "qc").alias("td"),
+    """ADC top-k for one query vector already in the corpus: the M*K
+    lookup table of (query subvector, codeword) squared distances is
+    computed DRIVER-SIDE from the bounded codebooks and the one
+    collected query row (exact: Python ints and the i64 fold agree on
+    every grid distance — all <= ~1.1e15, far below 2^63), attached
+    to the codes by broadcast, summed per vector, TakeOrdered top-k
+    by (adc_dist, vec_id). Saves the corpus-scan subtree the old qsub
+    side paid just to slice one row."""
+    if dim % PQ_M != 0:
+        raise ValueError(f"dim={dim} not divisible by PQ_M={PQ_M}")
+    sub_w = dim // PQ_M
+    books = _codebook_dict(codebooks)
+    qrows = (
+        q.filter(F.col("vec_id") == query_vec_id).select("qv").collect()
+    )  # one row — bounded point lookup
+    t_rows = []
+    if qrows:
+        qv = [int(x) for x in qrows[0]["qv"]]
+        t_rows = [
+            (s, c,
+             sum((qv[s * sub_w + i] - cw[i]) ** 2 for i in range(sub_w)))
+            for s in sorted(books)
+            for c, cw in sorted(books[s].items())
+        ]
+    t = q.sparkSession.createDataFrame(
+        t_rows, "sub int, code int, td bigint"
     )
     adc = (
         codes.join(F.broadcast(t), ["sub", "code"])

@@ -78,15 +78,35 @@ def _profile_stats(df, cols, approx: bool = False):
         return F.col(c).cast("string")
 
     nd = F.approx_count_distinct if approx else F.count_distinct
-    agg_exprs = []
+    cnt_exprs = []
+    str_exprs = []
     for c in cols:
-        agg_exprs += [
+        cnt_exprs += [
             (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"__nn_{c}"),
             nd(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+        ]
+        str_exprs += [
             F.min(str_col(c)).alias(f"__mn_{c}"),
             F.max(str_col(c)).alias(f"__mx_{c}"),
         ]
-    wide = df.agg(*agg_exprs)
+    if approx:
+        # HLL path: every buffer is fixed-width, one HashAggregate,
+        # one scan — the 100 TB shape, unchanged
+        wide = df.agg(*cnt_exprs, *str_exprs)
+    else:
+        # exact path: string min/max buffers force SortAggregate, and
+        # fused with the multi-distinct they forced the WHOLE plan to
+        # sort the Expand-multiplied rows ((1+#cols) x corpus) by the
+        # 5-col dedup key — measured 5.2 s at sf0.1 for a 600k-row
+        # table. Split them out: the distinct+null aggregate becomes
+        # HashAggregate over the Expand (fixed-width buffers), and the
+        # min/max aggregate sort-aggregates with NO grouping key (no
+        # sort at all) over the un-expanded scan. The two 1-row results
+        # re-attach by the house scalar crossJoin. Costs one extra
+        # column-pruned scan; saves sorting (1+#cols) x corpus rows —
+        # the right trade at every scale the exact path is used at
+        # (the approx branch above stays the single-scan 100 TB path).
+        wide = df.agg(*cnt_exprs).crossJoin(df.agg(*str_exprs))
     rows = F.array(
         *[
             F.struct(

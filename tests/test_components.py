@@ -38,9 +38,54 @@ def test_edge_only_vertices_default(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # small_graph_rows=0 forces the distributed loop: the union-find
+    # fast path has no convergence loop, so the guard lives only there
     edf = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edf, "id_a", "id_b", max_iter=1)
+        connected_components(
+            edf, "id_a", "id_b", max_iter=1, small_graph_rows=0
+        )
+
+
+def test_small_graph_fast_path_equals_distributed(spark):
+    """The driver-side union-find fast path returns EXACTLY the
+    distributed min-label fixpoint — same components, same min-id
+    labels, isolated vertices included — on a seeded random graph
+    (multiple components, chains, self-contained triangles)."""
+    import random
+
+    rng = random.Random(13)
+    nodes = list(range(60))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)})
+    verts = nodes + [999]  # one guaranteed-isolated vertex
+    edf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    vdf = spark.createDataFrame([(v,) for v in verts], ["id"])
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edf, "id_a", "id_b", vertices=vdf, id_col="id"
+        ).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edf, "id_a", "id_b", vertices=vdf, id_col="id",
+            small_graph_rows=0,
+        ).collect()
+    }
+    assert fast == dist
+    # and without vertices: node set == edge endpoints on both paths
+    fast2 = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edf, "id_a", "id_b").collect()
+    }
+    dist2 = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edf, "id_a", "id_b", small_graph_rows=0
+        ).collect()
+    }
+    assert fast2 == dist2
 
 
 def test_jaccard_exact_column_form(spark):

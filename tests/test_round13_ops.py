@@ -270,13 +270,18 @@ def test_pq_adc_ranks_near_exact(spark, qs):
 
 
 def test_pq_plan_broadcasts_codebooks(spark, qs):
-    """Every PQ assignment/lookup join must broadcast the M*K side;
-    the corpus side is never shuffled for it. Seed draw is
-    TakeOrderedAndProject."""
+    """PQ encoding is a pure projection against CONSTANT-FOLDED
+    codebook matrices (optimization round: no broadcast join and no
+    groupBy(vec_id, sub) argmin shuffle for assignment any more — the
+    codebooks enter as from_json literals, the incremental-IVF ingest
+    shape); the only remaining join attaches the bounded ADC lookup
+    table by broadcast. The corpus is never sort-merge-joined, and
+    top-k stays TakeOrderedAndProject."""
     df = qs["similarity_pq_adc_topk"](spark, SF)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
-    assert broadcast_join_count(df) >= 3  # seeds, codebooks, table
+    assert broadcast_join_count(df) >= 1  # the ADC (sub, code) table
+    assert "SortMergeJoin" not in plan  # corpus never shuffled for PQ
 
 
 def test_time_to_convert_zero_conversions(spark, qs, tmp_path):
