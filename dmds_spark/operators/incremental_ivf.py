@@ -385,10 +385,11 @@ class IncrementalIVFIndex:
         """array<int> of M per-subspace nearest-codeword ids for one
         vector column — a PURE PROJECTION against constant-folded
         codeword matrices (no join, no shuffle at ingest). Shares
-        operators/pq.py ``_nearest_code`` (one from_json matrix + one
-        transform per subspace — the `_hyperplane_matrix` pattern;
-        per-codeword Literal nodes made plan construction itself cost
-        seconds), whose argmin tie-break is least-by-(dist, cid) —
+        operators/pq.py ``nearest_code_sql`` (one from_json matrix +
+        one transform per subspace, emitted as SQL text — the
+        `_hyperplane_matrix` pattern; per-codeword Literal nodes made
+        plan construction itself cost seconds), whose argmin
+        tie-break is least-by-(dist, cid) —
         equal to pq_encode's zero-padded min_by key (distances are
         non-negative i64)."""
         from dmds_spark.operators.pq import PQ_DIM, PQ_M, nearest_code_sql

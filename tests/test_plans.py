@@ -1507,9 +1507,8 @@ def test_kmeans_assign_seed_is_take_ordered(spark, qs):
 UNPARTITIONED_WINDOW_OK = {
     # post-limit top-k grains: the window input is k rows by plan shape
     "embedding_kmeans_assign": "cid renumber over <=8 seed rows post-TakeOrdered",
-    "embedding_pq_codebook_census": "cid renumber over <=8 seed rows post-TakeOrdered",
-    "similarity_pq_adc_topk": "cid renumber over <=8 seed rows post-TakeOrdered",
-    "similarity_ivfadc_topk": "cid renumber over <=8 seed rows post-TakeOrdered",
+    # (the PQ queries left this list in the r15 optimization round:
+    # codebooks collect their bounded seeds, so no window remains)
     "text_zipf_topk": "rank over the already-limited top-50 tokens",
     "tokens_vocab_truncation_loss": "rank over TakeOrdered top-N vocab rows",
     "text_bm25_topk": "rank over the TakeOrdered top-k survivors",
