@@ -571,6 +571,14 @@ def main() -> int:
         "steal_pct_max": max((p["steal_pct"] for p in pass_loads),
                              default=0.0),
         "cpus": os.cpu_count(),
+        # self-certification (round 16): os.cpu_count() above records
+        # the HOST core count regardless of $SPARK_GRAFT_CPUS, which
+        # made a local[8] run's artifact claim "cpus": 32. Record the
+        # parallelism that was actually in effect so the artifact can
+        # prove which master ran it.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
     detail = {
         "queries": times,

@@ -152,11 +152,15 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        # parallelism floor for the signature re-attach + jaccard
-        # verify above: AQE coalesces the candidate shuffle by bytes,
-        # while each pair pays an O(num_hashes) array compare — the
-        # ids-only exchange keeps the verify cluster-wide (guide §2.6)
-        .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
+        # NO repartition here (optimization round 2): every consumer
+        # of this candidate set either BROADCASTS it (the jaccard/
+        # containment verifies join shingle rows, whose width comes
+        # from the corpus scan) or pays a cheap O(num_hashes) array
+        # compare per pair — the unconditional round-robin exchange
+        # added in round 15 (plus its sort-before-repartition) was a
+        # measured net loss on dedup_minhash_pairs and
+        # pipeline_curation (0.78x driver-measured) with no heavy
+        # beneficiary on this path.
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))

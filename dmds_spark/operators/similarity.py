@@ -260,11 +260,14 @@ def lsh_blocked_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        # parallelism floor for the verify stage above: AQE coalesces
-        # this candidate-scale shuffle by BYTES, but every candidate
-        # pays an O(dim) exact-cosine downstream — an ids-only exchange
-        # (16 bytes/row) buys full-width verify at any scale
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # NO repartition here (optimization round 2): the verify width
+        # comes from the vector re-attach joins below — when the
+        # candidate set is small enough to broadcast, the verify
+        # inherits the floored ``vecs`` partitioning; when it is big,
+        # the join exchanges spread it by bytes (vectors are ~1 KB/row,
+        # so AQE's byte-based coalescing keeps real width). The
+        # unconditional round-robin exchange added in round 15 was a
+        # measured net loss on the cheap-verify callers.
     )
     va = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") output for named queries into
-plans/r15/<query>_<tag>.txt (optimization-round evidence, guide §1.1).
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (default r16 —
+optimization-round evidence, guide §1.1).
 
 Usage: python scripts/capture_plans.py <tag> <query> [query ...]
        python scripts/capture_plans.py <tag> --top N   # N slowest from BENCH_DETAIL.json
@@ -29,8 +30,9 @@ def main() -> int:
         names = [k for k, _ in sorted(
             detail["queries"].items(), key=lambda kv: -kv[1])[:n]]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     qs = all_queries()
