@@ -559,10 +559,41 @@ def _cc_union_find(
     connected_components): union-find with path compression over the
     collected (already doubled) edge rows, labels = min id per
     component — exactly the min-label fixpoint the distributed loop
-    converges to. The endpoint->label map is component-graph-sized
-    (bounded by the collect that admitted us here); corpus-sized
-    ``vertices`` are NEVER collected — they attach by one broadcast
-    left join, isolated ids labelling themselves."""
+    converges to, including its edge semantics:
+
+    * NULL endpoints never link anything (the distributed loop's
+      equi-joins drop null keys); a null node that appears as an
+      endpoint labels itself (null), exactly as the loop leaves it.
+    * With ``vertices``, components are those of the VERTEX-INDUCED
+      subgraph: the loop only propagates labels between labeled
+      (= vertex) endpoints, so an edge touching a non-vertex id is
+      inert. The union-find therefore restricts itself to edges whose
+      endpoints are both vertices — membership of the BOUNDED endpoint
+      set is resolved by one broadcast semi-join against ``vertices``
+      (endpoint-set-sized output, one extra scan; corpus-sized
+      ``vertices`` are never collected).
+
+    The endpoint->label map is component-graph-sized (bounded by the
+    collect that admitted us here); ``vertices`` attach by one
+    broadcast left join, isolated ids labelling themselves."""
+    spark = und.sparkSession
+    id_type = und.schema["__u"].dataType
+    nodes = {r["__u"] for r in und_rows} | {r["__v"] for r in und_rows}
+    # deterministic order; None (never comparable to real ids) first
+    ordered = sorted(nodes, key=lambda x: (x is not None, x))
+    if has_vertices:
+        nodes_df = spark.createDataFrame(
+            [(x,) for x in ordered],
+            T.StructType([T.StructField("__u", id_type)]),
+        )
+        member = {
+            r["__u"]
+            for r in verts.join(
+                F.broadcast(nodes_df), "__u", "left_semi"
+            ).collect()
+        }
+    else:
+        member = nodes
     parent: dict = {}
 
     def find(x):
@@ -575,18 +606,19 @@ def _cc_union_find(
 
     for r in und_rows:
         u, v = r["__u"], r["__v"]
+        if u is None or v is None or u not in member or v not in member:
+            continue  # inert in the distributed loop too (see above)
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[ru] = rv
     comp_min: dict = {}
-    nodes = {r["__u"] for r in und_rows} | {r["__v"] for r in und_rows}
     for x in nodes:
+        if x not in member:
+            continue
         rx = find(x)
         m = comp_min.get(rx)
-        if m is None or x < m:
+        if m is None or (x is not None and x < m):
             comp_min[rx] = x
-    spark = und.sparkSession
-    id_type = und.schema["__u"].dataType
     lab_schema = T.StructType(
         [
             T.StructField("__u", id_type),
@@ -594,7 +626,12 @@ def _cc_union_find(
         ]
     )
     lab = spark.createDataFrame(
-        [(x, comp_min[find(x)]) for x in sorted(nodes)], lab_schema
+        [
+            (x, comp_min[find(x)])
+            for x in ordered
+            if x in member
+        ],
+        lab_schema,
     )
     if not has_vertices:
         # node set == edge endpoints: the local map IS the answer

@@ -463,14 +463,48 @@ def kmeans_assign(
         return F.array_min(cand)["c"]
 
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         best = nearest_center([vals for _, vals in centers])
         assigned = df.select(
             F.col(id_col), F.col(vec_col), best.alias("cluster")
         )
+        if it == iters - 1:
+            # the returned assignment uses THIS round's centers — a
+            # final M-step would only update centers nobody reads
+            # (guide §1.2: don't compute things you throw away). One
+            # full-scan aggregate job saved per call; results are
+            # bit-identical (the loop previously discarded the update).
+            break
+        # M-step as ONE narrow hash aggregate: dim decimal sums + a
+        # count per cluster (map-side partials, k x (dim+1) values
+        # shuffled) instead of ``centroids``'s posexplode (dim x rows)
+        # + two shuffles + array re-assembly (guide §2.3/§2.4). The
+        # mean is the same expression as centroids_long —
+        # round(cast(exact-decimal-sum as double) / n, 6) — and decimal
+        # addition is order-independent, so the doubles (and therefore
+        # every later assignment) are bit-identical. Assumes dense
+        # ``dim``-length vectors, which kmeans distances require anyway.
+        sums = [
+            F.sum(
+                F.col(vec_col)[i].cast("double").cast("decimal(28,12)")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ]
+        agg = assigned.groupBy("cluster").agg(
+            *sums, F.count(F.lit(1)).alias("__n")
+        )
+        mrows = agg.select(
+            "cluster",
+            *[
+                F.round(
+                    F.col(f"__s{i}").cast("double") / F.col("__n"), 6
+                ).alias(f"__m{i}")
+                for i in range(dim)
+            ],
+        ).collect()
         new_centers = {
-            int(r["cluster"]): [float(v) for v in r["centroid"]]
-            for r in centroids(assigned, "cluster", vec_col, dim).collect()
+            int(r["cluster"]): [float(r[f"__m{i}"]) for i in range(dim)]
+            for r in mrows
         }
         centers = [
             (c, new_centers.get(c, vals)) for c, vals in centers
