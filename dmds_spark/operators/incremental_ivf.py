@@ -82,8 +82,8 @@ class IncrementalIVFIndex:
         # pays 2 small parquet reads per refresh otherwise. NOT result
         # caching: this is the store's own bounded metadata (k
         # centroids, M*K codewords), scoped to this handle's lifetime.
-        self._cent_memo: tuple[int, list[list[float]]] | None = None
-        self._books_memo: tuple[int, dict] | None = None
+        self._cent_memo: tuple[tuple, list[list[float]]] | None = None
+        self._books_memo: tuple[tuple, dict] | None = None
         os.makedirs(store_dir, exist_ok=True)
 
     # -- writer fencing ----------------------------------------------------
@@ -188,11 +188,16 @@ class IncrementalIVFIndex:
         rows = [
             (c, [float(x) for x in vec]) for c, vec in enumerate(vectors)
         ]
+        # ONE-slice parallelize, not createDataFrame(list).coalesce(1):
+        # the default k-slice local relation costs one Python-worker
+        # round trip PER parent slice, and coalesce(1) evaluates all of
+        # them serially inside a single task — measured 4+ s for this
+        # 8-row write at local[32]; the 1-slice form is ~0.2 s and
+        # writes the same single file (guide §1.2: per-task overhead)
         self.spark.createDataFrame(
-            rows, "cluster int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            self._centroid_path(cv)
-        )
+            self.spark.sparkContext.parallelize(rows, 1),
+            "cluster int, centroid array<double>",
+        ).write.mode("overwrite").parquet(self._centroid_path(cv))
 
     def train(self, df: DataFrame, k: int = 8, iters: int = 3) -> int:
         """Train centroids with deterministic k-means over ``df`` (a
@@ -222,13 +227,28 @@ class IncrementalIVFIndex:
             self._centroid_path(st["centroid_version"])
         )
 
+    @staticmethod
+    def _dir_identity(path: str) -> tuple:
+        """Filesystem identity of an immutable store directory: version
+        numbers restart at 1 when a store is deleted and rebuilt, so a
+        memo keyed on the version alone would serve the PREVIOUS
+        store's state through a still-alive handle. The (inode,
+        mtime_ns) of the written dir disambiguates — immutable dirs
+        never change after their write commits."""
+        try:
+            stx = os.stat(path)
+            return (stx.st_ino, stx.st_mtime_ns)
+        except OSError:
+            return (None, None)
+
     def _centroid_rows(self) -> list[list[float]]:
         cv = self._state()["centroid_version"]
-        if self._cent_memo is not None and self._cent_memo[0] == cv:
+        key = (cv,) + self._dir_identity(self._centroid_path(cv))
+        if self._cent_memo is not None and self._cent_memo[0] == key:
             return self._cent_memo[1]
         rows = self.centroids().orderBy("cluster").collect()
         vals = [list(r["centroid"]) for r in rows]  # k rows — bounded
-        self._cent_memo = (cv, vals)
+        self._cent_memo = (key, vals)
         return vals
 
     def _cell_rank(
@@ -308,13 +328,16 @@ class IncrementalIVFIndex:
                     "(rebuild the store to change PQ — FAISS contract)"
                 )
             pv = st["pq_version"] + 1
+            # 1-slice parallelize for the bounded M*K codebook write —
+            # same pathology as _write_centroids (k-slice local
+            # relation + coalesce(1) serializes one Python-worker
+            # round trip per slice; measured 4+ s per store build)
             self.spark.createDataFrame(
-                [(int(s), int(c), [int(x) for x in qc])
-                 for s, c, qc in rows],
+                self.spark.sparkContext.parallelize(
+                    [(int(s), int(c), [int(x) for x in qc])
+                     for s, c, qc in rows], 1),
                 "sub int, cid int, qc array<bigint>",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                self._pq_path(pv)
-            )
+            ).write.mode("overwrite").parquet(self._pq_path(pv))
             self._flip({**st, "pq_version": pv})
             return pv
 
@@ -346,12 +369,13 @@ class IncrementalIVFIndex:
     def _pq_books(self) -> dict[int, dict[int, list[int]]]:
         """{sub: {cid: codeword}} — M*K rows, driver-side bounded."""
         pv = self._state()["pq_version"]
-        if self._books_memo is not None and self._books_memo[0] == pv:
+        key = (pv,) + self._dir_identity(self._pq_path(pv))
+        if self._books_memo is not None and self._books_memo[0] == key:
             return self._books_memo[1]
         books: dict[int, dict[int, list[int]]] = {}
         for r in self.pq_codebooks_df().collect():
             books.setdefault(int(r["sub"]), {})[int(r["cid"])] = list(r["qc"])
-        self._books_memo = (pv, books)
+        self._books_memo = (key, books)
         return books
 
     @staticmethod

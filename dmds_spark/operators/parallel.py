@@ -10,7 +10,31 @@ the session's parallelism.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
+
+
+def overlap_jobs(*thunks: Callable[[], object]) -> list:
+    """Run independent Spark actions concurrently from a small driver
+    thread pool (guide §2.6): the scheduler happily interleaves jobs
+    inside one application, and a store build's independent steps
+    (freeze centroids, train codebooks, write the source files) are
+    sequential only because the driver calls them sequentially —
+    overlapping them lets the next job's tasks back-fill the previous
+    job's scheduling/commit tail. Results return in ``thunks`` order.
+
+    Callers are responsible for independence: nothing here may
+    read state another thunk writes (store pointer flips remain safe
+    regardless — every flip is serialized on the store's interned
+    WriterLock and composes via a re-read of the pointer under it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

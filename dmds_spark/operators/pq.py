@@ -163,6 +163,15 @@ def pq_codebooks(q: DataFrame, dim: int = PQ_DIM) -> DataFrame:
     slices refined by ONE integer-exact Lloyd round. ``dim`` is the
     vector width (threads through to the subvector slicing).
 
+    EAGER: training runs at DataFrame-construction time (two bounded
+    collect() jobs — the seed draw and the M-step), so failures
+    surface here, not at the consumer's first action. The returned DF
+    carries its bounded rows as a ``_dmds_pq_books`` attribute so
+    consumers (:func:`pq_encode`, ADC tables) skip the re-collect;
+    transforming/persisting/serializing the DF drops the attribute,
+    which only costs the fallback collect in ``_codebook_dict`` —
+    results are unchanged.
+
     Execution shape (optimization round, guide §2.4/§8): the seed draw
     is a TakeOrdered top-K COLLECT (K rows — bounded, the same bounded
     seed collect ``kmeans_assign`` uses); assignment of every

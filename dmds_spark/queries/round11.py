@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dmds_spark.operators.parallel import overlap_jobs
 from dmds_spark.queries import register
 from dmds_spark.queries.round10 import (
     _canon_sql,
@@ -302,14 +303,22 @@ def rollup_incremental_ivf(spark, sf_dir):
     root = scratch_dir("inc_ivf", sf_dir)
     src = f"{root}/src"
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    anchors = (
-        e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    )  # 8 rows — bounded by k, never data size
     idx = IncrementalIVFIndex(
         spark, src, f"{root}/store", "vec_id", "embedding"
     )
-    idx.set_centroids([list(r["embedding"]) for r in anchors])
-    e.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+
+    def _freeze_centroids():
+        anchors = (
+            e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        )  # 8 rows — bounded by k, never data size
+        idx.set_centroids([list(r["embedding"]) for r in anchors])
+
+    # quantizer freeze and first source write are independent jobs —
+    # overlap them (guide §2.6)
+    overlap_jobs(
+        _freeze_centroids,
+        lambda: e.filter(F.col("vec_id") % 2 == 0).write.parquet(src),
+    )
     idx.refresh()
     e.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
     idx.refresh()

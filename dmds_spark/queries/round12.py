@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dmds_spark.operators.parallel import overlap_jobs
 from dmds_spark.queries import register
 from dmds_spark.queries.llm_dedup import (
     BANDS,
@@ -154,20 +155,36 @@ def rollup_ivf_retrain(spark, sf_dir):
     root = _scratch(sf_dir, "ivf_retrain")
     src = f"{root}/src"
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    gen1 = e.filter(F.col("vec_id") < _RT_K).orderBy("vec_id").collect()
-    gen2 = (
-        e.filter(
-            (F.col("vec_id") >= _RT_BASE)
-            & (F.col("vec_id") < _RT_BASE + _RT_K)
-        )
-        .orderBy("vec_id")
-        .collect()
-    )  # 2 x 8 rows — bounded by k, never data size
     idx = IncrementalIVFIndex(
         spark, src, f"{root}/store", "vec_id", "embedding"
     )
-    idx.set_centroids([list(r["embedding"]) for r in gen1])
-    e.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+    gen2: list = []
+
+    def _freeze_gen1():
+        # BOTH anchor generations in one scan (guide §2.4 — the two
+        # separate collects paid two jobs for 16 bounded rows)
+        rows = (
+            e.filter(
+                (F.col("vec_id") < _RT_K)
+                | (
+                    (F.col("vec_id") >= _RT_BASE)
+                    & (F.col("vec_id") < _RT_BASE + _RT_K)
+                )
+            )
+            .orderBy("vec_id")
+            .collect()
+        )  # 2 x 8 rows — bounded by k, never data size
+        gen2.extend(r for r in rows if r["vec_id"] >= _RT_BASE)
+        idx.set_centroids(
+            [list(r["embedding"]) for r in rows if r["vec_id"] < _RT_K]
+        )
+
+    # the generation-1 freeze and the first source write are
+    # independent jobs — overlap them (guide §2.6)
+    overlap_jobs(
+        _freeze_gen1,
+        lambda: e.filter(F.col("vec_id") % 2 == 0).write.parquet(src),
+    )
     idx.refresh()
     idx.retrain([list(r["embedding"]) for r in gen2])
     e.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)

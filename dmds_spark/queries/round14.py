@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dmds_spark.operators.parallel import overlap_jobs
 from dmds_spark.queries import register
 from dmds_spark.queries.round13e import _PQ_CTE, PQ_SUB
 
@@ -108,15 +109,28 @@ def rollup_incremental_ivfadc(spark, sf_dir):
     root = scratch_dir("inc_ivfadc", sf_dir)
     src = f"{root}/src"
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    anchors = (
-        e.filter(F.col("vec_id") < _IVFADC_CELLS).orderBy("vec_id").collect()
-    )  # 8 rows — bounded by k, never data size
     idx = IncrementalIVFIndex(
         spark, src, f"{root}/store", "vec_id", "embedding"
     )
-    idx.set_centroids([list(r["embedding"]) for r in anchors])
-    idx.train_pq(e)
-    e.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+
+    def _freeze_centroids():
+        anchors = (
+            e.filter(F.col("vec_id") < _IVFADC_CELLS)
+            .orderBy("vec_id")
+            .collect()
+        )  # 8 rows — bounded by k, never data size
+        idx.set_centroids([list(r["embedding"]) for r in anchors])
+
+    # the three pre-ingest steps are independent Spark jobs (the coarse
+    # quantizer, the PQ codebooks, and the first source files touch
+    # disjoint state; pointer flips serialize on the store's writer
+    # lock and compose) — overlap them so each job's scheduling/commit
+    # tail back-fills with the next one's tasks (guide §2.6)
+    overlap_jobs(
+        _freeze_centroids,
+        lambda: idx.train_pq(e),
+        lambda: e.filter(F.col("vec_id") % 2 == 0).write.parquet(src),
+    )
     idx.refresh()
     e.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
     idx.refresh()
@@ -241,14 +255,21 @@ def embedding_pq_drift_report(spark, sf_dir):
 
     root = scratch_dir("pq_drift", sf_dir)
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    anchors = (
-        e.filter(F.col("vec_id") < _IVFADC_CELLS).orderBy("vec_id").collect()
-    )
     idx = IncrementalIVFIndex(
         spark, None, f"{root}/store", "vec_id", "embedding"
     )
-    idx.set_centroids([list(r["embedding"]) for r in anchors])
-    idx.train_pq(e)
+
+    def _freeze_centroids():
+        anchors = (
+            e.filter(F.col("vec_id") < _IVFADC_CELLS)
+            .orderBy("vec_id")
+            .collect()
+        )
+        idx.set_centroids([list(r["embedding"]) for r in anchors])
+
+    # independent pre-ingest jobs — overlap (guide §2.6), same
+    # discipline as rollup_incremental_ivfadc
+    overlap_jobs(_freeze_centroids, lambda: idx.train_pq(e))
     idx.fold_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
     idx.fold_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
     return idx.pq_drift_report().select(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import socket
 import threading
 import time
@@ -1393,35 +1394,51 @@ class World:
         # (self-overwrite is undefined otherwise)
         out = out.transform(materialize)
         self._writer_lock.verify_token()  # fence the overwrite
+        # Which dirty partitions survive the write is decided from the
+        # DIRECTORY LISTING, not a second Spark pass over ``out``: a
+        # dynamic overwrite replaces a rewritten partition's whole file
+        # set (fresh job-UUID part names), so a dirty directory whose
+        # parquet listing is unchanged afterwards received no rows —
+        # every row it held relocated away — and must be cleared
+        # explicitly (the reference rewrites every dirty chunk, even to
+        # empty: src/world.rs:96-122 skips moved items but still
+        # writes). Listings are bounded by the dirty-partition count
+        # (local FS, like the manifests / _written_partitions); the
+        # former `out.select(parts).distinct().collect()` paid one full
+        # extra action over the flushed data per flush.
+        before = {pos: self._part_listing(pos) for pos in dirty}
         (
             out.write.partitionBy(*self.partition_cols())
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path)
         )
-        # dynamic overwrite only touches partitions present in the
-        # output; a dirty partition whose rows all relocated away
-        # keeps its stale file — clear those directories explicitly
-        # (the reference rewrites every dirty chunk, even to empty:
-        # src/world.rs:96-122 skips moved items but still writes).
-        remaining = {
-            tuple(r)
-            for r in out.select(*self.partition_cols()).distinct().collect()
-        }
-        jvm = self.spark.sparkContext._jvm
-        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
         for pos in dirty:
-            if tuple(pos) not in remaining:
-                d = "/".join(
-                    [self.path]
-                    + [f"{c}={int(v)}" for c, v in zip(self.partition_cols(), pos)]
-                )
-                jpath = jvm.org.apache.hadoop.fs.Path(d)
-                fs = jpath.getFileSystem(hconf)
-                if fs.exists(jpath):
-                    fs.delete(jpath, True)
+            after = self._part_listing(pos)
+            if after is not None and after == before[pos]:
+                shutil.rmtree(self._part_dir(pos), ignore_errors=True)
         self._ops = []
         return n_ops
+
+    def _part_dir(self, pos) -> str:
+        return "/".join(
+            [self.path]
+            + [f"{c}={int(v)}" for c, v in zip(self.partition_cols(), pos)]
+        )
+
+    def _part_listing(self, pos) -> frozenset | None:
+        """Parquet file names under one physical-partition directory,
+        or None when the directory does not exist. Bounded driver-side
+        FS work (one dirty chunk), no Spark job."""
+        d = self._part_dir(pos)
+        if not os.path.isdir(d):
+            return None
+        return frozenset(
+            os.path.join(os.path.relpath(root, d), f)
+            for root, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
 
     def zvalue(self) -> F.Column:
         """Morton (Z-order) key over the world's dims: bit-interleave
