@@ -240,11 +240,20 @@ class IncrementalMinHashDedup:
         stored = self.signatures()
         inc_pairs = self._increment_pairs(new_sigs, stored)
         v = (max(st["versions"]) + 1) if st["versions"] else 1
-        new_sigs.write.mode("overwrite").parquet(
-            os.path.join(self.store_dir, "sigs", f"batch-v{v}")
-        )
         pairs_path = os.path.join(self.store_dir, "pairs", f"batch-v{v}")
-        inc_pairs.write.mode("overwrite").parquet(pairs_path)
+        # the two increment writes are independent jobs over the
+        # already-materialized signatures (different directories,
+        # nothing published until the caller's pointer flip) — overlap
+        # them so the pairs job's band-join tasks back-fill the sig
+        # write's commit tail (guide §2.6)
+        from dmds_spark.operators.parallel import overlap_jobs
+
+        overlap_jobs(
+            lambda: new_sigs.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, "sigs", f"batch-v{v}")
+            ),
+            lambda: inc_pairs.write.mode("overwrite").parquet(pairs_path),
+        )
         if self.maintain_clusters:
             # fold the increment's pairs (read back from the file just
             # written — already materialized, no band-join recompute)
@@ -282,11 +291,17 @@ class IncrementalMinHashDedup:
             # first increment: the contracted graph IS the graph
             return connected_components(edges, "id_a", "id_b")
         cur_raw = self.spark.read.parquet(*self._paths("cmap", st["versions"]))
+        # LAZY persist for the bounded shared intermediates (endpoint
+        # set, touched labels, contracted CC), not eager localCheckpoint:
+        # each eager barrier was its own ~0.2-0.3 s job while the data
+        # is deterministic and increment-bounded — the first consumer
+        # computes and fills the cache, later consumers read it (the
+        # llm_extra2 pattern; released by release_materialized_state)
         ends = (
             edges.select(F.col("id_a").alias("nid"))
             .unionByName(edges.select(F.col("id_b").alias("nid")))
             .distinct()
-            .transform(materialize)  # consumed by probe + anti-join
+            .persist()  # consumed by probe + anti-join
         )
         # current label per touched endpoint: broadcast the O(new)
         # endpoint set, scan the map once, resolve min() only over hits
@@ -294,7 +309,7 @@ class IncrementalMinHashDedup:
             cur_raw.join(F.broadcast(ends), F.col("id") == F.col("nid"))
             .groupBy("nid")
             .agg(F.min("cluster_id").alias("lab"))
-            .transform(materialize)  # consumed 3x (two sides + anti)
+            .persist()  # consumed 3x (two sides + anti)
         )
         la = hits.select(F.col("nid").alias("id_a"), F.col("lab").alias("la"))
         lb = hits.select(F.col("nid").alias("id_b"), F.col("lab").alias("lb"))
@@ -307,7 +322,7 @@ class IncrementalMinHashDedup:
             )
             .filter(F.col("u") != F.col("v"))  # intra-cluster edges drop
         )
-        cc = materialize(connected_components(contracted, "u", "v"))
+        cc = connected_components(contracted, "u", "v").persist()
         # brand-new ids get their first row
         new_rows = cc.join(
             F.broadcast(
