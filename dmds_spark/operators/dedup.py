@@ -94,13 +94,27 @@ def minhash_signatures(
     aggregation share the id partitioning, so the whole pipeline pays
     ONE shuffle (plus map-side partial mins). Results are identical to
     functions.text.minhash_signature."""
-    sh = word_kgram_rows(df, text_col, id_col, k)
+    return minhash_signatures_from_shingles(
+        word_kgram_rows(df, text_col, id_col, k), id_col, num_hashes
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int = 16, shingle_col: str = "__s"
+) -> DataFrame:
+    """(id, signature) from pre-built (id, shingle) rows — the entry
+    point for pipelines that shingle the corpus ONCE and feed the same
+    rows to the detector and to an exact verify/truth stage (persist
+    the rows at the call site). Duplicate shingle rows are harmless
+    (min is idempotent), so the DISTINCT rows of
+    ``minhash_shingle_rows`` yield signatures identical to
+    :func:`minhash_signatures` over the raw text."""
     # ONE md5 per shingle; slot j is the digest rotated left j hex
     # chars — rotation ranks by independent digest positions, giving
     # num_hashes near-independent minima for a single digest pass
     # (16x fewer md5 calls, the dominant per-row cost — measured 3x
     # end-to-end at sf0.1). substr/concat match DuckDB exactly.
-    hashed = sh.select(id_col, F.md5("__s").alias("__h")).select(
+    hashed = sh.select(id_col, F.md5(shingle_col).alias("__h")).select(
         id_col,
         *[
             F.concat(
@@ -344,6 +358,7 @@ def jaccard_verify_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs (the
     verify stage after LSH).
@@ -353,11 +368,20 @@ def jaccard_verify_pairs(
     (pair ⋈ shingles_a ⋈ shingles_b on equal shingle) join;
     |A∪B| = |A| + |B| − |A∩B| from per-doc counts. Every operator is
     a codegen-friendly equi-join/aggregate, and the candidate set
-    (post-LSH, tiny relative to the corpus) broadcasts."""
+    (post-LSH, tiny relative to the corpus) broadcasts.
+
+    The shingle rows feed THREE consumers (per-doc counts, both join
+    sides) — pass pre-built ``shingle_rows`` (persisted at the call
+    site, typically shared with the signature stage) to shingle the
+    corpus once instead of three more times; built and persisted here
+    otherwise."""
     from dmds_spark.operators.parallel import ensure_parallelism
 
-    df = ensure_parallelism(df)
-    sh = minhash_shingle_rows(df, text_col, id_col, k)
+    if shingle_rows is not None:
+        sh = shingle_rows
+    else:
+        df = ensure_parallelism(df)
+        sh = minhash_shingle_rows(df, text_col, id_col, k).persist()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     p = pairs.select("id_a", "id_b")
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))
@@ -415,6 +439,7 @@ def containment_verify_pairs(
     id_col: str,
     k: int = 3,
     threshold_pct: int = 70,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT verification of candidate pairs:
     ``|A∩B| / min(|A|, |B|)`` — the asymmetric cousin of Jaccard that
@@ -423,14 +448,19 @@ def containment_verify_pairs(
 
     Same pure-join formulation as :func:`jaccard_verify_pairs` (no
     array columns, candidate set broadcasts, shingle equi-join computes
-    the intersection), and the threshold compare is INTEGER math
+    the intersection, three consumers of the shingle rows — pass a
+    persisted ``shingle_rows`` to share the shingle pass), and the
+    threshold compare is INTEGER math
     (``inter * 100 >= threshold_pct * min``) so the oracle hash cannot
     drift on a division boundary. Output: (id_a, id_b, inter_cnt,
     min_cnt) — scalar columns only (driver canonicalizer contract)."""
     from dmds_spark.operators.parallel import ensure_parallelism
 
-    df = ensure_parallelism(df)
-    sh = minhash_shingle_rows(df, text_col, id_col, k)
+    if shingle_rows is not None:
+        sh = shingle_rows
+    else:
+        df = ensure_parallelism(df)
+        sh = minhash_shingle_rows(df, text_col, id_col, k).persist()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     p = pairs.select("id_a", "id_b")
     a_sh = sh.select(F.col(id_col).alias("id_a"), F.col("__s"))

@@ -155,13 +155,30 @@ def dedup_minhash_keep_first_q(spark, sf_dir):
 )
 def dedup_jaccard_verify(spark, sf_dir):
     """Exact n-gram Jaccard verify stage over the LSH candidates —
-    the two-stage (probe then verify) pipeline at full fidelity."""
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
+    the two-stage (probe then verify) pipeline at full fidelity.
+
+    The corpus is shingled ONCE (persisted distinct rows shared by the
+    signature stage and all three verify consumers — min over a
+    doc's distinct shingles equals min over its raw k-gram stream, so
+    the signatures are bit-identical; guide §2.4 remove duplicate
+    work)."""
+    from dmds_spark.operators.dedup import (
+        minhash_shingle_rows,
+        minhash_signatures_from_shingles,
+    )
+    from dmds_spark.operators.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    srows = minhash_shingle_rows(
+        docs, "text", "doc_id", K_SHINGLE
+    ).persist()
+    sigs = minhash_signatures_from_shingles(srows, "doc_id", NUM_HASHES)
     cand = minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS).select(
         "id_a", "id_b"
     )
-    return jaccard_verify_pairs(docs, cand, "text", "doc_id", K_SHINGLE, 0.5)
+    return jaccard_verify_pairs(
+        docs, cand, "text", "doc_id", K_SHINGLE, 0.5, shingle_rows=srows
+    )
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex digit (top bit of the digit)

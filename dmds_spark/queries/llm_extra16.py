@@ -85,18 +85,36 @@ def dedup_minhash_recall_report(spark, sf_dir):
     corpora — run the boilerplate/span-dedup pass first at 100 TB (or
     stratify the truth scan), which is exactly what this report is
     telling you to tune."""
+    from dmds_spark.functions.text import minhash_jaccard_estimate
     from dmds_spark.operators.dedup import (
-        dedup_minhash,
+        minhash_lsh_candidates,
         minhash_shingle_rows,
+        minhash_signatures_from_shingles,
     )
+    from dmds_spark.operators.parallel import ensure_parallelism
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    d = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
     )
-    det = dedup_minhash(d, "text", "doc_id", NUM_HASHES, BANDS, 0.5).select(
-        "id_a", "id_b", F.lit(1).alias("in_det")
+    # shingle the corpus ONCE: the persisted distinct rows feed the
+    # detector's signatures (bit-identical — min over a doc's distinct
+    # shingles equals min over its raw k-gram stream) AND the exact
+    # truth side's inverted index, which consumes them three more
+    # times (sz + both join sides); previously four separate shingle
+    # passes (guide §2.4)
+    srows = minhash_shingle_rows(d, "text", "doc_id", K_SHINGLE).persist()
+    sigs = minhash_signatures_from_shingles(srows, "doc_id", NUM_HASHES)
+    est = minhash_jaccard_estimate(
+        F.col("sig_a"), F.col("sig_b"), NUM_HASHES
     )
-    srows = minhash_shingle_rows(d, "text", "doc_id", K_SHINGLE)
+    det = (
+        minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS)
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("in_det"))
+    )
     id_col = srows.columns[0]
     sh_col = srows.columns[1]
     sz = srows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))

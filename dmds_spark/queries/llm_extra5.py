@@ -110,16 +110,25 @@ def dedup_containment_verify(spark, sf_dir):
     from dmds_spark.operators.dedup import (
         containment_verify_pairs,
         minhash_lsh_candidates,
-        minhash_signatures,
+        minhash_shingle_rows,
+        minhash_signatures_from_shingles,
     )
+    from dmds_spark.operators.parallel import ensure_parallelism
 
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
+    # shingle ONCE: the persisted distinct rows feed the signature
+    # stage and all three verify consumers (guide §2.4; signatures over
+    # distinct shingles are bit-identical — min is idempotent)
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    srows = minhash_shingle_rows(
+        docs, "text", "doc_id", K_SHINGLE
+    ).persist()
+    sigs = minhash_signatures_from_shingles(srows, "doc_id", NUM_HASHES)
     cand = minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS).select(
         "id_a", "id_b"
     )
     return containment_verify_pairs(
-        docs, cand, "text", "doc_id", K_SHINGLE, threshold_pct=70
+        docs, cand, "text", "doc_id", K_SHINGLE, threshold_pct=70,
+        shingle_rows=srows,
     )
 
 

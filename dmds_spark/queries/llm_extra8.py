@@ -757,16 +757,26 @@ def dedup_minhash_precision(spark, sf_dir):
     from dmds_spark.operators.dedup import (
         jaccard_verify_pairs,
         minhash_lsh_candidates,
-        minhash_signatures,
+        minhash_shingle_rows,
+        minhash_signatures_from_shingles,
     )
+    from dmds_spark.operators.parallel import ensure_parallelism
     from dmds_spark.queries.llm_dedup import K_SHINGLE
 
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
+    # shingle ONCE (guide §2.4): the persisted distinct rows feed the
+    # signature stage and the verify's three consumers; signatures
+    # over distinct shingles are bit-identical (min is idempotent)
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    srows = minhash_shingle_rows(
+        docs, "text", "doc_id", K_SHINGLE
+    ).persist()
+    sigs = minhash_signatures_from_shingles(srows, "doc_id", NUM_HASHES)
     cand = minhash_lsh_candidates(sigs, "doc_id", NUM_HASHES, BANDS).select(
         "id_a", "id_b"
     ).transform(materialize)  # counted AND verified: one LSH pass
-    ver = jaccard_verify_pairs(docs, cand, "text", "doc_id", K_SHINGLE, 0.5)
+    ver = jaccard_verify_pairs(
+        docs, cand, "text", "doc_id", K_SHINGLE, 0.5, shingle_rows=srows
+    )
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     nv = ver.agg(F.count(F.lit(1)).alias("n_verified"))
     return nc.crossJoin(nv).select(

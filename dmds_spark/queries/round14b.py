@@ -365,15 +365,23 @@ def dedup_bcubed_quality(spark, sf_dir):
     from dmds_spark.operators.dedup import (
         jaccard_verify_pairs,
         minhash_lsh_candidates,
-        minhash_signatures,
+        minhash_shingle_rows,
+        minhash_signatures_from_shingles,
     )
+    from dmds_spark.operators.parallel import ensure_parallelism
     from dmds_spark.queries.llm_dedup import BANDS, K_SHINGLE, NUM_HASHES
 
-    docs = _docs(spark, sf_dir)
+    # shingle ONCE (guide §2.4): the persisted distinct rows feed the
+    # signature stage and the verify's three consumers (signatures over
+    # distinct shingles are bit-identical — min is idempotent)
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    srows = minhash_shingle_rows(
+        docs, "text", "doc_id", K_SHINGLE
+    ).persist()
+    sigs = minhash_signatures_from_shingles(srows, "doc_id", NUM_HASHES)
     # ONE candidate generation feeds BOTH pairings (the estimate filter
     # and the exact-Jaccard verify) — candidate-sized, so the barrier
     # is cheap and the expensive banded self-join runs once, not twice
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
     cand = minhash_lsh_candidates(
         sigs, "doc_id", NUM_HASHES, BANDS
     ).transform(materialize)
@@ -382,7 +390,8 @@ def dedup_bcubed_quality(spark, sf_dir):
         minhash_jaccard_estimate(F.col("sig_a"), F.col("sig_b"), NUM_HASHES),
     ).filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
     truth_pairs = jaccard_verify_pairs(
-        docs, cand.select("id_a", "id_b"), "text", "doc_id", K_SHINGLE, 0.5
+        docs, cand.select("id_a", "id_b"), "text", "doc_id", K_SHINGLE, 0.5,
+        shingle_rows=srows,
     ).select("id_a", "id_b")
 
     def canon(pairs, name):
@@ -488,13 +497,19 @@ def dedup_method_kappa(spark, sf_dir):
     from dmds_spark.operators.dedup import (
         jaccard_verify_pairs,
         minhash_lsh_candidates,
-        minhash_signatures,
+        minhash_shingle_rows,
+        minhash_signatures_from_shingles,
     )
+    from dmds_spark.operators.parallel import ensure_parallelism
     from dmds_spark.operators.relational import exact_floordiv
     from dmds_spark.queries.llm_dedup import BANDS, K_SHINGLE, NUM_HASHES
 
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, K_SHINGLE)
+    # shared shingle pass, same discipline as dedup_bcubed_quality
+    docs = ensure_parallelism(_docs(spark, sf_dir))
+    srows = minhash_shingle_rows(
+        docs, "text", "doc_id", K_SHINGLE
+    ).persist()
+    sigs = minhash_signatures_from_shingles(srows, "doc_id", NUM_HASHES)
     cand = minhash_lsh_candidates(
         sigs, "doc_id", NUM_HASHES, BANDS
     ).transform(materialize)
@@ -509,7 +524,8 @@ def dedup_method_kappa(spark, sf_dir):
         ).otherwise(0).alias("l1"),
     )
     exact = jaccard_verify_pairs(
-        docs, cand.select("id_a", "id_b"), "text", "doc_id", K_SHINGLE, 0.0
+        docs, cand.select("id_a", "id_b"), "text", "doc_id", K_SHINGLE, 0.0,
+        shingle_rows=srows,
     ).select("id_a", "id_b",
              (F.col("jaccard") >= 0.5).cast("int").alias("l2x"))
     j = est.join(exact, ["id_a", "id_b"], "left").select(
