@@ -291,17 +291,17 @@ class IncrementalMinHashDedup:
             # first increment: the contracted graph IS the graph
             return connected_components(edges, "id_a", "id_b")
         cur_raw = self.spark.read.parquet(*self._paths("cmap", st["versions"]))
-        # LAZY persist for the bounded shared intermediates (endpoint
-        # set, touched labels, contracted CC), not eager localCheckpoint:
-        # each eager barrier was its own ~0.2-0.3 s job while the data
-        # is deterministic and increment-bounded — the first consumer
-        # computes and fills the cache, later consumers read it (the
-        # llm_extra2 pattern; released by release_materialized_state)
+        # EAGER materialize for the bounded shared intermediates: hits
+        # feeds TWO broadcast exchanges (la/lb) that Spark prepares
+        # concurrently — against a lazy persist both race on the
+        # uncached entry and each recomputes the full map scan (A/B:
+        # lazy persists cost +3 s on rollup_incremental_clusters);
+        # a localCheckpointed RDD makes each broadcast a cheap re-read
         ends = (
             edges.select(F.col("id_a").alias("nid"))
             .unionByName(edges.select(F.col("id_b").alias("nid")))
             .distinct()
-            .persist()  # consumed by probe + anti-join
+            .transform(materialize)  # consumed by probe + anti-join
         )
         # current label per touched endpoint: broadcast the O(new)
         # endpoint set, scan the map once, resolve min() only over hits
@@ -309,7 +309,7 @@ class IncrementalMinHashDedup:
             cur_raw.join(F.broadcast(ends), F.col("id") == F.col("nid"))
             .groupBy("nid")
             .agg(F.min("cluster_id").alias("lab"))
-            .persist()  # consumed 3x (two sides + anti)
+            .transform(materialize)  # consumed 3x (two sides + anti)
         )
         la = hits.select(F.col("nid").alias("id_a"), F.col("lab").alias("la"))
         lb = hits.select(F.col("nid").alias("id_b"), F.col("lab").alias("lb"))
@@ -322,7 +322,7 @@ class IncrementalMinHashDedup:
             )
             .filter(F.col("u") != F.col("v"))  # intra-cluster edges drop
         )
-        cc = connected_components(contracted, "u", "v").persist()
+        cc = materialize(connected_components(contracted, "u", "v"))
         # brand-new ids get their first row
         new_rows = cc.join(
             F.broadcast(
