@@ -234,26 +234,23 @@ class IncrementalMinHashDedup:
                 "retrofitted O(new) (rebuild into a fresh store_dir, "
                 "or keep the pairs-only handle)"
             )
-        new_sigs = minhash_signatures(
+        v = (max(st["versions"]) + 1) if st["versions"] else 1
+        sigs_path = os.path.join(self.store_dir, "sigs", f"batch-v{v}")
+        pairs_path = os.path.join(self.store_dir, "pairs", f"batch-v{v}")
+        # the sig parquet write IS the materialization (it has to
+        # happen anyway — nothing published until the caller's pointer
+        # flip): ONE job computes signatures and commits them, and the
+        # band join + any later consumer re-read the written file.
+        # Previously a localCheckpoint job computed the sigs and a
+        # second job re-serialized them into parquet (guide §2.4 —
+        # don't do the same work twice)
+        minhash_signatures(
             docs, self.text_col, self.id_col, self.num_hashes, self.k
-        ).transform(materialize)  # two consumers: band join + store
+        ).write.mode("overwrite").parquet(sigs_path)
+        new_sigs = self.spark.read.parquet(sigs_path)
         stored = self.signatures()
         inc_pairs = self._increment_pairs(new_sigs, stored)
-        v = (max(st["versions"]) + 1) if st["versions"] else 1
-        pairs_path = os.path.join(self.store_dir, "pairs", f"batch-v{v}")
-        # the two increment writes are independent jobs over the
-        # already-materialized signatures (different directories,
-        # nothing published until the caller's pointer flip) — overlap
-        # them so the pairs job's band-join tasks back-fill the sig
-        # write's commit tail (guide §2.6)
-        from dmds_spark.operators.parallel import overlap_jobs
-
-        overlap_jobs(
-            lambda: new_sigs.write.mode("overwrite").parquet(
-                os.path.join(self.store_dir, "sigs", f"batch-v{v}")
-            ),
-            lambda: inc_pairs.write.mode("overwrite").parquet(pairs_path),
-        )
+        inc_pairs.write.mode("overwrite").parquet(pairs_path)
         if self.maintain_clusters:
             # fold the increment's pairs (read back from the file just
             # written — already materialized, no band-join recompute)
