@@ -542,23 +542,36 @@ def semdedup_prune(
     The within-cluster prune is pinned equal to an independent
     numpy brute-force in tests/test_similarity_ops.py."""
     assigned = kmeans_assign(df, id_col, vec_col, k, iters)
-    vecs = df.select(F.col(id_col), F.col(vec_col)).join(
-        assigned, id_col
-    ).transform(_materialize)  # consumed by both join sides + anti
+    # norm folded ONCE per vector into the materialized block table
+    # (same expression, same fold — bit-identical doubles); the
+    # sum-of-size^2 pairwise stage then pays one HOF fold per pair
+    # (the dot) instead of three (guide §2.4, the pair_cosine pattern)
+    vecs = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .withColumn("__nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+        .transform(_materialize)  # consumed by both join sides + anti
+    )
     a = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     b = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
     doomed = (
         a.join(b, "cluster")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )

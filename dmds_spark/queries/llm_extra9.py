@@ -259,30 +259,45 @@ def dedup_semdedup_prune(spark, sf_dir):
     semantic dups), so the prune is non-trivial (82 doomed pairs at
     sf0.01) and deterministic."""
     from dmds_spark.core.engine import materialize
-    from dmds_spark.operators.similarity import cosine
+    from dmds_spark.operators.similarity import dot
     from dmds_spark.queries.llm_extra import embedding_kmeans_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     asg = embedding_kmeans_assign(spark, sf_dir)
+    # the vector NORM is per-vector work: fold it once into the
+    # materialized block table instead of re-deriving it per PAIR —
+    # the pairwise stage's cost is sum-of-size^2, so each pair now
+    # pays ONE interpreted HOF fold (the dot) instead of three
+    # (guide §2.4; sqrt(dot(x,x)) is the identical expression over
+    # the identical array, so the cosine doubles are bit-identical)
     vecs = (
         emb.select("vec_id", "embedding")
         .join(asg, "vec_id")
+        .withColumn(
+            "__nrm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        )
         .transform(materialize)  # consumed by both pair sides + anti
     )
     a = vecs.select(
         "cluster",
         F.col("vec_id").alias("__ida"),
         F.col("embedding").alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     b = vecs.select(
         "cluster",
         F.col("vec_id").alias("__idb"),
         F.col("embedding").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
     doomed = (
         a.join(b, "cluster")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= 0.35)
+        .filter(
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= 0.35
+        )
         .select(F.col("__idb").alias("vec_id"))
         .distinct()
     )
