@@ -235,14 +235,25 @@ class IncrementalPostingsIndex:
         v = (max(st["versions"]) + 1) if st["versions"] else 1
         ppath = self._grain_paths("postings", [v], st)[0]
         dpath = self._grain_paths("doclen", [v], st)[0]
-        postings.write.mode("overwrite").partitionBy("tb").parquet(ppath)
-        doclens.write.mode("overwrite").parquet(dpath)
+        # the per-grain increment writes are INDEPENDENT jobs over the
+        # same doc batch (different directories; nothing published
+        # until the pointer flip, and the emptiness check below runs
+        # after all of them) — overlap on the driver pool so the
+        # grain jobs back-fill each other's commit tails (guide §2.6)
+        from dmds_spark.operators.parallel import overlap_jobs
+
+        jobs = [
+            lambda: postings.write.mode("overwrite")
+            .partitionBy("tb").parquet(ppath),
+            lambda: doclens.write.mode("overwrite").parquet(dpath),
+        ]
         if self.positions:
-            self._positional_rows(docs, st["analyzer"]).write.mode(
-                "overwrite"
-            ).partitionBy("tb").parquet(
-                self._grain_paths("positional", [v], st)[0]
+            jobs.append(
+                lambda: self._positional_rows(docs, st["analyzer"])
+                .write.mode("overwrite").partitionBy("tb")
+                .parquet(self._grain_paths("positional", [v], st)[0])
             )
+        overlap_jobs(*jobs)
         # emptiness is checked on the PARTITIONED grain: an empty
         # partitioned write leaves no parquet files (the IVF rule),
         # whereas an empty unpartitioned write still emits a 0-row
