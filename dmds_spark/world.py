@@ -1390,33 +1390,46 @@ class World:
             )
             self._ops = []
             return n_ops
-        # materialize BEFORE overwriting the files we just read
-        # (self-overwrite is undefined otherwise)
-        out = out.transform(materialize)
-        self._writer_lock.verify_token()  # fence the overwrite
-        # Which dirty partitions survive the write is decided from the
-        # DIRECTORY LISTING, not a second Spark pass over ``out``: a
-        # dynamic overwrite replaces a rewritten partition's whole file
-        # set (fresh job-UUID part names), so a dirty directory whose
-        # parquet listing is unchanged afterwards received no rows —
-        # every row it held relocated away — and must be cleared
-        # explicitly (the reference rewrites every dirty chunk, even to
-        # empty: src/world.rs:96-122 skips moved items but still
-        # writes). Listings are bounded by the dirty-partition count
-        # (local FS, like the manifests / _written_partitions); the
-        # former `out.select(parts).distinct().collect()` paid one full
-        # extra action over the flushed data per flush.
-        before = {pos: self._part_listing(pos) for pos in dirty}
-        (
-            out.write.partitionBy(*self.partition_cols())
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.path)
-        )
-        for pos in dirty:
-            after = self._part_listing(pos)
-            if after is not None and after == before[pos]:
-                shutil.rmtree(self._part_dir(pos), ignore_errors=True)
+        # STAGE-AND-SWAP instead of materialize-then-self-overwrite:
+        # ``out`` reads the very files a dynamic overwrite of
+        # ``self.path`` would delete, which forced an eager
+        # materialization barrier (a full extra pass over the flushed
+        # rows) before every non-versioned flush. Writing to a sibling
+        # staging directory needs no barrier — the ONE write job both
+        # computes and commits the merged dirty partitions — and
+        # publish is a per-partition directory swap (local-FS renames,
+        # bounded by the dirty-partition count, the same move-based
+        # commit Spark's own dynamic overwrite performs internally).
+        # ``out`` contains ONLY dirty-partition rows by construction
+        # (base_part is semi-join-filtered to the dirty set, and every
+        # live row's partition is dirty), so: a staged dir exists ->
+        # the partition's new contents; no staged dir -> every row the
+        # dirty partition held relocated away, clear it (the reference
+        # rewrites every dirty chunk, even to empty:
+        # src/world.rs:96-122 skips moved items but still writes).
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:12]}"
+        try:
+            (
+                out.write.partitionBy(*self.partition_cols())
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            self._writer_lock.verify_token()  # fence the swap
+            for pos in dirty:
+                dst = self._part_dir(pos)
+                src = "/".join(
+                    [staging]
+                    + [
+                        f"{c}={int(v)}"
+                        for c, v in zip(self.partition_cols(), pos)
+                    ]
+                )
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(src, dst)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         self._ops = []
         return n_ops
 
@@ -1424,20 +1437,6 @@ class World:
         return "/".join(
             [self.path]
             + [f"{c}={int(v)}" for c, v in zip(self.partition_cols(), pos)]
-        )
-
-    def _part_listing(self, pos) -> frozenset | None:
-        """Parquet file names under one physical-partition directory,
-        or None when the directory does not exist. Bounded driver-side
-        FS work (one dirty chunk), no Spark job."""
-        d = self._part_dir(pos)
-        if not os.path.isdir(d):
-            return None
-        return frozenset(
-            os.path.join(os.path.relpath(root, d), f)
-            for root, _dirs, fs in os.walk(d)
-            for f in fs
-            if f.endswith(".parquet")
         )
 
     def zvalue(self) -> F.Column:
